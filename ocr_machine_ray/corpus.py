@@ -1,0 +1,226 @@
+"""Deterministic interleaved-spans corpus, derived from the driver's flat
+``documents`` table.
+
+TESTDATA's ``documents`` is flat text; the engine's input model
+(BASELINE.json ``input_hint``) is interleaved text+media span sequences. This
+module defines ONE set of arithmetic derivation rules, implemented twice:
+
+* vectorized Arrow/numpy (`derive_spans_batch`, used by the Ray pipelines),
+* ANSI SQL fragments (`SQL_*`, used by the DuckDB oracle in __ray_entry__).
+
+Because both sides compute the same closed-form rules from the same input
+rows, the driver's value-hash comparison is a genuine end-to-end check of the
+Ray pipeline (explode -> strike-filter -> reassemble), not a tautology.
+
+Derivation rules (token index ``i`` is 1-based to match SQL
+``generate_subscripts``):
+
+* tokens      = regex-split of trimmed ``text`` on whitespace
+* media span  inserted after every 10th token; the j-th media span of doc d
+  has ``media_ref = 'm-<d>-<j>'`` (word-crop key pattern, reference
+  ``create_bbox_chunked.py:25`` saves crops as ``{block['Id']}.jpeg``)
+* offset      (0-based, dense, interleaved): token i -> (i-1) + (i-1)//10,
+  media j -> 11*j - 1
+* struck(d,i) = ((d*37 + i*101) % 7 == 0)  — the synthetic stand-in for the
+  strikethrough verdict (reference ``strikethrough_agent.py:96-127``); the
+  image-level CV kernel in stages/strike.py is *drawn from* this rule, so the
+  kernel's verdict must reproduce it exactly (tested in pytest)
+* category    = 'tables' if count(token=='table') >= 3
+                else 'diagrams' if count(token=='vector') >= 3 else 'other'
+  — table beats diagram, the reference's routing precedence
+  (``table_detector_agent.py:36-41``, ``textract_agent.py:215-222``)
+
+Extraction output = surviving spans (unstruck text spans + all media spans)
+in offset order with ``ord`` re-densified per document — the reference's
+order-restoring recombination (``textract_agent.py:153-179``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- rule constants (change here and in the SQL below together) -----------
+STRIKE_A = 37
+STRIKE_B = 101
+STRIKE_MOD = 7
+MEDIA_EVERY = 10
+TABLE_TOKEN = "table"
+DIAGRAM_TOKEN = "vector"
+CATEGORY_MIN_COUNT = 3
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+# ---------------------------------------------------------------------------
+# Vectorized tokenization: documents batch -> flat (doc_id, token, i) arrays.
+# ---------------------------------------------------------------------------
+class FlatTokens:
+    """Flattened tokenization of a documents batch (computed once per batch).
+
+    Pure Arrow kernels: utf8 trim + regex split produce a ListArray whose
+    offsets give both the doc mapping and the within-doc index with no
+    Python-per-row work.
+    """
+
+    __slots__ = ("counts", "doc_ids", "tokens", "i", "row_idx")
+
+    def __init__(self, batch: pa.Table):
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), TOKEN_SPLIT_RE
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        self.counts = np.diff(offsets)                       # tokens per doc
+        self.tokens = toks.flatten().to_numpy(zero_copy_only=False)
+        self.doc_ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), self.counts
+        )
+        self.row_idx = np.repeat(
+            np.arange(len(batch), dtype=np.int64), self.counts
+        )
+        total = int(self.counts.sum())
+        # 1-based token index within each doc (matches SQL generate_subscripts)
+        self.i = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offsets[:-1], self.counts)
+            + 1
+        )
+
+
+def struck_mask(doc_ids: np.ndarray, i: np.ndarray) -> np.ndarray:
+    """Synthetic strikethrough verdict for token i (1-based) of doc_id."""
+    return (doc_ids * STRIKE_A + i * STRIKE_B) % STRIKE_MOD == 0
+
+
+def categories_from_tokens(ft: FlatTokens, n_docs: int) -> pa.Array:
+    """Per-doc routing category from token counts (vectorized)."""
+    tbl_cnt = np.bincount(ft.row_idx[ft.tokens == TABLE_TOKEN], minlength=n_docs)
+    dia_cnt = np.bincount(ft.row_idx[ft.tokens == DIAGRAM_TOKEN], minlength=n_docs)
+    cat = np.where(
+        tbl_cnt >= CATEGORY_MIN_COUNT, "tables",
+        np.where(dia_cnt >= CATEGORY_MIN_COUNT, "diagrams", "other"),
+    )
+    return pa.array(cat, type=pa.string())
+
+
+# ---------------------------------------------------------------------------
+# documents batch -> nested spans rows (F1 schema) — the corpus materializer.
+# ---------------------------------------------------------------------------
+def derive_spans_batch(batch: pa.Table) -> pa.Table:
+    """Map a ``documents`` Arrow batch to the F1 spans schema.
+
+    One output row per input document; spans is the full interleaved
+    sequence INCLUDING struck text spans (striking happens downstream in the
+    extraction pipeline, like the reference's separate strikethrough pass).
+    """
+    ft = FlatTokens(batch)
+    doc_ids, i, counts = ft.doc_ids, ft.i, ft.counts
+    n_docs = len(batch)
+
+    # text spans: offset = (i-1) + (i-1)//MEDIA_EVERY
+    t_off = (i - 1) + (i - 1) // MEDIA_EVERY
+
+    # media spans: one after every MEDIA_EVERY-th token
+    m_sel = i % MEDIA_EVERY == 0
+    m_doc = doc_ids[m_sel]
+    m_j = i[m_sel] // MEDIA_EVERY
+    m_off = (MEDIA_EVERY + 1) * m_j - 1
+
+    row_idx_t = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    m_counts = counts // MEDIA_EVERY
+    row_idx_m = np.repeat(np.arange(n_docs, dtype=np.int64), m_counts)
+
+    # interleave by sorting on (row, offset) — cheap: concatenate then argsort
+    all_row = np.concatenate([row_idx_t, row_idx_m])
+    all_off = np.concatenate([t_off, m_off])
+    order = np.lexsort((all_off, all_row))
+
+    n_t = len(t_off)
+    kind = np.concatenate(
+        [np.full(n_t, "text"), np.full(len(m_off), "media")]
+    )[order]
+    text_vals = np.concatenate(
+        [ft.tokens.astype(object), np.full(len(m_off), None, dtype=object)]
+    )[order]
+    mref = np.concatenate(
+        [
+            np.full(n_t, None, dtype=object),
+            np.array([f"m-{d}-{j}" for d, j in zip(m_doc, m_j)], dtype=object),
+        ]
+    )[order]
+    off_sorted = all_off[order]
+
+    span_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kind, type=pa.string()),
+            pa.array(text_vals, type=pa.string()),
+            pa.array(mref, type=pa.string()),
+            pa.array(off_sorted.astype(np.int32), type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    span_counts = counts + m_counts
+    list_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+    np.cumsum(span_counts, out=list_offsets[1:])
+    spans = pa.ListArray.from_arrays(pa.array(list_offsets), span_struct)
+
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "category": categories_from_tokens(ft, n_docs),
+            "spans": spans,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments for the DuckDB oracle (documents is a pre-registered view).
+# ---------------------------------------------------------------------------
+SQL_TOKS = """
+toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS i
+  FROM documents
+)
+"""
+
+SQL_STRUCK = f"((doc_id*{STRIKE_A} + i*{STRIKE_B}) % {STRIKE_MOD} = 0)"
+
+SQL_ALL_SPANS = f"""
+WITH {SQL_TOKS},
+text_spans AS (
+  SELECT doc_id, 'text' AS kind, tok AS text,
+         CAST(NULL AS VARCHAR) AS media_ref,
+         (i-1) + (i-1)//{MEDIA_EVERY} AS off,
+         {SQL_STRUCK} AS struck
+  FROM toks
+),
+media_spans AS (
+  SELECT doc_id, 'media' AS kind, CAST(NULL AS VARCHAR) AS text,
+         'm-'||doc_id||'-'||(i//{MEDIA_EVERY}) AS media_ref,
+         {MEDIA_EVERY + 1}*(i//{MEDIA_EVERY}) - 1 AS off,
+         FALSE AS struck
+  FROM toks WHERE i % {MEDIA_EVERY} = 0
+),
+all_spans AS (
+  SELECT * FROM text_spans UNION ALL SELECT * FROM media_spans
+)
+"""
+
+SQL_CATEGORY = f"""
+doc_category AS (
+  SELECT doc_id,
+         CASE
+           WHEN sum(CASE WHEN tok = '{TABLE_TOKEN}' THEN 1 ELSE 0 END)
+                >= {CATEGORY_MIN_COUNT} THEN 'tables'
+           WHEN sum(CASE WHEN tok = '{DIAGRAM_TOKEN}' THEN 1 ELSE 0 END)
+                >= {CATEGORY_MIN_COUNT} THEN 'diagrams'
+           ELSE 'other'
+         END AS category
+  FROM toks GROUP BY doc_id
+)
+"""

@@ -1,0 +1,113 @@
+"""Flagship extraction pipeline (SURVEY.md §7.1 steps 2-6).
+
+Reference semantics being rebuilt: classify pages -> route -> OCR blocks ->
+strikethrough removal -> order-restoring reassembly
+(``main.py:1-28``; recombination ``textract_agent.py:119-200``; removal
+``strikethrough_agent.py:145-210``).
+
+Ray-Data-first design: one row = one whole document (interleaved span
+sequence), so removal and reassembly are LOCAL per-batch kernels — no
+shuffle anywhere in the flagship path. The object store only ever carries
+span text + media_refs; media payload bytes live in a side table
+(SURVEY.md §7.3). A shuffle-based variant over the pre-exploded view
+(`extract_flat_shuffled`) exists to cover the groupby(doc_id) reassembly
+operator for inputs that arrive already exploded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..corpus import derive_spans_batch
+from ..stages.explode import explode_spans, filter_spans_nested, redensify_nested
+from ..stages.strike import keep_mask_rule, rule_verdict_flat
+
+DOC_COLUMNS = ["doc_id", "text"]
+
+
+def read_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Column-pruned read of the documents table."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=columns or DOC_COLUMNS
+    )
+
+
+def spans_corpus(sf_dir: str) -> ray.data.Dataset:
+    """The interleaved spans corpus (F1 schema) as a lazy Dataset."""
+    return read_documents(sf_dir).map_batches(
+        derive_spans_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _strike_and_reassemble(batch: pa.Table) -> pa.Table:
+    """Local removal + re-densify: one fused kernel, zero shuffle."""
+    kept = filter_spans_nested(batch, keep_mask_rule)
+    return redensify_nested(kept)
+
+
+def _to_flat_output(batch: pa.Table) -> pa.Table:
+    flat = explode_spans(batch)
+    return pa.table(
+        {
+            "doc_id": flat["doc_id"],
+            "kind": flat["kind"],
+            "text": flat["text"],
+            "media_ref": flat["media_ref"],
+            "ord": flat["offset"].cast(pa.int64()),
+        }
+    )
+
+
+def extract(sf_dir: str) -> ray.data.Dataset:
+    """Flagship: documents -> spans -> strike-filter -> reassembled flat spans.
+
+    Output schema: (doc_id:int64, kind, text, media_ref, ord:int64) — the
+    per-row span-sequence invariant (kind, text, media_ref, order).
+    """
+    return (
+        spans_corpus(sf_dir)
+        .map_batches(_strike_and_reassemble, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .map_batches(_to_flat_output, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle variant: reassembly as a real groupby(doc_id) for pre-exploded
+# inputs (covers operator M15's wide form; SURVEY.md §2.2 M15, §7.2).
+# ---------------------------------------------------------------------------
+def _reassemble_group(group: pd.DataFrame) -> pd.DataFrame:
+    group = group.sort_values("offset", kind="mergesort")
+    group["ord"] = np.arange(len(group), dtype=np.int64)
+    return group[["doc_id", "kind", "text", "media_ref", "ord"]]
+
+
+def extract_flat_shuffled(sf_dir: str) -> ray.data.Dataset:
+    """Same result as `extract`, via explode -> verdict -> filter ->
+    groupby(doc_id).map_groups reassembly (an all-to-all shuffle).
+
+    Kept for inputs that arrive as flat span streams; the nested local path
+    is the default because it moves ~0 bytes between nodes for this step.
+    """
+    flat = (
+        spans_corpus(sf_dir)
+        .map_batches(explode_spans, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(rule_verdict_flat, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .map_batches(
+            lambda t: t.filter(
+                pa.compute.invert(t["struck"].combine_chunks())
+            ).drop_columns(["struck"]),
+            batch_format="pyarrow",
+        )
+    )
+    if "category" in flat.schema().names:
+        flat = flat.drop_columns(["category"])
+    return flat.groupby("doc_id").map_groups(
+        _reassemble_group, batch_format="pandas"
+    )

@@ -1,0 +1,299 @@
+"""Driver-checked queries for the extraction pipeline family
+(SURVEY.md §2: M1/M3 classify+coerce, M4 summary, M5 route, M9 WORD
+projection, M10/M13 strike removal, M15 reassembly, M17 explode).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..corpus import (
+    SQL_ALL_SPANS,
+    SQL_CATEGORY,
+    SQL_TOKS,
+    CATEGORY_MIN_COUNT,
+    DIAGRAM_TOKEN,
+    TABLE_TOKEN,
+    categories_from_tokens,
+    FlatTokens,
+)
+from ..registry import query
+from ..stages.explode import explode_spans
+from .extraction import (
+    extract,
+    extract_flat_shuffled,
+    read_documents,
+    spans_corpus,
+)
+
+# ---------------------------------------------------------------------------
+# Flagship: full extraction (explode -> strike-filter -> reassemble).
+# Per-row invariant: span-sequence equality (kind, text, media_ref, ord).
+# ---------------------------------------------------------------------------
+_EXTRACT_SQL = f"""
+{SQL_ALL_SPANS}
+SELECT doc_id, kind, text, media_ref,
+       row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1 AS ord
+FROM all_spans WHERE NOT struck
+"""
+
+
+@query("extract_spans", _EXTRACT_SQL)
+def q_extract_spans(sf_dir: str):
+    return extract(sf_dir)
+
+
+@query("extract_spans_shuffled", _EXTRACT_SQL)
+def q_extract_spans_shuffled(sf_dir: str):
+    """Same semantics via explode -> groupby(doc_id) reassembly (M15 wide form)."""
+    return extract_flat_shuffled(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Raw interleaved corpus (derivation only; M17 explode as the output adapter).
+# ---------------------------------------------------------------------------
+_SPANS_ALL_SQL = f"""
+{SQL_ALL_SPANS}
+SELECT doc_id, kind, text, media_ref, CAST(off AS BIGINT) AS off
+FROM all_spans
+"""
+
+
+@query("spans_interleaved", _SPANS_ALL_SQL)
+def q_spans_interleaved(sf_dir: str):
+    def to_flat(batch: pa.Table) -> pa.Table:
+        flat = explode_spans(batch)
+        return pa.table(
+            {
+                "doc_id": flat["doc_id"],
+                "kind": flat["kind"],
+                "text": flat["text"],
+                "media_ref": flat["media_ref"],
+                "off": flat["offset"].cast(pa.int64()),
+            }
+        )
+
+    return spans_corpus(sf_dir).map_batches(
+        to_flat, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classification + routing (M1 classifier stand-in, M3 coercion, M5 router).
+# ---------------------------------------------------------------------------
+_CLASSIFY_SQL = f"""
+WITH {SQL_TOKS},
+flags AS (
+  SELECT doc_id,
+         sum(CASE WHEN tok = '{TABLE_TOKEN}' THEN 1 ELSE 0 END)
+             >= {CATEGORY_MIN_COUNT} AS is_table,
+         sum(CASE WHEN tok = '{DIAGRAM_TOKEN}' THEN 1 ELSE 0 END)
+             >= {CATEGORY_MIN_COUNT} AS is_diagram
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, is_table, is_diagram,
+       CASE WHEN is_table THEN 'tables'
+            WHEN is_diagram THEN 'diagrams'
+            ELSE 'other' END AS route
+FROM flags
+"""
+
+
+@query("classify_route", _CLASSIFY_SQL)
+def q_classify_route(sf_dir: str):
+    def classify(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        n = len(batch)
+        tbl = np.bincount(ft.row_idx[ft.tokens == TABLE_TOKEN], minlength=n)
+        dia = np.bincount(ft.row_idx[ft.tokens == DIAGRAM_TOKEN], minlength=n)
+        is_table = tbl >= CATEGORY_MIN_COUNT
+        is_diagram = dia >= CATEGORY_MIN_COUNT
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "is_table": pa.array(is_table),
+                "is_diagram": pa.array(is_diagram),
+                "route": categories_from_tokens(ft, n),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Detection summary (M4 summarizer / A2 aggregation): corpus-level counts
+# per route — pre-aggregated per batch, tiny final groupby.
+# ---------------------------------------------------------------------------
+_SUMMARY_SQL = f"""
+WITH {SQL_TOKS}, {SQL_CATEGORY}
+SELECT category AS route, CAST(count(*) AS BIGINT) AS n_docs
+FROM doc_category GROUP BY category
+"""
+
+
+@query("detection_summary", _SUMMARY_SQL)
+def q_detection_summary(sf_dir: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        cats = categories_from_tokens(ft, len(batch)).to_numpy(
+            zero_copy_only=False
+        )
+        vals, cnts = np.unique(cats, return_counts=True)
+        return pa.table(
+            {
+                "route": pa.array(vals, type=pa.string()),
+                "n_docs": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = read_documents(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("route").aggregate(Sum("n_docs", alias_name="n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# WORD projection (M9): text spans only, container/media columns dropped.
+# ---------------------------------------------------------------------------
+_WORDS_SQL = f"""
+{SQL_ALL_SPANS}
+SELECT doc_id, text, CAST(off AS BIGINT) AS off
+FROM all_spans WHERE kind = 'text'
+"""
+
+
+@query("word_projection", _WORDS_SQL)
+def q_word_projection(sf_dir: str):
+    def words_only(batch: pa.Table) -> pa.Table:
+        flat = explode_spans(batch)
+        mask = pa.compute.equal(flat["kind"], "text")
+        t = flat.filter(mask)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "off": t["offset"].cast(pa.int64()),
+            }
+        )
+
+    return spans_corpus(sf_dir).map_batches(
+        words_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Strike verdict stats (A3: true/false processed counts).
+# ---------------------------------------------------------------------------
+_STRIKE_STATS_SQL = f"""
+{SQL_ALL_SPANS}
+SELECT struck, CAST(count(*) AS BIGINT) AS n
+FROM all_spans WHERE kind = 'text' GROUP BY struck
+"""
+
+
+@query("strike_stats", _STRIKE_STATS_SQL)
+def q_strike_stats(sf_dir: str):
+    from ..stages.strike import rule_verdict_flat
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = rule_verdict_flat(batch)
+        t = v.filter(pa.compute.equal(v["kind"], "text"))
+        s = t["struck"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "struck": pa.array([False, True]),
+                "n": pa.array(
+                    [int((~s).sum()), int(s.sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    flat = spans_corpus(sf_dir).map_batches(
+        explode_spans, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = flat.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return partials.groupby("struck").aggregate(Sum("n", alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# Removed-per-doc accounting (M13 block filter bookkeeping: removed ids /
+# surviving counts per document, reference strikethrough_agent.py:160-162).
+# ---------------------------------------------------------------------------
+_REMOVAL_SQL = f"""
+{SQL_ALL_SPANS}
+SELECT doc_id,
+       CAST(sum(CASE WHEN struck THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN NOT struck THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM all_spans GROUP BY doc_id
+"""
+
+
+@query("removal_accounting", _REMOVAL_SQL)
+def q_removal_accounting(sf_dir: str):
+    from ..stages.strike import keep_mask_rule
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        counts = np.diff(spans.offsets.to_numpy(zero_copy_only=False))
+        doc_rep = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), counts
+        )
+        row_idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        keep = keep_mask_rule(doc_rep, flat)
+        kept = np.bincount(row_idx[keep], minlength=len(batch))
+        removed = counts - kept
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_removed": pa.array(removed.astype(np.int64)),
+                "n_kept": pa.array(kept.astype(np.int64)),
+            }
+        )
+
+    return spans_corpus(sf_dir).map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Media inventory (S3/media side: one media span per 10 tokens; the media
+# payload itself lives in the side table, SURVEY.md §7.3).
+# ---------------------------------------------------------------------------
+_MEDIA_SQL = f"""
+{SQL_ALL_SPANS}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_media
+FROM all_spans WHERE kind = 'media' GROUP BY doc_id
+"""
+
+
+@query("media_inventory", _MEDIA_SQL)
+def q_media_inventory(sf_dir: str):
+    def per_doc(batch: pa.Table) -> pa.Table:
+        flat = explode_spans(batch)
+        m = flat.filter(pa.compute.equal(flat["kind"], "media"))
+        docs = m["doc_id"].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(docs, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(vals, type=pa.int64()),
+                "n_media": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = spans_corpus(sf_dir).map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("doc_id").aggregate(Sum("n_media", alias_name="n_media"))

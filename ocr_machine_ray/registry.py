@@ -1,0 +1,60 @@
+"""Query + oracle registry: one entry per implemented operator/pipeline
+(SURVEY.md §2 coverage), consumed by __ray_entry__.py.
+
+Every entry has a Ray Data implementation; entries whose semantics are
+SQL-expressible also carry a DuckDB oracle over the driver's pre-registered
+parquet views. Column names are identical on both sides (driver hashes
+values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from . import corpus
+
+_QUERIES: dict[str, Callable[[str], Any]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    _load()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    # import for registration side effects
+    from .pipelines import queries_extraction  # noqa: F401
+    from .pipelines import queries_text  # noqa: F401
+    from .pipelines import queries_dedup  # noqa: F401
+    from .pipelines import queries_similarity  # noqa: F401
+    from .pipelines import queries_relational  # noqa: F401
+    _LOADED = True
+
+
+# Shared SQL building blocks
+SQL_ALL_SPANS = corpus.SQL_ALL_SPANS
+SQL_TOKS = corpus.SQL_TOKS
+SQL_CATEGORY = corpus.SQL_CATEGORY
