@@ -1,0 +1,129 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once via
+``ray.put`` and every batch does one float64 matmul against it; per-batch
+partial top-k rows are merged by a tiny groupby. Scale path: a random-
+hyperplane LSH bucketer (sign-bit codes) that prunes the candidate set
+before the exact rerank — same top-k contract, bucket-sized matmuls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+class BruteForceTopK:
+    """map_batches actor: cosine of each batch vector against the broadcast
+    query matrix; emits per-batch candidate rows (query_id, neighbor_id, cos).
+
+    The broadcast happens ONCE per actor (__init__), not per batch."""
+
+    def __init__(self, query_ref, k: int):
+        import ray
+
+        q_ids, Q = ray.get(query_ref)
+        self.q_ids = q_ids
+        norms = np.linalg.norm(Q, axis=1, keepdims=True)
+        self.Qn = Q / np.where(norms == 0, 1.0, norms)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        V = _as_matrix(batch["embedding"])
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.where(norms == 0, 1.0, norms)
+        S = self.Qn @ Vn.T  # (n_queries, n_batch)
+        # self-matches removed downstream by vec_id != query_id
+        k = min(self.k + 1, S.shape[1])
+        part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+        qi = np.repeat(np.arange(len(self.q_ids)), k)
+        ni = part.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(self.q_ids[qi], type=pa.int64()),
+                "neighbor_id": pa.array(ids[ni], type=pa.int64()),
+                "cos": pa.array(S[qi, ni], type=pa.float64()),
+            }
+        )
+
+
+def merge_topk_group(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Final per-query merge: keep global top-k (cos desc, neighbor asc)."""
+    g = g[g["neighbor_id"] != g["query_id"]]
+    g = g.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+    g = g.reset_index(drop=True)
+    g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_id", "neighbor_id", "rnk"]]
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane) bucketing — the 100 TB path: candidates share a
+# sign-bit code with the query under >=1 of `n_tables` codings.
+# ---------------------------------------------------------------------------
+def hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def lsh_codes(V: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n_tables, n_vecs) integer bucket codes from sign bits."""
+    n_tables, n_bits, _ = planes.shape
+    codes = np.zeros((n_tables, V.shape[0]), dtype=np.int64)
+    for t in range(n_tables):
+        bits = (planes[t] @ V.T) > 0  # (n_bits, n)
+        codes[t] = np.packbits(
+            bits, axis=0, bitorder="little"
+        ).view(np.uint8)[: (n_bits + 7) // 8].astype(np.int64).T @ (
+            256 ** np.arange((n_bits + 7) // 8, dtype=np.int64)
+        )
+    return codes
+
+
+class LshTopK:
+    """Bucketed ANN: score only batch vectors whose code matches a query's
+    code in any table; exact cosine rerank on the surviving candidates."""
+
+    def __init__(self, query_ref, planes: np.ndarray, k: int):
+        import ray
+
+        q_ids, Q = ray.get(query_ref)
+        self.q_ids = q_ids
+        norms = np.linalg.norm(Q, axis=1, keepdims=True)
+        self.Qn = Q / np.where(norms == 0, 1.0, norms)
+        self.planes = planes
+        self.q_codes = lsh_codes(Q, planes)  # (T, nq)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        V = _as_matrix(batch["embedding"])
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.where(norms == 0, 1.0, norms)
+        v_codes = lsh_codes(V, self.planes)  # (T, nv)
+        # candidate mask (nq, nv): any-table code equality
+        cand = np.zeros((len(self.q_ids), len(ids)), dtype=bool)
+        for t in range(self.planes.shape[0]):
+            cand |= self.q_codes[t][:, None] == v_codes[t][None, :]
+        qi, vi = np.where(cand)
+        if len(qi) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+        cos = np.einsum("ij,ij->i", self.Qn[qi], Vn[vi])
+        return pa.table(
+            {
+                "query_id": pa.array(self.q_ids[qi], type=pa.int64()),
+                "neighbor_id": pa.array(ids[vi], type=pa.int64()),
+                "cos": pa.array(cos, type=pa.float64()),
+            }
+        )

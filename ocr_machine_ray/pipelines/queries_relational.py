@@ -1,1 +1,346 @@
-"""queries_relational — filled in incrementally."""
+"""Driver-checked queries: relational operator coverage on the TPC-H-ish
+tables (groupby aggregates, broadcast joins, sort/top-k, filters, windowed
+event aggregation).
+
+Money is aggregated in integer cents (round(x*100) -> int64) on BOTH sides
+so value hashes are exact regardless of float summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..registry import query
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr: np.ndarray) -> np.ndarray:
+    return np.round(arr * 100).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: partial aggregation inside map_batches (combiner)
+# then a tiny groupby over per-batch partials — the pre-aggregate pattern.
+# ---------------------------------------------------------------------------
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(100 - l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS sum_disc_units,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing", _Q1_SQL)
+def q_q1_pricing(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    cutoff = np.datetime64("1998-09-01T00:00:00")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship <= cutoff
+        rf = batch["l_returnflag"].to_numpy(zero_copy_only=False)[keep]
+        ls = batch["l_linestatus"].to_numpy(zero_copy_only=False)[keep]
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+        price_c = _cents(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        )
+        disc_pct = np.round(
+            100 - batch["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100
+        ).astype(np.int64)
+        key = np.char.add(np.char.add(rf.astype(str), "|"), ls.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        out_rf = [k.split("|")[0] for k in uk]
+        out_ls = [k.split("|")[1] for k in uk]
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out_rf, type=pa.string()),
+                "l_linestatus": pa.array(out_ls, type=pa.string()),
+                "sum_qty": pa.array(
+                    np.bincount(inv, weights=qty).astype(np.int64)
+                ),
+                "sum_base_cents": pa.array(
+                    np.bincount(inv, weights=price_c).astype(np.int64)
+                ),
+                "sum_disc_units": pa.array(
+                    np.bincount(inv, weights=price_c * disc_pct).astype(np.int64)
+                ),
+                "n_items": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    partials = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_units", alias_name="sum_disc_units"),
+        Sum("n_items", alias_name="n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast join: orders -> customer -> nation (small sides via ray.put).
+# ---------------------------------------------------------------------------
+_NATION_REV_SQL = """
+SELECT n.n_name,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("revenue_by_nation", _NATION_REV_SQL)
+def q_revenue_by_nation(sf_dir: str):
+    """Map-side (broadcast) join: customer->nation lookup built once on the
+    driver from the small tables, shipped via ray.put, applied per batch;
+    only the per-nation partials shuffle."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk_to_name = dict(
+        zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    )
+    cust_keys = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cust_nk = cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    order_srt = np.argsort(cust_keys)
+    lookup = (cust_keys[order_srt], cust_nk[order_srt], nk_to_name)
+    ref = ray.put(lookup)
+
+    class JoinNation:
+        def __init__(self):
+            keys, nks, names = ray.get(ref)
+            self.keys, self.nks, self.names = keys, nks, names
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ck)
+            nk = self.nks[pos]
+            price_c = _cents(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            )
+            uk, inv = np.unique(nk, return_inverse=True)
+            return pa.table(
+                {
+                    "n_name": pa.array(
+                        [self.names[int(k)] for k in uk], type=pa.string()
+                    ),
+                    "revenue_cents": pa.array(
+                        np.bincount(inv, weights=price_c).astype(np.int64)
+                    ),
+                    "n_orders": pa.array(np.bincount(inv).astype(np.int64)),
+                }
+            )
+
+    partials = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        JoinNation, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+    return partials.groupby("n_name").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_orders", alias_name="n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k.
+# ---------------------------------------------------------------------------
+_TOP_ORDERS_SQL = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+@query("top_orders", _TOP_ORDERS_SQL)
+def q_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "totalprice_cents": pa.array(
+                    _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Filter + projection pushdown (read prunes columns; row filter at the read).
+# ---------------------------------------------------------------------------
+_PART_FILTER_SQL = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(p_size) AS BIGINT) AS total_size
+FROM part WHERE p_size >= 25 GROUP BY p_brand
+"""
+
+
+@query("part_filter", _PART_FILTER_SQL)
+def q_part_filter(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_brand", "p_size"],
+        filter=(pc.field("p_size") >= 25),
+    )
+    return ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"), Sum("p_size", alias_name="total_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed event aggregation (streaming-shaped: tumbling 1-hour windows).
+# min/max of doubles are order-insensitive-exact; counts are ints.
+# ---------------------------------------------------------------------------
+_EVENTS_WINDOW_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+@query("events_window", _EVENTS_WINDOW_SQL)
+def q_events_window(sf_dir: str):
+    """Tumbling windows as a partial-aggregate map_batches + small groupby.
+    n_users (count distinct) needs the user set per (type, window): emit the
+    distinct pairs per batch, then count in the final groupby via a per-group
+    pandas step."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        win = ts.astype("datetime64[h]").astype("datetime64[us]")
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"event_type": et, "window_start": win, "user_id": uid, "value": val}
+        )
+        g = (
+            df.groupby(["event_type", "window_start", "user_id"], sort=False)
+            .agg(n_events=("value", "size"), min_value=("value", "min"),
+                 max_value=("value", "max"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "window_start": [g["window_start"].iloc[0]],
+                "n_events": [np.int64(g["n_events"].sum())],
+                "n_users": [np.int64(g["user_id"].nunique())],
+                "min_value": [g["min_value"].min()],
+                "max_value": [g["max_value"].max()],
+            }
+        )
+
+    partials = _read(
+        sf_dir, "events", ["ts", "event_type", "user_id", "value"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["event_type", "window_start"]).map_groups(
+        final, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (streaming-shaped: per-user session windows, 30-min gap).
+# ---------------------------------------------------------------------------
+SESSION_GAP_MIN = 30
+
+_SESSIONS_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@query("sessionize", _SESSIONS_SQL)
+def q_sessionize(sf_dir: str):
+    """Session windows: groupby(user_id).map_groups over ts-sorted events —
+    the documented Ray Data pattern for stream-shaped references (the input
+    is an ordered, partitioned log; ordering restored per group)."""
+    gap = np.timedelta64(SESSION_GAP_MIN, "m")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].to_numpy()
+        starts = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            starts[1:] = (np.diff(ts) > gap).astype(np.int64)
+        sid = np.cumsum(starts)
+        g = g.assign(session_id=sid)
+        out = (
+            g.groupby("session_id", sort=True)
+            .agg(
+                n_events=("ts", "size"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[
+            ["user_id", "session_id", "n_events", "session_start", "session_end"]
+        ]
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )

@@ -1,1 +1,95 @@
-"""queries_similarity — filled in incrementally."""
+"""Driver-checked queries: similarity search over the embeddings table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.similarity import BruteForceTopK, hyperplanes, merge_topk_group
+from ..registry import query
+
+N_QUERIES = 32  # query set = vec_id < N_QUERIES
+TOP_K = 5
+
+
+def _load_queries(sf_dir: str):
+    """Small side: read the query vectors once on the driver, broadcast."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    t = t.filter(pc.less(t["vec_id"], N_QUERIES))
+    q_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    return q_ids, Q
+
+
+_ANN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS c
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {TOP_K}
+"""
+
+
+@query("ann_topk", _ANN_SQL)
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query matrix (ray.put once, read
+    in each actor __init__), per-batch matmul + partial top-k, tiny final
+    per-query merge."""
+    import ray
+    import ray.data
+
+    ref = ray.put(_load_queries(sf_dir))
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    partials = emb.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(ref, TOP_K),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
+    )
+
+
+@query("ann_topk_lsh")
+def q_ann_topk_lsh(sf_dir: str):
+    """LSH-bucketed ANN (rows-only check: approximate by construction).
+
+    Random-hyperplane sign codes, 8 bits x 4 tables; exact rerank on the
+    candidates. Recall vs brute force is asserted in pytest, not here."""
+    import ray
+    import ray.data
+
+    from ..functions.similarity import LshTopK
+
+    ref = ray.put(_load_queries(sf_dir))
+    planes = hyperplanes(dim=64, n_bits=8, n_tables=4)
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    partials = emb.map_batches(
+        LshTopK,
+        fn_constructor_args=(ref, planes, TOP_K),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
+    )

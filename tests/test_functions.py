@@ -1,0 +1,175 @@
+"""Unit tests for text-analysis, dedup, and similarity kernels."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_machine_ray.functions import dedup, similarity, text
+
+
+class TestLangId:
+    @pytest.mark.parametrize(
+        "sample,expected",
+        [
+            ("the quick brown fox jumps over the lazy dog", "en"),
+            ("le chat est dans la maison et il dort", "fr"),
+            ("el perro es grande y la casa es blanca", "es"),
+            ("der Hund ist groß und die Katze ist klein", "de"),
+            ("这是一个中文句子，用来测试语言识别", "zh"),
+            ("", "und"),
+            ("12345 67890", "und"),
+        ],
+    )
+    def test_detect(self, sample, expected):
+        assert text.detect_language(sample) == expected
+
+    def test_batch_form(self):
+        batch = pa.table(
+            {"doc_id": [1, 2], "text": ["the cat and the dog", "el perro y la casa"]}
+        )
+        out = text.langid_batch(batch)
+        assert out["lang_pred"].to_pylist() == ["en", "es"]
+
+
+class TestTokenCounting:
+    def test_bpeish_splits_contractions_and_punct(self):
+        assert text.bpeish_token_count("don't stop, it's 42!") == 8
+        # don + 't + stop + , + it + 's + 42 + !
+
+    def test_rolling_hash_deterministic_and_sensitive(self):
+        a = text.rolling_hash("hello world")
+        assert a == text.rolling_hash("hello world")
+        assert a != text.rolling_hash("hello worle")
+        assert 0 <= a < text.ROLL_MOD
+
+
+class TestSimhash:
+    def test_hex_matches_scalar_definition(self):
+        batch = pa.table({"doc_id": [7], "text": ["alpha beta gamma alpha"]})
+        out = dedup.simhash_batch(batch)
+        # scalar recomputation over DISTINCT tokens
+        acc = np.zeros(64)
+        for tok in {"alpha", "beta", "gamma"}:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+            for j in range(64):
+                acc[j] += 1 if (h >> j) & 1 else -1
+        val = sum(1 << j for j in range(64) if acc[j] > 0)
+        assert out["simhash"].to_pylist() == [format(val, "016x")]
+
+    def test_near_identical_docs_have_small_hamming(self):
+        a = "the quick brown fox jumps over the lazy dog " * 5
+        b = a + "extra"
+        batch = pa.table({"doc_id": [1, 2], "text": [a, b]})
+        h1, h2 = [int(h, 16) for h in dedup.simhash_batch(batch)["simhash"].to_pylist()]
+        assert dedup.hamming64(h1, h2) <= 16
+
+
+class TestMinhash:
+    def test_signature_is_min_over_salted_shingles(self):
+        sh = {"a b c", "b c d"}
+        sig = dedup.minhash_signature(sh, k=2)
+        for seed, got in enumerate(sig):
+            exp = min(
+                hashlib.md5(f"{s}|{seed}".encode()).hexdigest() for s in sh
+            )
+            assert got == exp
+
+    def test_identical_docs_share_all_bands(self):
+        t = "one two three four five six seven eight nine ten"
+        batch = pa.table({"doc_id": [1, 2], "text": [t, t]})
+        out = dedup.minhash_bands_batch(batch).to_pandas()
+        k1 = out[out.doc_id == 1].sort_values("band")["band_key"].tolist()
+        k2 = out[out.doc_id == 2].sort_values("band")["band_key"].tolist()
+        assert k1 == k2 and len(k1) == dedup.N_BANDS
+
+
+class TestJaccardPairs:
+    def test_matches_bruteforce(self):
+        rng = np.random.default_rng(0)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = [
+            list(rng.choice(vocab, size=rng.integers(5, 20)))
+            for _ in range(40)
+        ]
+        ids = np.arange(40, dtype=np.int64)
+        a, b = dedup.jaccard_pairs_group(ids, docs, 0.5)
+        got = set(zip(a.tolist(), b.tolist()))
+        exp = set()
+        for i, j in itertools.combinations(range(40), 2):
+            si, sj = set(docs[i]), set(docs[j])
+            if len(si & sj) / len(si | sj) >= 0.5:
+                exp.add((i, j))
+        assert got == exp
+
+
+class TestSimilarity:
+    def _data(self, n=200, d=16, seed=1):
+        rng = np.random.default_rng(seed)
+        V = rng.standard_normal((n, d))
+        ids = np.arange(n, dtype=np.int64)
+        return ids, V
+
+    def test_bruteforce_topk_matches_numpy(self, ray_session):
+        import ray
+
+        ids, V = self._data()
+        q_ids, Q = ids[:5], V[:5]
+        ref = ray.put((q_ids, Q))
+        actor = similarity.BruteForceTopK.__new__(similarity.BruteForceTopK)
+        actor.q_ids = q_ids
+        norms = np.linalg.norm(Q, axis=1, keepdims=True)
+        actor.Qn = Q / norms
+        actor.k = 3
+        batch = pa.table(
+            {"vec_id": ids, "embedding": [list(v) for v in V]}
+        )
+        part = actor(batch).to_pandas()
+        merged = (
+            part.groupby("query_id", group_keys=False)
+            .apply(lambda g: similarity.merge_topk_group(g, 3))
+            .reset_index(drop=True)
+        )
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = (Q / norms) @ Vn.T
+        for qi, qid in enumerate(q_ids):
+            row = merged[merged.query_id == qid].sort_values("rnk")
+            order = np.lexsort((ids, -S[qi]))
+            expect = [i for i in order if i != qid][:3]
+            assert row["neighbor_id"].tolist() == expect
+
+    def test_lsh_codes_shape_and_determinism(self):
+        _, V = self._data(50, 16)
+        planes = similarity.hyperplanes(16, 8, 4)
+        c1 = similarity.lsh_codes(V, planes)
+        c2 = similarity.lsh_codes(V, planes)
+        assert c1.shape == (4, 50)
+        assert (c1 == c2).all()
+
+    def test_lsh_recall_reasonable(self):
+        """identical vectors always collide; recall@bucket for near
+        neighbors must beat random."""
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((100, 16))
+        near = base[:20] + 0.01 * rng.standard_normal((20, 16))
+        planes = similarity.hyperplanes(16, 8, 4)
+        cb = similarity.lsh_codes(base[:20], planes)
+        cn = similarity.lsh_codes(near, planes)
+        hits = (cb == cn).any(axis=0).mean()
+        assert hits > 0.8
+
+
+class TestQualityStats:
+    def test_counts(self):
+        batch = pa.table(
+            {"doc_id": [1], "text": ["the the cat a a a dog"]}
+        )
+        out = text.quality_stats_batch(batch).to_pylist()[0]
+        assert out["n_tokens"] == 7
+        assert out["n_stopword"] == 5  # the,the,a,a,a
+        assert out["n_repeat"] == 3    # the->the, a->a, a->a
+        assert out["total_token_len"] == len("thethecataaadog")
