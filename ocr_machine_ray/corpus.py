@@ -61,10 +61,13 @@ class FlatTokens:
 
     Pure Arrow kernels: utf8 trim + regex split produce a ListArray whose
     offsets give both the doc mapping and the within-doc index with no
-    Python-per-row work.
+    Python-per-row work. ``tokens_arrow`` stays a zero-copy Arrow string
+    array; the numpy object view ``tokens`` is materialized lazily only for
+    consumers that truly need Python strings (it is the expensive path).
     """
 
-    __slots__ = ("counts", "doc_ids", "tokens", "i", "row_idx")
+    __slots__ = ("counts", "doc_ids", "tokens_arrow", "i", "row_idx",
+                 "_tokens_np")
 
     def __init__(self, batch: pa.Table):
         toks = pc.split_pattern_regex(
@@ -74,7 +77,8 @@ class FlatTokens:
             toks = toks.combine_chunks()
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         self.counts = np.diff(offsets)                       # tokens per doc
-        self.tokens = toks.flatten().to_numpy(zero_copy_only=False)
+        self.tokens_arrow = toks.flatten()
+        self._tokens_np = None
         self.doc_ids = np.repeat(
             batch["doc_id"].to_numpy(zero_copy_only=False), self.counts
         )
@@ -89,6 +93,12 @@ class FlatTokens:
             + 1
         )
 
+    @property
+    def tokens(self) -> np.ndarray:
+        if self._tokens_np is None:
+            self._tokens_np = self.tokens_arrow.to_numpy(zero_copy_only=False)
+        return self._tokens_np
+
 
 def struck_mask(doc_ids: np.ndarray, i: np.ndarray) -> np.ndarray:
     """Synthetic strikethrough verdict for token i (1-based) of doc_id."""
@@ -96,9 +106,16 @@ def struck_mask(doc_ids: np.ndarray, i: np.ndarray) -> np.ndarray:
 
 
 def categories_from_tokens(ft: FlatTokens, n_docs: int) -> pa.Array:
-    """Per-doc routing category from token counts (vectorized)."""
-    tbl_cnt = np.bincount(ft.row_idx[ft.tokens == TABLE_TOKEN], minlength=n_docs)
-    dia_cnt = np.bincount(ft.row_idx[ft.tokens == DIAGRAM_TOKEN], minlength=n_docs)
+    """Per-doc routing category from token counts (vectorized; the equality
+    scans run as Arrow C kernels, no Python-string materialization)."""
+    is_tbl = pc.equal(ft.tokens_arrow, TABLE_TOKEN).to_numpy(
+        zero_copy_only=False
+    )
+    is_dia = pc.equal(ft.tokens_arrow, DIAGRAM_TOKEN).to_numpy(
+        zero_copy_only=False
+    )
+    tbl_cnt = np.bincount(ft.row_idx[is_tbl], minlength=n_docs)
+    dia_cnt = np.bincount(ft.row_idx[is_dia], minlength=n_docs)
     cat = np.where(
         tbl_cnt >= CATEGORY_MIN_COUNT, "tables",
         np.where(dia_cnt >= CATEGORY_MIN_COUNT, "diagrams", "other"),
@@ -115,6 +132,11 @@ def derive_spans_batch(batch: pa.Table) -> pa.Table:
     One output row per input document; spans is the full interleaved
     sequence INCLUDING struck text spans (striking happens downstream in the
     extraction pipeline, like the reference's separate strikethrough pass).
+
+    Fully Arrow-native hot path: span offsets ARE dense positions, so the
+    interleave is a direct integer scatter (no sort); token text lands via a
+    null-masked Arrow ``take`` (no Python-object arrays); media_ref strings
+    are built with the vectorized ``binary_join_element_wise`` kernel.
     """
     ft = FlatTokens(batch)
     doc_ids, i, counts = ft.doc_ids, ft.i, ft.counts
@@ -129,43 +151,52 @@ def derive_spans_batch(batch: pa.Table) -> pa.Table:
     m_j = i[m_sel] // MEDIA_EVERY
     m_off = (MEDIA_EVERY + 1) * m_j - 1
 
-    row_idx_t = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
     m_counts = counts // MEDIA_EVERY
-    row_idx_m = np.repeat(np.arange(n_docs, dtype=np.int64), m_counts)
+    span_counts = counts + m_counts
+    row_start = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(span_counts, out=row_start[1:])
 
-    # interleave by sorting on (row, offset) — cheap: concatenate then argsort
-    all_row = np.concatenate([row_idx_t, row_idx_m])
-    all_off = np.concatenate([t_off, m_off])
-    order = np.lexsort((all_off, all_row))
+    # global output positions: row start + within-doc offset (dense by
+    # construction), so a scatter replaces the lexsort entirely
+    t_pos = np.repeat(row_start[:-1], counts) + t_off
+    m_pos = np.repeat(row_start[:-1], m_counts) + m_off
+    total = int(row_start[-1])
 
-    n_t = len(t_off)
-    kind = np.concatenate(
-        [np.full(n_t, "text"), np.full(len(m_off), "media")]
-    )[order]
-    text_vals = np.concatenate(
-        [ft.tokens.astype(object), np.full(len(m_off), None, dtype=object)]
-    )[order]
-    mref = np.concatenate(
-        [
-            np.full(n_t, None, dtype=object),
-            np.array([f"m-{d}-{j}" for d, j in zip(m_doc, m_j)], dtype=object),
-        ]
-    )[order]
-    off_sorted = all_off[order]
+    # kind: bitmask -> dictionary-free string array built from two constants
+    is_media = np.zeros(total, dtype=bool)
+    is_media[m_pos] = True
+    kind = pc.if_else(
+        pa.array(is_media), pa.scalar("media"), pa.scalar("text")
+    )
+
+    # text: null-masked take from the flattened token array (zero-copy C)
+    t_idx = np.full(total, -1, dtype=np.int64)
+    t_idx[t_pos] = np.arange(len(t_off), dtype=np.int64)
+    text_vals = ft.tokens_arrow.take(pa.array(t_idx, mask=t_idx < 0))
+
+    # media_ref: vectorized 'm-{doc}-{j}' for media rows, scattered via take
+    mref_built = pc.binary_join_element_wise(
+        pa.scalar("m-"),
+        pc.cast(pa.array(m_doc), pa.string()),
+        pa.scalar("-"),
+        pc.cast(pa.array(m_j), pa.string()),
+        pa.scalar(""),
+    )
+    m_idx = np.full(total, -1, dtype=np.int64)
+    m_idx[m_pos] = np.arange(len(m_off), dtype=np.int64)
+    mref = mref_built.take(pa.array(m_idx, mask=m_idx < 0))
+
+    off = np.empty(total, dtype=np.int32)
+    off[t_pos] = t_off
+    off[m_pos] = m_off
 
     span_struct = pa.StructArray.from_arrays(
-        [
-            pa.array(kind, type=pa.string()),
-            pa.array(text_vals, type=pa.string()),
-            pa.array(mref, type=pa.string()),
-            pa.array(off_sorted.astype(np.int32), type=pa.int32()),
-        ],
+        [kind, text_vals, mref, pa.array(off, type=pa.int32())],
         names=["kind", "text", "media_ref", "offset"],
     )
-    span_counts = counts + m_counts
-    list_offsets = np.zeros(n_docs + 1, dtype=np.int32)
-    np.cumsum(span_counts, out=list_offsets[1:])
-    spans = pa.ListArray.from_arrays(pa.array(list_offsets), span_struct)
+    spans = pa.ListArray.from_arrays(
+        pa.array(row_start.astype(np.int32)), span_struct
+    )
 
     return pa.table(
         {

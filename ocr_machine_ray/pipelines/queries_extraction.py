@@ -297,3 +297,57 @@ def q_media_inventory(sf_dir: str):
         per_doc, batch_format="pyarrow", zero_copy_batch=True
     )
     return partials.groupby("doc_id").aggregate(Sum("n_media", alias_name="n_media"))
+
+
+# ---------------------------------------------------------------------------
+# Block-graph repair (M13): build Textract-style PAGE/LINE/WORD/TABLE/CELL
+# graphs, drop struck WORDs, scrub child_ids, report per-doc graph stats.
+# ---------------------------------------------------------------------------
+_BLOCK_REPAIR_SQL = f"""
+WITH {SQL_TOKS},
+per_doc AS (
+  SELECT doc_id,
+         count(*) AS n,
+         sum(CASE WHEN (doc_id*37 + i*101) % 7 = 0 THEN 0 ELSE 1 END) AS kept
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(kept AS BIGINT) AS n_word_blocks,
+       CAST((n + 9) // 10 AS BIGINT) AS n_line_blocks,
+       CAST(n // 10 AS BIGINT) AS n_table_blocks,
+       CAST(1 + (n + 9) // 10 + kept + 5 * (n // 10) AS BIGINT) AS n_blocks,
+       CAST(((n + 9) // 10 + n // 10) + kept + 4 * (n // 10) AS BIGINT)
+           AS total_child_refs
+FROM per_doc
+"""
+
+
+@query("block_repair_stats", _BLOCK_REPAIR_SQL)
+def q_block_repair_stats(sf_dir: str):
+    """Full graph pipeline: build blocks -> groupby(doc_id).map_groups repair
+    -> per-doc structural stats (the driver-checkable projection of the
+    byte-level repair asserted in pytest)."""
+    import pandas as pd
+
+    from ..stages.blocks import build_blocks_batch, repair_group
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        fixed = repair_group(g)
+        bt = fixed["block_type"]
+        return pd.DataFrame(
+            {
+                "doc_id": [g["doc_id"].iloc[0]],
+                "n_word_blocks": [int((bt == "WORD").sum())],
+                "n_line_blocks": [int((bt == "LINE").sum())],
+                "n_table_blocks": [int((bt == "TABLE").sum())],
+                "n_blocks": [len(fixed)],
+                "total_child_refs": [
+                    int(fixed["child_ids"].map(len).sum())
+                ],
+            }
+        )
+
+    blocks = read_documents(sf_dir).map_batches(
+        build_blocks_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return blocks.groupby("doc_id").map_groups(stats, batch_format="pandas")

@@ -51,6 +51,7 @@ def _load() -> None:
     from .pipelines import queries_dedup  # noqa: F401
     from .pipelines import queries_similarity  # noqa: F401
     from .pipelines import queries_relational  # noqa: F401
+    from .pipelines import queries_media  # noqa: F401
     _LOADED = True
 
 

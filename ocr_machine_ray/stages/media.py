@@ -1,0 +1,162 @@
+"""Media-side Ray Data stages: synthesis, classification, strikethrough CV,
+redaction, augmentation (SURVEY.md §2 M1/M10/M14/M17/M18/M19/M20).
+
+All stages are actor-pool ``map_batches`` callables over Arrow batches whose
+image payloads are raw grayscale bytes + (width, height) columns. Stateful
+setup (nothing heavy here, but the pattern stands in for model loads) happens
+once per actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..corpus import struck_mask
+from ..functions.images import (
+    MEDIA_H,
+    MEDIA_W,
+    WORD_H,
+    WORD_W,
+    augment_scan,
+    classify_page_image,
+    compress_quantize,
+    cv_strike_verdict,
+    synth_media_image,
+    synth_word_image,
+    whiteout,
+)
+from ..stages.strike import token_index_from_offset
+
+
+def _imgs_from_batch(batch: pa.Table, w_col="width", h_col="height"):
+    buf = batch["bytes"].to_pylist()
+    ws = batch[w_col].to_pylist()
+    hs = batch[h_col].to_pylist()
+    return [
+        np.frombuffer(b, dtype=np.uint8).reshape(h, w)
+        for b, w, h in zip(buf, ws, hs)
+    ]
+
+
+def synth_media_batch(batch: pa.Table) -> pa.Table:
+    """Flat media spans (media_ref + category) -> media payload rows (F2)."""
+    refs = batch["media_ref"].to_pylist()
+    cats = batch["category"].to_pylist()
+    patterns = [
+        "grid" if c == "tables" else ("blob" if c == "diagrams" else "blank")
+        for c in cats
+    ]
+    imgs = [synth_media_image(r, p) for r, p in zip(refs, patterns)]
+    return pa.table(
+        {
+            "media_ref": pa.array(refs, type=pa.string()),
+            "doc_id": batch["doc_id"],
+            "bytes": pa.array([i.tobytes() for i in imgs], type=pa.binary()),
+            "width": pa.array([MEDIA_W] * len(refs), type=pa.int32()),
+            "height": pa.array([MEDIA_H] * len(refs), type=pa.int32()),
+            "pattern": pa.array(patterns, type=pa.string()),
+        }
+    )
+
+
+class PageClassifier:
+    """Actor-pool page classifier (M1/M18 rebuilt): grid-ruling vs blob-mass
+    heuristics on the image pixels — the deterministic stand-in for the
+    reference's vision-model call (table_detector_agent.py:64-118)."""
+
+    def __init__(self):
+        # stands in for model load / prompt setup (once per actor)
+        self.min_ruled_rows = 3
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        verdicts = [classify_page_image(img) for img in _imgs_from_batch(batch)]
+        is_table = [v[0] for v in verdicts]
+        is_diagram = [v[1] for v in verdicts]
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "doc_id": batch["doc_id"],
+                "is_table": pa.array(is_table),
+                "is_diagram": pa.array(is_diagram),
+            }
+        )
+
+
+def render_word_regions_batch(batch: pa.Table) -> pa.Table:
+    """Flat text spans -> word-region rows with synthetic crop images whose
+    strike line is drawn iff the corpus rule says struck (F3). The CV kernel
+    must recover that bit from pixels alone."""
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+    off = batch["offset"].to_numpy(zero_copy_only=False).astype(np.int64)
+    i = token_index_from_offset(off)
+    struck = struck_mask(doc, i)
+    imgs = [
+        synth_word_image(int(d), int(o), bool(s))
+        for d, o, s in zip(doc, off, struck)
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "offset": batch["offset"],
+            "text": batch["text"],
+            "bytes": pa.array([im.tobytes() for im in imgs], type=pa.binary()),
+            "width": pa.array([WORD_W] * len(imgs), type=pa.int32()),
+            "height": pa.array([WORD_H] * len(imgs), type=pa.int32()),
+            "struck_truth": pa.array(struck),
+        }
+    )
+
+
+class StrikeCV:
+    """Actor-pool CV strikethrough scorer (M10): per word-region image,
+    blur -> Otsu inverse binary -> horizontal-line open -> geometric gates
+    (exact constants from strikethrough_agent.py:96-127)."""
+
+    def __init__(self, vertical: bool = False):
+        self.vertical = vertical
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        verdicts = [
+            cv_strike_verdict(img, self.vertical)
+            for img in _imgs_from_batch(batch)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "offset": batch["offset"],
+                "struck_cv": pa.array(verdicts),
+            }
+        )
+
+
+def redact_batch(batch: pa.Table) -> pa.Table:
+    """White-out redaction (M14): fill each row's bbox list with white."""
+    imgs = _imgs_from_batch(batch)
+    boxes = batch["bboxes"].to_pylist()  # list<struct or list<float4>>
+    out = []
+    for img, bb in zip(imgs, boxes):
+        norm = [
+            (b["left"], b["top"], b["width"], b["height"])
+            if isinstance(b, dict)
+            else tuple(b)
+            for b in (bb or [])
+        ]
+        out.append(whiteout(img, norm).tobytes())
+    res = batch.drop_columns(["bytes"]).append_column(
+        "bytes", pa.array(out, type=pa.binary())
+    )
+    return res
+
+
+def augment_batch(batch: pa.Table) -> pa.Table:
+    """Seeded scan-noise augmentation (M19) + quantizing compressor (M20)."""
+    imgs = _imgs_from_batch(batch)
+    docs = batch["doc_id"].to_pylist()
+    out = [
+        compress_quantize(augment_scan(img, int(d))).tobytes()
+        for img, d in zip(imgs, docs)
+    ]
+    return batch.drop_columns(["bytes"]).append_column(
+        "bytes", pa.array(out, type=pa.binary())
+    )

@@ -1,0 +1,138 @@
+"""Media pipeline tests: synthesis -> classification / CV strike closure,
+redaction, augmentation determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ocr_machine_ray.functions import images
+from ocr_machine_ray.stages import media as media_stages
+
+
+class TestSynthAndClassify:
+    def test_grid_classified_as_table(self):
+        for ref in ["m-1-1", "m-2-3", "m-99-7"]:
+            img = images.synth_media_image(ref, "grid")
+            is_table, is_diagram = images.classify_page_image(img)
+            assert is_table and not is_diagram
+
+    def test_blob_classified_as_diagram(self):
+        for ref in ["m-1-1", "m-42-2", "m-7-1"]:
+            img = images.synth_media_image(ref, "blob")
+            is_table, is_diagram = images.classify_page_image(img)
+            assert is_diagram and not is_table
+
+    def test_blank_classified_as_neither(self):
+        for ref in ["m-3-1", "m-8-2"]:
+            img = images.synth_media_image(ref, "blank")
+            assert images.classify_page_image(img) == (False, False)
+
+    def test_synthesis_deterministic(self):
+        a = images.synth_media_image("m-5-1", "grid")
+        b = images.synth_media_image("m-5-1", "grid")
+        assert (a == b).all()
+
+
+class TestStrikeCV:
+    def test_kernel_recovers_truth_exhaustively(self):
+        """closed loop: image drawn from the rule -> kernel must recover it."""
+        ok = 0
+        n = 0
+        for doc_id in range(40):
+            for off in range(0, 30, 3):
+                for struck in (False, True):
+                    img = images.synth_word_image(doc_id, off, struck)
+                    got = images.cv_strike_verdict(img)
+                    assert got == struck, (doc_id, off, struck)
+                    ok += 1
+                    n += 1
+        assert n == ok == 800
+
+    def test_vertical_path_transposes(self):
+        img = images.synth_word_image(1, 1, True)
+        assert images.cv_strike_verdict(img.T, orientation_vertical=True)
+
+
+class TestRedaction:
+    def test_whiteout_fills_box(self):
+        img = images.synth_media_image("m-1-1", "grid")
+        out = images.whiteout(img, [(0.25, 0.25, 0.5, 0.5)])
+        h, w = img.shape
+        assert (out[h // 4 : 3 * h // 4, w // 4 : 3 * w // 4] == 255).all()
+        # outside the box untouched
+        assert (out[0, :] == img[0, :]).all()
+
+    def test_bbox_roundtrip(self):
+        px = images.bbox_norm_to_pixel((0.1, 0.2, 0.5, 0.25), 200, 100)
+        assert px == (20, 20, 100, 25)
+        norm = images.bbox_pixel_to_norm(px, 200, 100)
+        assert np.allclose(norm, (0.1, 0.2, 0.5, 0.25))
+
+
+class TestAugment:
+    def test_deterministic_per_doc(self):
+        img = images.synth_media_image("m-1-1", "blank")
+        a = images.augment_scan(img, 7)
+        b = images.augment_scan(img, 7)
+        c = images.augment_scan(img, 8)
+        assert (a == b).all()
+        assert (a != c).any()
+
+    def test_quantizer_reduces_levels(self):
+        img = images.synth_media_image("m-1-1", "blank")
+        q = images.compress_quantize(img, levels=16)
+        assert len(np.unique(q)) <= 16
+
+
+class TestDecodeStub:
+    def test_raises_without_fake(self):
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            images.decode_external(b"payload", "jpeg")
+
+    def test_fake_is_deterministic(self):
+        a = images.decode_external(b"payload", "jpeg", fake=True)
+        b = images.decode_external(b"payload", "jpeg", fake=True)
+        assert (a == b).all()
+
+
+class TestStageBatchForms:
+    def _media_batch(self):
+        return pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "media_ref": pa.array(["m-1-1", "m-2-1"]),
+                "category": pa.array(["tables", "diagrams"]),
+            }
+        )
+
+    def test_synth_media_batch_schema(self):
+        out = media_stages.synth_media_batch(self._media_batch())
+        assert out.column_names == [
+            "media_ref", "doc_id", "bytes", "width", "height", "pattern",
+        ]
+        assert out["pattern"].to_pylist() == ["grid", "blob"]
+
+    def test_classifier_stage(self):
+        rows = media_stages.synth_media_batch(self._media_batch())
+        clf = media_stages.PageClassifier()
+        out = clf(rows)
+        assert out["is_table"].to_pylist() == [True, False]
+        assert out["is_diagram"].to_pylist() == [False, True]
+
+    def test_redact_batch(self):
+        rows = media_stages.synth_media_batch(self._media_batch())
+        rows = rows.append_column(
+            "bboxes",
+            pa.array(
+                [
+                    [{"left": 0.0, "top": 0.0, "width": 1.0, "height": 1.0}],
+                    [],
+                ]
+            ),
+        )
+        out = media_stages.redact_batch(rows)
+        img0 = np.frombuffer(out["bytes"][0].as_py(), dtype=np.uint8)
+        assert (img0 == 255).all()

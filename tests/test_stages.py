@@ -1,0 +1,71 @@
+"""Stage protocol / pipeline builder / sources tests."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from ocr_machine_ray.sources import readers
+from ocr_machine_ray.stages.base import FnStage, Pipeline, StageContext
+
+
+class TestStageProtocol:
+    def test_fn_stage_composes_and_emits_metrics(self, ray_session, sf_small):
+        import ray.data
+
+        def double(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.set_column(
+                batch.schema.get_field_index("doc_id"),
+                "doc_id",
+                pc.multiply(batch["doc_id"], 2),
+            )
+
+        ds = ray.data.read_parquet(
+            f"{sf_small}/documents.parquet", columns=["doc_id"]
+        )
+        pipe = Pipeline([FnStage("double", double), FnStage("again", double)])
+        out, ctx = pipe.run(ds)
+        vals = sorted(out.to_pandas()["doc_id"])
+        assert vals[0] == 0 and vals[1] == 4  # 1*2*2
+        assert [m["stage"] for m in ctx.metrics] == ["double", "again"]
+
+    def test_output_schema_enforced(self, ray_session, sf_small):
+        import ray.data
+
+        wrong = pa.schema([("nope", pa.int64())])
+        ds = ray.data.read_parquet(
+            f"{sf_small}/documents.parquet", columns=["doc_id"]
+        )
+        pipe = Pipeline(
+            [FnStage("id", lambda b: b, output_schema=wrong)]
+        )
+        out, _ = pipe.run(ds)
+        with pytest.raises(Exception):
+            out.to_pandas()
+
+
+class TestReaders:
+    def test_parquet_pruned_read(self, ray_session, sf_small):
+        ds = readers.read_table(
+            f"{sf_small}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        assert set(ds.schema().names) == {"doc_id", "lang"}
+
+    def test_lance_gated(self):
+        if readers.have_lance():
+            pytest.skip("lance present")
+        with pytest.raises(ImportError):
+            readers.read_table("/tmp/nonexistent.lance")
+
+    def test_row_filter_pushdown(self, ray_session, sf_small):
+        import pyarrow.compute as pc
+
+        ds = readers.read_table(
+            f"{sf_small}/documents.parquet",
+            columns=["doc_id", "lang"],
+            row_filter=(pc.field("lang") == "en"),
+        )
+        df = ds.to_pandas()
+        assert (df["lang"] == "en").all() and len(df) > 0
