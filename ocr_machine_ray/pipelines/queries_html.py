@@ -1,0 +1,158 @@
+"""Driver-checked queries: HTML boilerplate strip + remaining operator
+coverage (union, deterministic splits, corpus length stats).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.html import render_html, strip_batch
+from ..registry import query
+from .extraction import read_documents
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate strip (north_star: Readability-style DOM scoring).
+# Closed loop: real text wrapped in deterministic furniture; the stripper
+# must recover exactly the whitespace-normalized original.
+# ---------------------------------------------------------------------------
+_HTML_SQL = """
+SELECT doc_id,
+       regexp_replace(trim(text), '\\s+', ' ', 'g') AS main_text
+FROM documents
+"""
+
+
+@query("html_main_content", _HTML_SQL)
+def q_html_main_content(sf_dir: str):
+    class HtmlExtract:
+        """Actor pool: parser tables + compiled regexes held per actor."""
+
+        def __init__(self):
+            from ..functions.html import extract_main_content, render_html
+
+            self.render = render_html
+            self.extract = extract_main_content
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            htmls = [
+                self.render(d, t)
+                for d, t in zip(
+                    batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+                )
+            ]
+            rendered = batch.append_column(
+                "html", pa.array(htmls, type=pa.string())
+            )
+            return strip_batch(rendered)
+
+    return read_documents(sf_dir).map_batches(
+        HtmlExtract, batch_format="pyarrow", batch_size=256, concurrency=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Union (§2.7): two filtered reads unioned, counted per language.
+# ---------------------------------------------------------------------------
+_UNION_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+WHERE lang IN ('en', 'fr') GROUP BY lang
+"""
+
+
+@query("union_sources", _UNION_SQL)
+def q_union_sources(sf_dir: str):
+    import pyarrow.compute as pc
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    def read_lang(lang: str):
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang"],
+            filter=(pc.field("lang") == lang),
+        )
+
+    both = read_lang("en").union(read_lang("fr"))
+    return both.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic 70/15/15 split sizes (O3) + seeded shuffle determinism (O4).
+# The driver-checkable projection is split SIZES (exact); membership
+# stability is asserted in pytest.
+# ---------------------------------------------------------------------------
+_SPLIT_SQL = """
+WITH n AS (SELECT count(*) AS c FROM documents)
+SELECT 'test' AS split,
+       CAST(c - CAST(floor(c*0.7) AS BIGINT)
+              - CAST(floor(c*0.15) AS BIGINT) AS BIGINT) AS n_docs FROM n
+UNION ALL
+SELECT 'train', CAST(floor(c*0.7) AS BIGINT) FROM n
+UNION ALL
+SELECT 'val', CAST(floor(c*0.15) AS BIGINT) FROM n
+"""
+
+
+@query("train_val_test_split", _SPLIT_SQL)
+def q_split(sf_dir: str):
+    ds = read_documents(sf_dir, ["doc_id"]).random_shuffle(seed=42)
+    train, val, test = ds.split_proportionately([0.7, 0.15])
+    return pa.table(
+        {
+            "split": pa.array(["train", "val", "test"]),
+            "n_docs": pa.array(
+                [train.count(), val.count(), test.count()], type=pa.int64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus length stats with percentiles (A6 analog; exact at this scale,
+# approximate-sketch at 10^12 — see docstring).
+# ---------------------------------------------------------------------------
+_LEN_STATS_SQL = """
+SELECT CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       quantile_cont(n_chars, 0.05) AS p5,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.75) AS p75,
+       quantile_cont(n_chars, 0.95) AS p95
+FROM documents
+"""
+
+
+@query("doc_length_stats", _LEN_STATS_SQL)
+def q_doc_length_stats(sf_dir: str):
+    """min/max/sum stream as partial aggregates; the percentiles here are
+    exact over the collected column (small at test scale). At 10^12 rows
+    the same query plugs a mergeable quantile sketch (KLL/t-digest) into
+    the partial-aggregate slot — the reference's exact in-memory
+    percentiles (study_images.py:30-43) do not scale."""
+    ds = read_documents(sf_dir, ["n_chars"])
+    vals = np.sort(
+        np.concatenate(
+            [
+                b["n_chars"].to_numpy(zero_copy_only=False)
+                for b in ds.iter_batches(
+                    batch_size=65536, batch_format="pyarrow"
+                )
+            ]
+        )
+    )
+    p5, p25, p75, p95 = np.percentile(vals, [5, 25, 75, 95])
+    return pa.table(
+        {
+            "min_chars": pa.array([int(vals[0])], type=pa.int64()),
+            "max_chars": pa.array([int(vals[-1])], type=pa.int64()),
+            "total_chars": pa.array([int(vals.sum())], type=pa.int64()),
+            "p5": pa.array([p5], type=pa.float64()),
+            "p25": pa.array([p25], type=pa.float64()),
+            "p75": pa.array([p75], type=pa.float64()),
+            "p95": pa.array([p95], type=pa.float64()),
+        }
+    )

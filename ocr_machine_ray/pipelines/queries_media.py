@@ -89,3 +89,31 @@ def q_strike_cv(sf_dir: str):
         batch_size=1024,
         concurrency=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based strikethrough scoring (M11/M12): actor pool holding the
+# checkpoint, batched normalized inference. Rows-only check (a learned-model
+# stand-in is not bit-exact by contract); agreement with the CV kernel and
+# the rule is asserted in pytest (>=95%).
+# ---------------------------------------------------------------------------
+@query("strike_model_verdicts")
+def q_strike_model(sf_dir: str):
+    from ..stages.scorer import ModelScorer
+
+    flat = spans_corpus(sf_dir).map_batches(
+        explode_spans, batch_format="pyarrow", zero_copy_batch=True
+    )
+    words = flat.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "text")),
+        batch_format="pyarrow",
+    )
+    regions = words.map_batches(
+        render_word_regions_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return regions.map_batches(
+        ModelScorer,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=4,
+    )

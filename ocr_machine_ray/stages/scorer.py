@@ -1,0 +1,91 @@
+"""Model-based strikethrough scorer (M11) + image normalizer (M12).
+
+The reference scores word crops with a MobileNetV3-small checkpoint loaded
+once and a fixed 64x365 single-channel transform
+(model_training_pipeline.py:18-45, model_inference_test.py:71-100).
+PyTorch is absent from this container, so the MODEL is a deterministic
+linear scorer over pooled image features (clearly a stand-in), while all the
+Ray-side structure is real and tested: weights loaded once per actor in
+``__init__``, batched inference over a stacked float32 tensor, sigmoid +
+0.5 threshold, and the exact tile-then-crop normalization geometry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+NORM_H, NORM_W = 64, 365  # reference transform target (64x365)
+
+
+def normalize_region(img: np.ndarray) -> np.ndarray:
+    """StrikethroughTransform: grayscale -> resize to h=64 preserving aspect
+    -> if wider than 365 squeeze to 365, if narrower tile horizontally then
+    crop (model_training_pipeline.py:29-43). Nearest-neighbor resize keeps
+    this numpy-only and deterministic."""
+    h, w = img.shape
+    new_w = max(1, round(w * NORM_H / h))
+    # nearest-neighbor resample to (NORM_H, new_w)
+    ys = (np.arange(NORM_H) * h / NORM_H).astype(np.int64).clip(0, h - 1)
+    xs = (np.arange(new_w) * w / new_w).astype(np.int64).clip(0, w - 1)
+    r = img[ys][:, xs]
+    if new_w > NORM_W:
+        xs2 = (np.arange(NORM_W) * new_w / NORM_W).astype(np.int64)
+        r = r[:, xs2]
+    elif new_w < NORM_W:
+        reps = int(np.ceil(NORM_W / new_w))
+        r = np.tile(r, (1, reps))[:, :NORM_W]
+    out = r.astype(np.float32) / 255.0
+    return (out - 0.5) / 0.5  # Normalize(0.5, 0.5)
+
+
+def _make_weights(seed: int = 42) -> dict[str, np.ndarray]:
+    """Deterministic stand-in checkpoint: a row-pooling linear head that
+    fires on a dark horizontal band in the center rows — the same signal the
+    real model learns. Swap with a torch load in production."""
+    w_rows = np.zeros(NORM_H, dtype=np.float32)
+    lo, hi = int(NORM_H * 0.3), int(NORM_H * 0.7)
+    w_rows[lo:hi] = 1.0
+    return {"w_rows": w_rows, "bias": np.float32(-0.25)}
+
+
+class ModelScorer:
+    """Actor-pool scorer: checkpoint 'loaded' once per actor; batches are
+    normalized, stacked, and scored in one vectorized pass; verdict =
+    sigmoid(score) >= 0.5 (model_inference_test.py:100)."""
+
+    def __init__(self, threshold: float = 0.5):
+        self.weights = _make_weights()
+        self.threshold = threshold
+
+    def _score(self, stack: np.ndarray) -> np.ndarray:
+        # stack: (n, H, W) normalized [-1, 1]. Feature: per-row fraction of
+        # strongly dark pixels — a strike line is a WIDE dark run in the
+        # center band, text strokes are sparse; max over weighted rows.
+        dark_frac = (stack < -0.5).mean(axis=2)  # (n, H)
+        center = dark_frac * self.weights["w_rows"][None, :]
+        peak = center.max(axis=1)
+        logits = (peak - 0.45) * 20.0
+        return 1.0 / (1.0 + np.exp(-logits))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch["bytes"].to_pylist()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        stack = np.stack(
+            [
+                normalize_region(
+                    np.frombuffer(b, dtype=np.uint8).reshape(h, w)
+                )
+                for b, w, h in zip(bufs, ws, hs)
+            ]
+        )
+        probs = self._score(stack)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "offset": batch["offset"],
+                "score": pa.array(probs.astype(np.float32)),
+                "struck_model": pa.array(probs >= self.threshold),
+            }
+        )

@@ -1,0 +1,157 @@
+"""Skew-handling + model-scorer tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ocr_machine_ray import corpus
+from ocr_machine_ray.functions.images import synth_word_image
+from ocr_machine_ray.stages.scorer import ModelScorer, normalize_region
+from ocr_machine_ray.stages.skew import (
+    cap_spans_per_row,
+    estimate_row_bytes,
+    salted_reassemble,
+)
+
+
+def _docs(n=30):
+    return pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).slice(0, n)
+
+
+class TestSpanCap:
+    def test_small_docs_unchanged(self):
+        nested = corpus.derive_spans_batch(_docs())
+        capped = cap_spans_per_row(nested, cap=10_000)
+        assert len(capped) == len(nested)
+        assert capped["chunk_id"].to_pylist() == [0] * len(nested)
+
+    def test_giant_doc_chunked_and_reassembles(self):
+        # build a giant doc by repeating text
+        giant_text = " ".join(["tok"] * 7500)
+        batch = pa.table(
+            {"doc_id": pa.array([99], type=pa.int64()),
+             "text": pa.array([giant_text])}
+        )
+        nested = corpus.derive_spans_batch(batch)
+        n_spans = len(nested["spans"][0])
+        capped = cap_spans_per_row(nested, cap=3000)
+        assert len(capped) == -(-n_spans // 3000)
+        # chunk span lists concatenate back to the original order
+        flat_offsets = []
+        for row in capped.to_pylist():
+            flat_offsets.extend(s["offset"] for s in row["spans"])
+        orig = [s["offset"] for s in nested.to_pylist()[0]["spans"]]
+        assert flat_offsets == orig
+
+    def test_cap_bound_holds(self):
+        giant_text = " ".join(["x"] * 9999)
+        batch = pa.table(
+            {"doc_id": pa.array([1], type=pa.int64()),
+             "text": pa.array([giant_text])}
+        )
+        capped = cap_spans_per_row(corpus.derive_spans_batch(batch), cap=500)
+        for row in capped.to_pylist():
+            assert len(row["spans"]) <= 500
+
+
+class TestSaltedReassembly:
+    def test_equals_unsalted(self, ray_session, sf_small):
+        import ray.data
+
+        from ocr_machine_ray.pipelines.extraction import (
+            extract_flat_shuffled,
+            spans_corpus,
+        )
+        from ocr_machine_ray.stages.explode import explode_spans
+        from ocr_machine_ray.stages.strike import rule_verdict_flat
+
+        flat = (
+            spans_corpus(sf_small)
+            .map_batches(explode_spans, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(rule_verdict_flat, batch_format="pyarrow")
+            .map_batches(
+                lambda t: t.filter(
+                    pa.compute.invert(t["struck"].combine_chunks())
+                ).drop_columns(["struck", "category"]),
+                batch_format="pyarrow",
+            )
+        )
+        a = (
+            salted_reassemble(flat, n_salt=4)
+            .to_pandas()
+            .sort_values(["doc_id", "ord"])
+            .reset_index(drop=True)
+        )
+        b = (
+            extract_flat_shuffled(sf_small)
+            .to_pandas()
+            .sort_values(["doc_id", "ord"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a[b.columns], b, check_dtype=False)
+
+
+class TestByteEstimate:
+    def test_string_sizes_counted(self):
+        batch = pa.table(
+            {"doc_id": pa.array([1, 2], type=pa.int64()),
+             "text": pa.array(["abcd", "x"])}
+        )
+        sizes = estimate_row_bytes(batch)
+        assert sizes[0] - sizes[1] == 3  # 4 chars vs 1 + same fixed part
+
+
+class TestNormalizer:
+    def test_output_shape_and_range(self):
+        img = synth_word_image(1, 1, True)
+        out = normalize_region(img)
+        assert out.shape == (64, 365)
+        assert -1.0 <= out.min() and out.max() <= 1.0
+
+    def test_wide_image_squeezed(self):
+        img = np.random.default_rng(0).integers(
+            0, 255, (50, 2000), dtype=np.uint8
+        )
+        assert normalize_region(img).shape == (64, 365)
+
+    def test_narrow_image_tiled(self):
+        img = np.full((64, 20), 128, dtype=np.uint8)
+        out = normalize_region(img)
+        assert out.shape == (64, 365)
+        # tiling repeats the column pattern
+        assert np.allclose(out[:, 0], out[:, 20])
+
+
+class TestModelScorer:
+    def test_scorer_recovers_truth(self):
+        scorer = ModelScorer()
+        rows = []
+        for doc in range(20):
+            for off in (1, 5, 11):
+                for struck in (False, True):
+                    img = synth_word_image(doc, off, struck)
+                    rows.append((doc, off, img.tobytes(), struck))
+        batch = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "offset": pa.array([r[1] for r in rows], type=pa.int32()),
+                "bytes": pa.array([r[2] for r in rows], type=pa.binary()),
+                "width": pa.array([80] * len(rows), type=pa.int32()),
+                "height": pa.array([24] * len(rows), type=pa.int32()),
+            }
+        )
+        out = scorer(batch)
+        got = out["struck_model"].to_pylist()
+        truth = [r[3] for r in rows]
+        acc = np.mean([g == t for g, t in zip(got, truth)])
+        assert acc >= 0.95, acc
+
+    def test_weights_loaded_once_deterministic(self):
+        a, b = ModelScorer(), ModelScorer()
+        assert (a.weights["w_rows"] == b.weights["w_rows"]).all()
