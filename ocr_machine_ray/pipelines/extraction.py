@@ -111,3 +111,49 @@ def extract_flat_shuffled(sf_dir: str) -> ray.data.Dataset:
     return flat.groupby("doc_id").map_groups(
         _reassemble_group, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Image-driven variant: the full reference pipeline shape — word-region
+# images rendered, strikethrough decided by the CV KERNEL from pixels (not
+# the rule), then removal + order-restoring reassembly. Must produce
+# byte-identical output to `extract` because the images are drawn from the
+# same rules the kernel recovers (tested in tests/test_extraction_cv.py).
+# ---------------------------------------------------------------------------
+def extract_via_cv(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    from ..stages.explode import explode_spans
+    from ..stages.media import StrikeCV, render_word_regions_batch
+
+    flat = spans_corpus(sf_dir).map_batches(
+        explode_spans, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def verdict_and_filter(batch: pa.Table) -> pa.Table:
+        """Fused per-batch: render word images -> CV verdict -> drop struck
+        text spans. Media spans pass through untouched."""
+        is_text = pc.equal(batch["kind"], "text")
+        words = batch.filter(is_text)
+        media = batch.filter(pc.invert(is_text.combine_chunks()))
+        if len(words):
+            regions = render_word_regions_batch(words)
+            cv = StrikeCV()(regions)
+            keep = pc.invert(cv["struck_cv"].combine_chunks())
+            words = words.filter(keep)
+        cols = ["doc_id", "kind", "text", "media_ref", "offset"]
+        return pa.concat_tables([words.select(cols), media.select(cols)])
+
+    filtered = flat.map_batches(
+        verdict_and_filter, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=2048,
+    )
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("offset", kind="mergesort")
+        g["ord"] = np.arange(len(g), dtype=np.int64)
+        return g[["doc_id", "kind", "text", "media_ref", "ord"]]
+
+    return filtered.groupby("doc_id").map_groups(
+        reassemble, batch_format="pandas"
+    )

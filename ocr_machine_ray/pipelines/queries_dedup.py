@@ -291,3 +291,83 @@ def q_dedup_embedding(sf_dir: str):
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return emb.groupby("label").map_groups(pairs_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over near-dup pairs (min-label
+# propagation with a groupby per round — the distributed-friendly CC; the
+# oracle recomputes components with a recursive CTE).
+# ---------------------------------------------------------------------------
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE ws AS (
+  SELECT doc_id, lang,
+         list_distinct(string_split_regex(trim(text), '\\s+')) AS s
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM ws a JOIN ws b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {JACCARD_T}
+),
+edges AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+cc(n, lbl) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.b, cc.lbl FROM cc JOIN edges e ON e.a = cc.n WHERE cc.lbl < e.b
+)
+SELECT n AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+FROM cc GROUP BY n
+"""
+
+
+@query("dedup_clusters", _CLUSTERS_SQL)
+def q_dedup_clusters(sf_dir: str):
+    """Cluster near-duplicate documents: jaccard pairs (bucketed by lang) ->
+    iterative min-label propagation. Each round is one groupby over edge
+    endpoints (hash-partitioned by node) — the standard distributed CC;
+    rounds = graph diameter, tiny for dup clusters."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    pair_ds = q_dedup_jaccard(sf_dir)
+    pairs = pair_ds.to_pandas()  # candidate pairs are small by construction
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_id": [], "cluster": []}).astype("int64")
+
+    edges = pd.concat(
+        [
+            pairs.rename(columns={"doc_a": "a", "doc_b": "b"}),
+            pairs.rename(columns={"doc_b": "a", "doc_a": "b"})[["a", "b"]],
+        ],
+        ignore_index=True,
+    )
+    nodes = np.unique(edges[["a", "b"]].to_numpy())
+    labels = pd.DataFrame({"n": nodes, "lbl": nodes})
+    edges_ds = ray.data.from_pandas(edges)
+    for _ in range(16):  # diameter bound; converges much earlier
+        lbl_map = dict(zip(labels["n"], labels["lbl"]))
+
+        def relabel(batch: pd.DataFrame, m=lbl_map) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"n": batch["b"], "cand": batch["a"].map(m)}
+            )
+
+        prop = (
+            edges_ds.map_batches(relabel, batch_format="pandas")
+            .groupby("n")
+            .aggregate(Min("cand", alias_name="cand"))
+            .to_pandas()
+        )
+        merged = labels.merge(prop, on="n", how="left")
+        new_lbl = np.minimum(
+            merged["lbl"], merged["cand"].fillna(merged["lbl"])
+        ).astype(np.int64)
+        if (new_lbl == labels["lbl"]).all():
+            break
+        labels["lbl"] = new_lbl
+    return pd.DataFrame(
+        {"doc_id": labels["n"].astype(np.int64),
+         "cluster": labels["lbl"].astype(np.int64)}
+    )

@@ -351,3 +351,59 @@ def q_block_repair_stats(sf_dir: str):
         build_blocks_batch, batch_format="pyarrow", zero_copy_batch=True
     )
     return blocks.groupby("doc_id").map_groups(stats, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Geometric reading order (O2, order_blocks_by_geo): synthetic scrambled
+# bboxes from the token index; rank = position in (top, left) order.
+# ---------------------------------------------------------------------------
+_GEO_SQL = f"""
+WITH {SQL_TOKS},
+geo AS (
+  SELECT doc_id, i,
+         ((i*3) % 5) * 0.2 AS top,
+         ((i*7) % 10) * 0.1 AS "left"
+  FROM toks
+)
+SELECT doc_id, CAST(i AS BIGINT) AS token_i,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY top, "left", i) AS BIGINT) AS geo_rank
+FROM geo
+"""
+
+
+@query("geo_order", _GEO_SQL)
+def q_geo_order(sf_dir: str):
+    def rank(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        top = ((ft.i * 3) % 5) * 0.2
+        left = ((ft.i * 7) % 10) * 0.1
+        # rank within each doc by (top, left, i): lexsort then invert
+        order = np.lexsort((ft.i, left, top, ft.row_idx))
+        rank_arr = np.empty(len(ft.i), dtype=np.int64)
+        # position within doc: subtract each doc's start in the sorted order
+        sorted_rows = ft.row_idx[order]
+        starts = np.searchsorted(sorted_rows, np.arange(len(batch)))
+        rank_arr[order] = (
+            np.arange(len(ft.i), dtype=np.int64) - starts[sorted_rows] + 1
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ft.doc_ids, type=pa.int64()),
+                "token_i": pa.array(ft.i, type=pa.int64()),
+                "geo_rank": pa.array(rank_arr, type=pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(
+        rank, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+@query("extract_spans_cv", _EXTRACT_SQL)
+def q_extract_spans_cv(sf_dir: str):
+    """Image-driven flagship: strikethrough decided by the CV kernel from
+    rendered pixels, not the rule — same oracle, full-pipeline closure."""
+    from .extraction import extract_via_cv
+
+    return extract_via_cv(sf_dir)

@@ -7,7 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.html import render_html, strip_batch
+from ..functions.html import extract_main_content, render_html, strip_batch
 from ..registry import query
 from .extraction import read_documents
 
@@ -27,11 +27,12 @@ FROM documents
 @query("html_main_content", _HTML_SQL)
 def q_html_main_content(sf_dir: str):
     class HtmlExtract:
-        """Actor pool: parser tables + compiled regexes held per actor."""
+        """Actor pool: parser tables + compiled regexes held per actor.
+
+        NOTE: references module-level imports (pickled by value with the
+        class); a function-body package import would fail on workers."""
 
         def __init__(self):
-            from ..functions.html import extract_main_content, render_html
-
             self.render = render_html
             self.extract = extract_main_content
 

@@ -93,3 +93,61 @@ def q_ann_topk_lsh(sf_dir: str):
     return partials.groupby("query_id").map_groups(
         lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label classification: majority label of the top-k neighbors (ties
+# break to the smallest label). Labels join via a broadcast lookup.
+# ---------------------------------------------------------------------------
+_KNN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS c
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rnk
+  FROM s
+),
+lab AS (
+  SELECT r.query_id, e.label FROM r
+  JOIN embeddings e ON e.vec_id = r.neighbor_id
+  WHERE r.rnk <= {TOP_K}
+),
+cnt AS (SELECT query_id, label, count(*) AS c FROM lab GROUP BY query_id, label)
+SELECT query_id, CAST(label AS BIGINT) AS pred_label
+FROM (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, label) AS rn
+  FROM cnt
+) WHERE rn = 1
+"""
+
+
+@query("knn_classify", _KNN_SQL)
+def q_knn_classify(sf_dir: str):
+    import collections
+
+    import pyarrow.parquet as pq
+
+    topk = q_ann_topk(sf_dir).to_pandas()
+    lab_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    labels = dict(
+        zip(lab_t["vec_id"].to_pylist(), lab_t["label"].to_pylist())
+    )
+    rows = []
+    for qid, g in topk.groupby("query_id"):
+        votes = collections.Counter(labels[n] for n in g["neighbor_id"])
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        rows.append((int(qid), int(best)))
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["query_id", "pred_label"])

@@ -160,3 +160,41 @@ def augment_batch(batch: pa.Table) -> pa.Table:
     return batch.drop_columns(["bytes"]).append_column(
         "bytes", pa.array(out, type=pa.binary())
     )
+
+
+def encode_base64_batch(batch: pa.Table) -> pa.Table:
+    """Base64-encode media payloads (M2, table_detector_agent.py:121-123) —
+    kept for sinks that need text-safe payloads; vectorized C via binascii."""
+    import binascii
+
+    enc = [
+        binascii.b2a_base64(b, newline=False).decode("ascii")
+        for b in batch["bytes"].to_pylist()
+    ]
+    return batch.append_column("b64", pa.array(enc, type=pa.string()))
+
+
+def rle_size(img: np.ndarray) -> int:
+    """Run-length byte size — the deterministic stand-in for JPEG size when
+    reporting compression ratios (A7, fake_scan.py:256-264)."""
+    flat = img.ravel()
+    changes = np.count_nonzero(np.diff(flat)) + 1
+    return int(changes * 2)
+
+
+def compression_report_batch(batch: pa.Table) -> pa.Table:
+    """Per-media size-reduction accounting for the augment+quantize path."""
+    imgs = _imgs_from_batch(batch)
+    docs = batch["doc_id"].to_pylist()
+    raw = [rle_size(i) for i in imgs]
+    comp = [
+        rle_size(compress_quantize(augment_scan(i, int(d))))
+        for i, d in zip(imgs, docs)
+    ]
+    return pa.table(
+        {
+            "media_ref": batch["media_ref"],
+            "raw_size": pa.array(raw, type=pa.int64()),
+            "compressed_size": pa.array(comp, type=pa.int64()),
+        }
+    )

@@ -136,3 +136,51 @@ class TestStageBatchForms:
         out = media_stages.redact_batch(rows)
         img0 = np.frombuffer(out["bytes"][0].as_py(), dtype=np.uint8)
         assert (img0 == 255).all()
+
+
+class TestBase64AndCompression:
+    def test_base64_roundtrip(self):
+        import base64
+
+        rows = media_stages.synth_media_batch(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], type=pa.int64()),
+                    "media_ref": pa.array(["m-1-1"]),
+                    "category": pa.array(["tables"]),
+                }
+            )
+        )
+        out = media_stages.encode_base64_batch(rows)
+        decoded = base64.b64decode(out["b64"][0].as_py())
+        assert decoded == rows["bytes"][0].as_py()
+
+    def test_compression_reduces_rle_size(self):
+        rows = media_stages.synth_media_batch(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], type=pa.int64()),
+                    "media_ref": pa.array(["m-1-1", "m-2-1"]),
+                    "category": pa.array(["other", "diagrams"]),
+                }
+            )
+        )
+        rep = media_stages.compression_report_batch(rows)
+        raw = rep["raw_size"].to_pylist()
+        comp = rep["compressed_size"].to_pylist()
+        # quantization collapses the noise background -> fewer runs
+        assert all(c < r for c, r in zip(comp, raw))
+
+    def test_augment_pipeline_batch(self):
+        rows = media_stages.synth_media_batch(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], type=pa.int64()),
+                    "media_ref": pa.array(["m-1-1"]),
+                    "category": pa.array(["other"]),
+                }
+            )
+        )
+        out = media_stages.augment_batch(rows)
+        img = np.frombuffer(out["bytes"][0].as_py(), dtype=np.uint8)
+        assert len(np.unique(img)) <= 16  # quantized
