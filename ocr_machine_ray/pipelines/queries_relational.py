@@ -344,3 +344,107 @@ def q_sessionize(sf_dir: str):
         .groupby("user_id")
         .map_groups(sessions, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows (1h size, 30min hop): each event lands in 2 windows.
+# ---------------------------------------------------------------------------
+_SLIDING_SQL = """
+WITH shifted AS (
+  SELECT event_type, ts, value, unnest([0, 1]) AS k
+  FROM events
+),
+win AS (
+  SELECT event_type,
+         date_trunc('hour', ts - k * INTERVAL 30 MINUTE)
+           + k * INTERVAL 30 MINUTE AS window_start,
+         value
+  FROM shifted
+)
+SELECT event_type, window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM win GROUP BY event_type, window_start
+"""
+
+
+@query("sliding_window", _SLIDING_SQL)
+def q_sliding_window(sf_dir: str):
+    """1h windows hopping every 30min: each event is assigned to its two
+    covering windows inside map_batches (vectorized), then a partial+final
+    aggregate — the flat_map-then-combine pattern for overlapping windows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        half = np.timedelta64(30, "m")
+        frames = []
+        for k in (0, 1):
+            start = (ts - k * half).astype("datetime64[h]").astype(
+                "datetime64[us]"
+            ) + k * half
+            frames.append(
+                pd.DataFrame(
+                    {"event_type": et, "window_start": start, "value": val}
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        g = (
+            df.groupby(["event_type", "window_start"], sort=False)["value"]
+            .agg(n_events="size", min_value="min", max_value="max")
+            .reset_index()
+        )
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "window_start": [g["window_start"].iloc[0]],
+                "n_events": [np.int64(g["n_events"].sum())],
+                "min_value": [g["min_value"].min()],
+                "max_value": [g["max_value"].max()],
+            }
+        )
+
+    partials = _read(
+        sf_dir, "events", ["ts", "event_type", "value"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["event_type", "window_start"]).map_groups(
+        final, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-k (window-function analog): top-2 orders by price per
+# customer.
+# ---------------------------------------------------------------------------
+_TOPK_PER_CUST_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 2
+"""
+
+
+@query("topk_per_customer", _TOPK_PER_CUST_SQL)
+def q_topk_per_customer(sf_dir: str):
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(2)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_custkey", "o_orderkey", "rnk"]]
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .map_groups(top2, batch_format="pandas")
+    )
