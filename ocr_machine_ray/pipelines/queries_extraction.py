@@ -407,3 +407,30 @@ def q_extract_spans_cv(sf_dir: str):
     from .extraction import extract_via_cv
 
     return extract_via_cv(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed run + lineage (north_rule: per-partition lineage records).
+# Rows-only: the record includes wall-time, inherently non-deterministic.
+# ---------------------------------------------------------------------------
+@query("lineage_records")
+def q_lineage_records(sf_dir: str):
+    """Run the flagship through the resumable partitioned sink and return
+    the per-partition lineage rows (fresh output dir per invocation so the
+    row count is stable across driver runs)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from ..state.checkpoint import run_resumable
+    from .extraction import extract
+
+    out_dir = tempfile.mkdtemp(prefix="ckpt_", dir="/tmp")
+    try:
+        records = run_resumable(
+            extract(sf_dir), out_dir, n_parts=16, stage="extract", run_id="drv"
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return pd.DataFrame(records)

@@ -448,3 +448,63 @@ def q_topk_per_customer(sf_dir: str):
         .groupby("o_custkey")
         .map_groups(top2, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each purchase, the most recent prior click by the same
+# user — pd.merge_asof per user-hash bucket inside map_groups (the
+# documented Ray Data pattern for as-of/range joins).
+# ---------------------------------------------------------------------------
+_ASOF_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts > c.ts
+"""
+
+
+@query("asof_purchase_click", _ASOF_SQL)
+def q_asof(sf_dir: str):
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values("ts")
+        c = g[g["event_type"] == "click"].sort_values("ts")
+        if p.empty or c.empty:
+            return pd.DataFrame(
+                {"purchase_id": pd.Series(dtype="int64"),
+                 "click_id": pd.Series(dtype="int64")}
+            )
+        m = pd.merge_asof(
+            p[["ts", "event_id"]],
+            c[["ts", "event_id"]],
+            on="ts",
+            suffixes=("_p", "_c"),
+            allow_exact_matches=False,
+            direction="backward",
+        ).dropna(subset=["event_id_c"])
+        return pd.DataFrame(
+            {
+                "purchase_id": m["event_id_p"].astype("int64"),
+                "click_id": m["event_id_c"].astype("int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct (ds.unique shuffle form).
+# ---------------------------------------------------------------------------
+_DISTINCT_SQL = """
+SELECT DISTINCT event_type FROM events
+"""
+
+
+@query("distinct_event_types", _DISTINCT_SQL)
+def q_distinct(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = ds.unique("event_type")
+    return pa.table({"event_type": pa.array(sorted(vals), type=pa.string())})
