@@ -157,3 +157,57 @@ def q_doc_length_stats(sf_dir: str):
             "p95": pa.array([p95], type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based percentiles (A6 scale path): one HistogramSketch per batch,
+# merged on the driver. With bin_width=1 over the integer n_chars domain
+# the sketch is EXACT, so it shares doc_length_stats' value-exact oracle —
+# proving the mergeable-partial pattern without giving up the gate.
+# ---------------------------------------------------------------------------
+@query("doc_length_stats_sketch", _LEN_STATS_SQL)
+def q_doc_length_stats_sketch(sf_dir: str):
+    from ..functions.sketch import HistogramSketch
+
+    LO, HI = 0, 4096  # n_chars domain bound (sf corpora max ~600)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch["n_chars"].to_numpy(zero_copy_only=False)
+        sk = HistogramSketch(LO, HI).add(vals)
+        _, _, counts = sk.to_arrays()
+        return pa.table(
+            {
+                "counts": pa.array([counts.tolist()]),
+                "min_v": pa.array([int(vals.min())], type=pa.int64()),
+                "max_v": pa.array([int(vals.max())], type=pa.int64()),
+                "total": pa.array([int(vals.sum())], type=pa.int64()),
+            }
+        )
+
+    from ..functions.sketch import HistogramSketch as HS
+
+    merged = HS(LO, HI)
+    min_v, max_v, total = None, None, 0
+    partials = read_documents(sf_dir, ["n_chars"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for row_counts, mn, mx, tot in zip(
+            b["counts"].to_pylist(), b["min_v"].to_pylist(),
+            b["max_v"].to_pylist(), b["total"].to_pylist(),
+        ):
+            merged.merge(HS.from_arrays(LO, 1, row_counts))
+            min_v = mn if min_v is None else min(min_v, mn)
+            max_v = mx if max_v is None else max(max_v, mx)
+            total += tot
+    return pa.table(
+        {
+            "min_chars": pa.array([min_v], type=pa.int64()),
+            "max_chars": pa.array([max_v], type=pa.int64()),
+            "total_chars": pa.array([total], type=pa.int64()),
+            "p5": pa.array([merged.quantile(0.05)], type=pa.float64()),
+            "p25": pa.array([merged.quantile(0.25)], type=pa.float64()),
+            "p75": pa.array([merged.quantile(0.75)], type=pa.float64()),
+            "p95": pa.array([merged.quantile(0.95)], type=pa.float64()),
+        }
+    )

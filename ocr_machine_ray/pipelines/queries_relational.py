@@ -508,3 +508,137 @@ def q_distinct(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type"])
     vals = ds.unique("event_type")
     return pa.table({"event_type": pa.array(sorted(vals), type=pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# Both-sides-large join: explicit bucketed hash join (no broadcast).
+# Each side gets bucket = key % B; matching buckets join pairwise inside
+# map_groups — the portable partitioned-hash-join pattern for Ray Data.
+# Revenue (cents) per order priority from orders x lineitem.
+# ---------------------------------------------------------------------------
+_BUCKET_JOIN_SQL = """
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+JOIN_BUCKETS = 16
+
+
+@query("bucketed_join_revenue", _BUCKET_JOIN_SQL)
+def q_bucketed_join(sf_dir: str):
+    """Partitioned hash join: tag both sides with bucket = orderkey % B,
+    union them with a side marker, groupby(bucket), and join each bucket
+    pairwise with a pandas merge inside map_groups. Only per-bucket partial
+    aggregates leave the join stage. Skew lever: B and per-bucket salting
+    (hot orderkeys would be salted into sub-buckets)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["o_orderkey"].to_numpy(zero_copy_only=False) % JOIN_BUCKETS
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                "orderkey": batch["o_orderkey"],
+                "priority": batch["o_orderpriority"],
+                "price_cents": pa.array(
+                    np.zeros(len(batch), dtype=np.int64)
+                ),
+                "side": pa.array(np.zeros(len(batch), dtype=np.int8)),
+            }
+        )
+
+    def tag_lineitem(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["l_orderkey"].to_numpy(zero_copy_only=False) % JOIN_BUCKETS
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                "orderkey": batch["l_orderkey"],
+                "priority": pa.array([""] * len(batch), type=pa.string()),
+                "price_cents": pa.array(
+                    _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+                ),
+                "side": pa.array(np.ones(len(batch), dtype=np.int8)),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        tag_orders, batch_format="pyarrow", zero_copy_batch=True
+    )
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+        tag_lineitem, batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = orders.union(items)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["orderkey", "priority"]]
+        l = g[g["side"] == 1][["orderkey", "price_cents"]]
+        m = l.merge(o, on="orderkey", how="inner")
+        if m.empty:
+            return pd.DataFrame(
+                {"o_orderpriority": pd.Series(dtype="object"),
+                 "revenue_cents": pd.Series(dtype="int64"),
+                 "n_items": pd.Series(dtype="int64")}
+            )
+        agg = (
+            m.groupby("priority")["price_cents"]
+            .agg(revenue_cents="sum", n_items="size")
+            .reset_index()
+            .rename(columns={"priority": "o_orderpriority"})
+        )
+        agg["revenue_cents"] = agg["revenue_cents"].astype(np.int64)
+        agg["n_items"] = agg["n_items"].astype(np.int64)
+        return agg
+
+    partials = both.groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+    return partials.groupby("o_orderpriority").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_items", alias_name="n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct count per group (the oracle-checkable side of the HLL
+# sketch implemented in functions/sketch.py).
+# ---------------------------------------------------------------------------
+_DISTINCT_USERS_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@query("distinct_users_exact", _DISTINCT_USERS_SQL)
+def q_distinct_users(sf_dir: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": [np.int64(g["user_id"].nunique())],
+            }
+        )
+
+    partials = _read(sf_dir, "events", ["event_type", "user_id"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("event_type").map_groups(
+        final, batch_format="pandas"
+    )
