@@ -642,3 +642,44 @@ def q_distinct_users(sf_dir: str):
     return partials.groupby("event_type").map_groups(
         final, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Native hash-partitioned join (ray.data.Dataset.join, Ray >= 2.46): same
+# semantics as bucketed_join_revenue via the built-in hash-shuffle join.
+# ---------------------------------------------------------------------------
+@query("native_join_revenue", _BUCKET_JOIN_SQL)
+def q_native_join(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    joined = items.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        uk, inv = np.unique(pr, return_inverse=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(uk, type=pa.string()),
+                "revenue_cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64)
+                ),
+                "n_items": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    partials = joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("o_orderpriority").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_items", alias_name="n_items"),
+    )
