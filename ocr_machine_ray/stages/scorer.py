@@ -39,6 +39,24 @@ def normalize_region(img: np.ndarray) -> np.ndarray:
     return (out - 0.5) / 0.5  # Normalize(0.5, 0.5)
 
 
+def normalize_stack(raw: np.ndarray) -> np.ndarray:
+    """Vectorized normalize_region over a uniform-size (n, h, w) stack —
+    identical output to the per-image path, one fancy-index per batch."""
+    n, h, w = raw.shape
+    new_w = max(1, round(w * NORM_H / h))
+    ys = (np.arange(NORM_H) * h / NORM_H).astype(np.int64).clip(0, h - 1)
+    xs = (np.arange(new_w) * w / new_w).astype(np.int64).clip(0, w - 1)
+    r = raw[:, ys][:, :, xs]
+    if new_w > NORM_W:
+        xs2 = (np.arange(NORM_W) * new_w / NORM_W).astype(np.int64)
+        r = r[:, :, xs2]
+    elif new_w < NORM_W:
+        reps = int(np.ceil(NORM_W / new_w))
+        r = np.tile(r, (1, 1, reps))[:, :, :NORM_W]
+    out = r.astype(np.float32) / 255.0
+    return (out - 0.5) / 0.5
+
+
 def _make_weights(seed: int = 42) -> dict[str, np.ndarray]:
     """Deterministic stand-in checkpoint: a row-pooling linear head that
     fires on a dark horizontal band in the center rows — the same signal the
@@ -72,6 +90,8 @@ class ModelScorer:
         bufs = batch["bytes"].to_pylist()
         ws = batch["width"].to_pylist()
         hs = batch["height"].to_pylist()
+        # per-image loop measured FASTER than a 3D batched resample here
+        # (the tile-to-365 step makes large float32 temporaries per batch)
         stack = np.stack(
             [
                 normalize_region(

@@ -155,3 +155,14 @@ class TestModelScorer:
     def test_weights_loaded_once_deterministic(self):
         a, b = ModelScorer(), ModelScorer()
         assert (a.weights["w_rows"] == b.weights["w_rows"]).all()
+
+
+class TestNormalizeStack:
+    def test_equals_per_image_path(self):
+        from ocr_machine_ray.stages.scorer import normalize_stack
+
+        imgs = [synth_word_image(d, d % 30, d % 7 == 0) for d in range(64)]
+        raw = np.stack(imgs)
+        a = normalize_stack(raw)
+        b = np.stack([normalize_region(i) for i in imgs])
+        assert np.array_equal(a, b)
