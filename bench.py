@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "events_window",
     "sessionize",
+    "media_classify",
+    "extract_spans_cv",
 ]
 
 
