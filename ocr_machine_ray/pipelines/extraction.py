@@ -36,9 +36,18 @@ def read_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Da
     )
 
 
-def spans_corpus(sf_dir: str) -> ray.data.Dataset:
-    """The interleaved spans corpus (F1 schema) as a lazy Dataset."""
-    return read_documents(sf_dir).map_batches(
+def spans_corpus(sf_dir: str, n_blocks: int | None = None) -> ray.data.Dataset:
+    """The interleaved spans corpus (F1 schema) as a lazy Dataset.
+
+    ``n_blocks``: repartition the (small, single-file) documents read before
+    deriving. A one-file read yields only a handful of blocks, which caps
+    task parallelism for any compute-heavy downstream stage (image render /
+    CV / model scoring) — pass e.g. 64 there. Light pipelines skip it: the
+    repartition barrier costs more than it buys."""
+    docs = read_documents(sf_dir)
+    if n_blocks:
+        docs = docs.repartition(n_blocks)
+    return docs.map_batches(
         derive_spans_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -126,7 +135,7 @@ def extract_via_cv(sf_dir: str) -> ray.data.Dataset:
     from ..stages.explode import explode_spans
     from ..stages.media import StrikeCV, render_word_regions_batch
 
-    flat = spans_corpus(sf_dir).map_batches(
+    flat = spans_corpus(sf_dir, n_blocks=64).map_batches(
         explode_spans, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -144,9 +153,14 @@ def extract_via_cv(sf_dir: str) -> ray.data.Dataset:
         cols = ["doc_id", "kind", "text", "media_ref", "offset"]
         return pa.concat_tables([words.select(cols), media.select(cols)])
 
+    # batch_size=None: one batch per block. A row-count batch_size here
+    # counts the FUSED operator's input rows (documents), so Ray bundles
+    # many blocks into few tasks and parallelism collapses (observed: 64
+    # blocks -> 3 tasks at batch_size=2048). Granularity is controlled by
+    # the n_blocks repartition above instead.
     filtered = flat.map_batches(
         verdict_and_filter, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=2048,
+        batch_size=None,
     )
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:

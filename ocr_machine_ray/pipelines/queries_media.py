@@ -22,7 +22,7 @@ from .extraction import spans_corpus
 
 
 def _media_rows(sf_dir: str):
-    flat = spans_corpus(sf_dir).map_batches(
+    flat = spans_corpus(sf_dir, n_blocks=64).map_batches(
         explode_spans, batch_format="pyarrow", zero_copy_batch=True
     )
     media = flat.map_batches(
@@ -73,7 +73,7 @@ FROM all_spans WHERE kind = 'text'
 
 @query("strike_cv_verdicts", _STRIKE_CV_SQL)
 def q_strike_cv(sf_dir: str):
-    flat = spans_corpus(sf_dir).map_batches(
+    flat = spans_corpus(sf_dir, n_blocks=64).map_batches(
         explode_spans, batch_format="pyarrow", zero_copy_batch=True
     )
     words = flat.map_batches(
@@ -86,7 +86,7 @@ def q_strike_cv(sf_dir: str):
     return regions.map_batches(
         StrikeCV,
         batch_format="pyarrow",
-        batch_size=1024,
+        batch_size=1024,  # actor-pool boundary: input rows here ARE words
         concurrency=4,
     )
 
@@ -101,7 +101,7 @@ def q_strike_cv(sf_dir: str):
 def q_strike_model(sf_dir: str):
     from ..stages.scorer import ModelScorer
 
-    flat = spans_corpus(sf_dir).map_batches(
+    flat = spans_corpus(sf_dir, n_blocks=64).map_batches(
         explode_spans, batch_format="pyarrow", zero_copy_batch=True
     )
     words = flat.map_batches(
@@ -114,6 +114,6 @@ def q_strike_model(sf_dir: str):
     return regions.map_batches(
         ModelScorer,
         batch_format="pyarrow",
-        batch_size=512,
+        batch_size=512,  # actor-pool boundary: input rows here ARE words
         concurrency=4,
     )
