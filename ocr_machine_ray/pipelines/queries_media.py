@@ -27,10 +27,11 @@ def _media_rows(sf_dir: str):
     )
     media = flat.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "media")),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
     return media.map_batches(
-        synth_media_batch, batch_format="pyarrow", zero_copy_batch=True
+        synth_media_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
     )
 
 
@@ -56,8 +57,8 @@ def q_media_classify(sf_dir: str):
     return _media_rows(sf_dir).map_batches(
         PageClassifier,
         batch_format="pyarrow",
-        batch_size=512,
-        concurrency=2,
+        batch_size=512,  # actor-pool boundary: input rows are media spans
+        concurrency=4,
     )
 
 
