@@ -18,8 +18,6 @@ from ..functions.dedup import (
     simhash_batch,
     word_shingles,
     shingle_jaccard,
-    minhash_signature,
-    band_keys,
 )
 from ..registry import query
 from .extraction import read_documents

@@ -6,10 +6,10 @@ pixels alone, and the SQL recomputes the labels arithmetically.
 
 from __future__ import annotations
 
-import pyarrow as pa
+
 import pyarrow.compute as pc
 
-from ..corpus import SQL_ALL_SPANS, SQL_CATEGORY, SQL_TOKS
+from ..corpus import SQL_ALL_SPANS, SQL_CATEGORY
 from ..registry import query
 from ..stages.explode import explode_spans
 from ..stages.media import (

@@ -11,7 +11,7 @@ payloads, pathological inputs) that retries would just replay.
 
 from __future__ import annotations
 
-import traceback
+
 from typing import Callable
 
 import pyarrow as pa

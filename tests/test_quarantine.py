@@ -3,8 +3,6 @@
 from __future__ import annotations
 
 import pyarrow as pa
-import pytest
-
 from ocr_machine_ray.stages.quarantine import quarantine_batch_fn, split_errors
 
 

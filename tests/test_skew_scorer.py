@@ -61,8 +61,6 @@ class TestSpanCap:
 
 class TestSaltedReassembly:
     def test_equals_unsalted(self, ray_session, sf_small):
-        import ray.data
-
         from ocr_machine_ray.pipelines.extraction import (
             extract_flat_shuffled,
             spans_corpus,

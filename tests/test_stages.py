@@ -6,7 +6,7 @@ import pyarrow as pa
 import pytest
 
 from ocr_machine_ray.sources import readers
-from ocr_machine_ray.stages.base import FnStage, Pipeline, StageContext
+from ocr_machine_ray.stages.base import FnStage, Pipeline
 
 
 class TestStageProtocol:
