@@ -127,3 +127,95 @@ class LshTopK:
                 "cos": pa.array(cos, type=pa.float64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (the iterative-algorithm pattern: per-batch partial
+# sums against broadcast centroids, tiny driver-side reduce per round) —
+# the coarse quantizer an IVF ANN index builds on.
+# ---------------------------------------------------------------------------
+def kmeans_fit(ds, k: int, n_iter: int = 10, seed: int = 42,
+               vec_col: str = "embedding"):
+    """Lloyd's k-means over a Dataset embedding column.
+
+    Each round: broadcast centroids (ray.put), one map_batches computing
+    per-batch (cluster-sum, cluster-count) partials, sum the k×d partials
+    on the driver, recompute centroids. Data crosses the wire once per
+    round as k×d floats per batch — never the vectors themselves.
+    Deterministic given the seed (centroid init is seeded gaussian, so no
+    data-order dependence).
+    """
+    import ray
+
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    centroids = rng.standard_normal((k, dim))
+
+    for _ in range(n_iter):
+        ref = ray.put(centroids)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            import ray as _ray
+
+            C = _ray.get(_ref)  # (k, d)
+            V = _as_matrix(batch[vec_col])
+            d2 = (
+                (V * V).sum(axis=1, keepdims=True)
+                - 2 * V @ C.T
+                + (C * C).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, V)
+            counts = np.bincount(assign, minlength=C.shape[0]).astype(
+                np.float64
+            )
+            return pa.table(
+                {
+                    "sums": pa.array([sums.ravel().tolist()]),
+                    "counts": pa.array([counts.tolist()]),
+                }
+            )
+
+        total_sums = np.zeros_like(centroids)
+        total_counts = np.zeros(k)
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for s, c in zip(b["sums"].to_pylist(), b["counts"].to_pylist()):
+                total_sums += np.asarray(s).reshape(centroids.shape)
+                total_counts += np.asarray(c)
+        nonempty = total_counts > 0
+        centroids[nonempty] = (
+            total_sums[nonempty] / total_counts[nonempty, None]
+        )
+    return centroids
+
+
+def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
+    """Assign every vector to its nearest centroid (IVF bucket column)."""
+    import ray
+
+    ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        C = _ray.get(ref)
+        V = _as_matrix(batch[vec_col])
+        d2 = (
+            (V * V).sum(axis=1, keepdims=True)
+            - 2 * V @ C.T
+            + (C * C).sum(axis=1)[None, :]
+        )
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(
+                    d2.argmin(axis=1).astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -683,3 +683,38 @@ def q_native_join(sf_dir: str):
         Sum("revenue_cents", alias_name="revenue_cents"),
         Sum("n_items", alias_name="n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Running cumulative aggregate per key (window-function family): event
+# number and cumulative value per user in ts order.
+# ---------------------------------------------------------------------------
+_RUNNING_SQL = """
+SELECT event_id,
+       CAST(row_number() OVER w AS BIGINT) AS event_seq,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS running_value_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@query("running_totals", _RUNNING_SQL)
+def q_running_totals(sf_dir: str):
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "event_seq": np.arange(1, len(g) + 1, dtype=np.int64),
+                "running_value_cents": np.cumsum(cents),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )

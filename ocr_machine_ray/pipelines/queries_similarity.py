@@ -151,3 +151,21 @@ def q_knn_classify(sf_dir: str):
     import pandas as pd
 
     return pd.DataFrame(rows, columns=["query_id", "pred_label"])
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer: k-means fit + bucket assignment over the embedding
+# column (rows-only: learned clustering has no SQL oracle; convergence and
+# blob-separation are asserted in pytest).
+# ---------------------------------------------------------------------------
+@query("ivf_clusters")
+def q_ivf_clusters(sf_dir: str):
+    import ray.data
+
+    from ..functions.similarity import kmeans_assign, kmeans_fit
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    centroids = kmeans_fit(emb, k=8, n_iter=5)
+    return kmeans_assign(emb, centroids)

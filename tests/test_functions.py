@@ -173,3 +173,35 @@ class TestQualityStats:
         assert out["n_stopword"] == 5  # the,the,a,a,a
         assert out["n_repeat"] == 3    # the->the, a->a, a->a
         assert out["total_token_len"] == len("thethecataaadog")
+
+
+class TestKMeans:
+    def test_fit_converges_and_assign_partitions(self, ray_session):
+        import ray.data
+
+        from ocr_machine_ray.functions.similarity import (
+            kmeans_assign,
+            kmeans_fit,
+        )
+
+        rng = np.random.default_rng(5)
+        centers = np.array([[5.0] * 8, [-5.0] * 8, [0.0] * 8])
+        vecs = np.concatenate(
+            [c + 0.1 * rng.standard_normal((50, 8)) for c in centers]
+        )
+        ds = ray.data.from_items(
+            [
+                {"vec_id": i, "embedding": list(map(float, v))}
+                for i, v in enumerate(vecs)
+            ]
+        )
+        C = kmeans_fit(ds, k=3, n_iter=8)
+        # each true center is within 0.5 of some learned centroid
+        for c in centers:
+            assert np.linalg.norm(C - c, axis=1).min() < 0.5
+        labels = kmeans_assign(ds, C).to_pandas().sort_values("vec_id")
+        lab = labels["cluster"].to_numpy()
+        # points from the same true blob share a cluster
+        for blk in range(3):
+            seg = lab[blk * 50 : (blk + 1) * 50]
+            assert (seg == seg[0]).all()
