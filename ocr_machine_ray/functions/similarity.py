@@ -15,7 +15,21 @@ import pyarrow as pa
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+    vals = col.to_numpy(zero_copy_only=False)
+    if len(vals) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.stack(vals).astype(np.float64)
+
+
+def _sq_dists(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """||v - c||^2 matrix, (n, k); clamped at 0 (the expansion can go
+    slightly negative from cancellation, which breaks probability use)."""
+    d2 = (
+        (V * V).sum(axis=1, keepdims=True)
+        - 2 * V @ C.T
+        + (C * C).sum(axis=1)[None, :]
+    )
+    return np.maximum(d2, 0.0)
 
 
 class BruteForceTopK:
@@ -142,15 +156,35 @@ def kmeans_fit(ds, k: int, n_iter: int = 10, seed: int = 42,
     per-batch (cluster-sum, cluster-count) partials, sum the k×d partials
     on the driver, recompute centroids. Data crosses the wire once per
     round as k×d floats per batch — never the vectors themselves.
-    Deterministic given the seed (centroid init is seeded gaussian, so no
-    data-order dependence).
+    Init: k seeded-sampled DATA points (a gaussian init is scale-mismatched
+    to e.g. unit-norm embeddings and strands most clusters empty); empty
+    clusters are reseeded each round to the farthest-assigned point's batch
+    mean stand-in (a fresh seeded sample).
     """
     import ray
 
-    first = ds.take(1)[0]
-    dim = len(first[vec_col])
+    # init from data: seeded Bernoulli sample across the WHOLE dataset
+    # (ds.take() is order-biased — with blob-ordered rows it returns one
+    # blob and k-means collapses into a local minimum)
+    n = ds.count()
+    frac = min(1.0, max(k * 40, 200) / max(1, n))
+    sample = ds.random_sample(frac, seed=seed).take(max(k * 20, k))
     rng = np.random.default_rng(seed)
-    centroids = rng.standard_normal((k, dim))
+    pts = np.stack(
+        [np.asarray(s[vec_col], dtype=np.float64) for s in sample]
+    )
+    # k-means++ seeding over the sample: distance-weighted picks avoid the
+    # uniform-pick failure where two seeds land in one blob and Lloyd
+    # merges two true clusters into one centroid
+    chosen = [pts[int(rng.integers(len(pts)))]]
+    while len(chosen) < k:
+        d2 = _sq_dists(pts, np.stack(chosen)).min(axis=1)
+        total = d2.sum()
+        if total <= 0:
+            chosen.append(pts[int(rng.integers(len(pts)))])
+            continue
+        chosen.append(pts[int(rng.choice(len(pts), p=d2 / total))])
+    centroids = np.stack(chosen)
 
     for _ in range(n_iter):
         ref = ray.put(centroids)
@@ -160,12 +194,14 @@ def kmeans_fit(ds, k: int, n_iter: int = 10, seed: int = 42,
 
             C = _ray.get(_ref)  # (k, d)
             V = _as_matrix(batch[vec_col])
-            d2 = (
-                (V * V).sum(axis=1, keepdims=True)
-                - 2 * V @ C.T
-                + (C * C).sum(axis=1)[None, :]
-            )
-            assign = d2.argmin(axis=1)
+            if V.shape[0] == 0:
+                return pa.table(
+                    {
+                        "sums": pa.array([np.zeros(C.size).tolist()]),
+                        "counts": pa.array([np.zeros(C.shape[0]).tolist()]),
+                    }
+                )
+            assign = _sq_dists(V, C).argmin(axis=1)
             sums = np.zeros_like(C)
             np.add.at(sums, assign, V)
             counts = np.bincount(assign, minlength=C.shape[0]).astype(
@@ -190,6 +226,15 @@ def kmeans_fit(ds, k: int, n_iter: int = 10, seed: int = 42,
         centroids[nonempty] = (
             total_sums[nonempty] / total_counts[nonempty, None]
         )
+        # reseed empty clusters from fresh seeded data samples so no
+        # bucket is stranded at its init forever
+        n_empty = int((~nonempty).sum())
+        if n_empty:
+            ridx = rng.choice(len(sample), size=n_empty, replace=False)
+            centroids[~nonempty] = np.stack(
+                [np.asarray(sample[i][vec_col], dtype=np.float64)
+                 for i in ridx]
+            )
     return centroids
 
 
@@ -204,16 +249,18 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
 
         C = _ray.get(ref)
         V = _as_matrix(batch[vec_col])
-        d2 = (
-            (V * V).sum(axis=1, keepdims=True)
-            - 2 * V @ C.T
-            + (C * C).sum(axis=1)[None, :]
-        )
+        if V.shape[0] == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                }
+            )
         return pa.table(
             {
                 "vec_id": batch["vec_id"],
                 "cluster": pa.array(
-                    d2.argmin(axis=1).astype(np.int64)
+                    _sq_dists(V, C).argmin(axis=1).astype(np.int64)
                 ),
             }
         )

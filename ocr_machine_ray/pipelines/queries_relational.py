@@ -704,12 +704,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 def q_running_totals(sf_dir: str):
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
                 "event_seq": np.arange(1, len(g) + 1, dtype=np.int64),
-                "running_value_cents": np.cumsum(cents),
+                "running_value_cents": np.cumsum(
+                    _cents(g["value"].to_numpy())
+                ),
             }
         )
 

@@ -164,8 +164,10 @@ def q_ivf_clusters(sf_dir: str):
 
     from ..functions.similarity import kmeans_assign, kmeans_fit
 
+    # materialize once: the iterative fit scans the dataset every round,
+    # and a lazy read would re-read + re-decode the parquet each time
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ).materialize()
     centroids = kmeans_fit(emb, k=8, n_iter=5)
     return kmeans_assign(emb, centroids)
