@@ -30,10 +30,19 @@ DOC_COLUMNS = ["doc_id", "text"]
 
 
 def read_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """Column-pruned read of the documents table."""
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=columns or DOC_COLUMNS
-    )
+    """Column-pruned read of the documents table.
+
+    Engine contract: when ``text`` is read, NULL-text rows are dropped at
+    the scan (pushed-down predicate) — text pipelines treat textless docs
+    as absent, matching the SQL oracles (unnest drops them; the non-unnest
+    oracles carry an explicit ``WHERE text IS NOT NULL``)."""
+    import pyarrow.compute as pc
+
+    cols = columns or DOC_COLUMNS
+    kwargs = {"columns": cols}
+    if "text" in cols:
+        kwargs["filter"] = pc.field("text").is_valid()
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", **kwargs)
 
 
 def spans_corpus(sf_dir: str, n_blocks: int | None = None) -> ray.data.Dataset:

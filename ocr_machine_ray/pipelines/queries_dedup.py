@@ -29,7 +29,7 @@ _EXACT_SQL = """
 SELECT md5(text) AS content_hash,
        CAST(min(doc_id) AS BIGINT) AS keeper,
        CAST(count(*) AS BIGINT) AS n_copies
-FROM documents GROUP BY md5(text)
+FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
 """
 
 
@@ -180,7 +180,7 @@ def q_dedup_minhash(sf_dir: str):
         VerifyJaccard,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
 
 
@@ -229,7 +229,7 @@ _JACCARD_SQL = f"""
 WITH ws AS (
   SELECT doc_id, lang,
          list_distinct(string_split_regex(trim(text), '\\s+')) AS s
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM ws a JOIN ws b ON a.lang = b.lang AND a.doc_id < b.doc_id
@@ -300,7 +300,7 @@ _CLUSTERS_SQL = f"""
 WITH RECURSIVE ws AS (
   SELECT doc_id, lang,
          list_distinct(string_split_regex(trim(text), '\\s+')) AS s
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 pairs AS (
   SELECT a.doc_id AS pa, b.doc_id AS pb

@@ -20,7 +20,7 @@ from .extraction import read_documents
 _HTML_SQL = """
 SELECT doc_id,
        regexp_replace(trim(text), '\\s+', ' ', 'g') AS main_text
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -49,7 +49,7 @@ def q_html_main_content(sf_dir: str):
             return strip_batch(rendered)
 
     return read_documents(sf_dir).map_batches(
-        HtmlExtract, batch_format="pyarrow", batch_size=256, concurrency=4
+        HtmlExtract, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
     )
 
 

@@ -58,7 +58,7 @@ def q_media_classify(sf_dir: str):
         PageClassifier,
         batch_format="pyarrow",
         batch_size=512,  # actor-pool boundary: input rows are media spans
-        concurrency=4,
+        concurrency=(1, 4),
     )
 
 
@@ -88,7 +88,7 @@ def q_strike_cv(sf_dir: str):
         StrikeCV,
         batch_format="pyarrow",
         batch_size=1024,  # actor-pool boundary: input rows here ARE words
-        concurrency=4,
+        concurrency=(1, 4),
     )
 
 
@@ -116,5 +116,5 @@ def q_strike_model(sf_dir: str):
         ModelScorer,
         batch_format="pyarrow",
         batch_size=512,  # actor-pool boundary: input rows here ARE words
-        concurrency=4,
+        concurrency=(1, 4),
     )

@@ -163,7 +163,7 @@ def q_revenue_by_nation(sf_dir: str):
             )
 
     partials = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        JoinNation, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        JoinNation, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 2)
     )
     return partials.groupby("n_name").aggregate(
         Sum("revenue_cents", alias_name="revenue_cents"),

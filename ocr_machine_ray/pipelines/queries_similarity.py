@@ -62,7 +62,7 @@ def q_ann_topk(sf_dir: str):
         fn_constructor_args=(ref, TOP_K),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
@@ -88,7 +88,7 @@ def q_ann_topk_lsh(sf_dir: str):
         fn_constructor_args=(ref, planes, TOP_K),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"

@@ -96,7 +96,7 @@ SELECT doc_id,
            AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS BIGINT)
            AS n_bpeish_tokens
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -112,6 +112,7 @@ def q_token_counts(sf_dir: str):
 # ---------------------------------------------------------------------------
 _FPRINT_SQL = """
 SELECT doc_id, md5(text) AS fingerprint FROM documents
+WHERE text IS NOT NULL
 """
 
 

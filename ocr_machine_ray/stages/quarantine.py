@@ -11,7 +11,6 @@ payloads, pathological inputs) that retries would just replay.
 
 from __future__ import annotations
 
-
 from typing import Callable
 
 import pyarrow as pa
@@ -28,9 +27,27 @@ def quarantine_batch_fn(
     ``_error`` set to the exception summary and all OUTPUT columns null
     (the input's ``doc_id`` is preserved for the error record). Bisection
     costs O(log n) extra ``fn`` calls per poison row, only on failure.
+
+    The output schema is kept CONSISTENT across batches even when every
+    row of a batch is poison: the schema is probed with ``fn`` on an empty
+    slice first, falling back to ``error_schema`` and finally to
+    ``(doc_id)`` — so mixed clean/poison datasets never emit blocks with
+    diverging schemas.
     """
 
+    def _probe_schema(batch: pa.Table) -> pa.Schema:
+        try:
+            return fn(batch.slice(0, 0)).schema
+        except Exception:
+            return error_schema or pa.schema([("doc_id", pa.int64())])
+
     def safe(batch: pa.Table) -> pa.Table:
+        out_schema = _probe_schema(batch)
+        if len(batch) == 0:
+            return pa.table(
+                {f.name: pa.nulls(0, type=f.type) for f in out_schema}
+            ).append_column("_error", pa.nulls(0, type=pa.string()))
+
         ok_parts: list[pa.Table] = []
         err_doc: list = []
         err_msg: list[str] = []
@@ -40,35 +57,26 @@ def quarantine_batch_fn(
                 return
             try:
                 out = fn(tbl)
-                ok_parts.append(out)
+                ok_parts.append(out.cast(out_schema) if out.schema != out_schema
+                                else out)
             except Exception as exc:
                 if len(tbl) == 1:
                     err_doc.append(tbl["doc_id"][0].as_py())
-                    err_msg.append(
-                        f"{type(exc).__name__}: {exc}"[:500]
-                    )
+                    err_msg.append(f"{type(exc).__name__}: {exc}"[:500])
                 else:
                     mid = len(tbl) // 2
                     attempt(tbl.slice(0, mid))
                     attempt(tbl.slice(mid))
 
         attempt(batch)
-        if ok_parts:
-            good = pa.concat_tables(ok_parts)
-        else:
-            good = None
+        good = pa.concat_tables(ok_parts) if ok_parts else None
         if not err_doc:
             assert good is not None
             return good.append_column(
                 "_error", pa.nulls(len(good), type=pa.string())
             )
-        # build error rows: doc_id + _error, other columns null
-        out_schema = (
-            good.schema if good is not None else
-            (error_schema or pa.schema([("doc_id", pa.int64())]))
-        )
-        cols = {}
         n_err = len(err_doc)
+        cols = {}
         for field in out_schema:
             if field.name == "doc_id":
                 cols["doc_id"] = pa.array(err_doc, type=field.type)
@@ -88,11 +96,19 @@ def quarantine_batch_fn(
     return safe
 
 
-def split_errors(ds):
+def split_errors(ds, materialize: bool = True):
     """Split a quarantined Dataset into (clean, errors) — clean rows with
-    ``_error`` dropped, error records kept for the lineage/metrics table."""
+    ``_error`` dropped, error records kept for the lineage/metrics table.
+
+    ``materialize=True`` (default) pins the quarantined dataset once so the
+    two consumers don't re-execute the whole upstream pipeline (including
+    per-poison-row bisection) twice. Pass ``materialize=False`` only when
+    the caller consumes just one side, or plumbs both sides through a
+    single pass (e.g. two write sinks inside one map)."""
     import pyarrow.compute as pc
 
+    if materialize:
+        ds = ds.materialize()
     clean = ds.map_batches(
         lambda t: t.filter(
             pc.is_null(t["_error"].combine_chunks())

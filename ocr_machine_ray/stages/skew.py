@@ -69,13 +69,16 @@ def cap_spans_per_row(batch: pa.Table, cap: int = DEFAULT_SPAN_CAP) -> pa.Table:
         "chunk_id": pa.array(chunk_id, type=pa.int64()),
         "spans": new_spans,
     }
-    if "category" in batch.column_names:
-        cols["category"] = pa.array(
-            np.repeat(
-                batch["category"].to_numpy(zero_copy_only=False), n_chunks
-            ),
-            type=pa.string(),
-        )
+    # every other input column survives, replicated across the doc's chunks
+    rep_idx = pa.array(
+        np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
+    )
+    for name in batch.column_names:
+        if name in ("doc_id", "spans"):
+            continue
+        col = batch[name]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        cols[name] = arr.take(rep_idx)
     return pa.table(cols)
 
 
@@ -90,10 +93,13 @@ def salted_reassemble(flat_ds, n_salt: int = 4):
     """Two-phase order-restoring reassembly for skewed documents.
 
     Phase 1: groupby((doc_id, salt)) sorts each salt bucket locally and
-    emits one packed row per (doc_id, salt). Phase 2: groupby(doc_id)
-    merges the n_salt packed rows (tiny) and re-densifies ``ord``. The
-    wide shuffle therefore moves (doc, salt)-sized groups, never a whole
-    giant document.
+    emits one packed row per (doc_id, salt) — no phase-1 task ever SORTS
+    more than |doc| / n_salt spans, which bounds the quadratic-ish sort
+    memory on hot keys. Phase 2: groupby(doc_id) concatenates the n_salt
+    pre-sorted runs and merges them; it does hold one whole document's
+    packed arrays at once, so for documents too large for any single task,
+    cap first with :func:`cap_spans_per_row` and emit per-chunk sequences
+    (chunked outputs reassemble by absolute offset downstream).
     """
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
@@ -149,21 +155,41 @@ def estimate_row_bytes(batch: pa.Table) -> np.ndarray:
                 np.int64
             )
         else:
-            sizes += arr.type.bit_width // 8 if hasattr(arr.type, "bit_width") else 8
+            try:
+                sizes += arr.type.bit_width // 8
+            except (ValueError, AttributeError):
+                # nested list/struct types raise ValueError from bit_width;
+                # charge the column's buffer bytes evenly per row — a fair
+                # estimate for the media/spans payloads this targets
+                sizes += max(1, arr.nbytes // max(1, n))
     return sizes
 
 
 def repartition_by_bytes(ds, target_bytes: int):
-    """Redistribute so each block carries ~target_bytes of payload.
+    """Split blocks so no output block exceeds ~target_bytes of ESTIMATED
+    payload (per-row byte cost model, not row count — a handful of
+    media-heavy rows must not ride in one giant block).
 
-    Uses the dataset's byte-size estimate (parquet metadata for reads,
-    sampled block sizes otherwise) to pick the block count, then an
-    explicit repartition. For per-TASK byte capping inside map stages,
-    pair this with ``DataContext.target_max_block_size`` — Ray splits
-    oversized output blocks dynamically at that boundary.
-    """
-    total = ds.size_bytes()
-    if not total or total <= 0:
-        return ds
-    n_blocks = max(1, -(-total // max(1, target_bytes)))
-    return ds.repartition(int(n_blocks))
+    Implementation: a generator batch fn — yielding several tables from one
+    map_batches call makes Ray emit each as its own block. Cuts happen at
+    row boundaries, so one single row larger than target_bytes still forms
+    its own (oversized) block; pair with spans/byte caps upstream for
+    row-level bounds."""
+
+    def split(batch: pa.Table):
+        sizes = estimate_row_bytes(batch)
+        if sizes.sum() <= target_bytes or len(batch) <= 1:
+            yield batch
+            return
+        cum = np.cumsum(sizes)
+        # bucket boundary whenever cumulative bytes cross a target multiple
+        bucket = ((cum - 1) // max(1, target_bytes)).astype(np.int64)
+        start = 0
+        for b in np.unique(bucket):
+            n = int((bucket == b).sum())
+            yield batch.slice(start, n)
+            start += n
+
+    return ds.map_batches(
+        split, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -56,8 +56,8 @@ def read_manifests(out_dir: str) -> list[dict]:
     return out
 
 
-def _write_partition(g: pd.DataFrame, out_dir: str, stage: str, run_id: str
-                     ) -> pd.DataFrame:
+def _write_partition(g: pd.DataFrame, out_dir: str, stage: str, run_id: str,
+                     n_parts: int) -> pd.DataFrame:
     """Per-group writer (runs inside map_groups on a worker): atomic data
     write, then the manifest. Returns the lineage row."""
     t0 = time.time()
@@ -74,6 +74,7 @@ def _write_partition(g: pd.DataFrame, out_dir: str, stage: str, run_id: str
         "partition_id": pid,
         "stage": stage,
         "run_id": run_id,
+        "n_parts": n_parts,
         "n_rows": int(len(g)),
         "doc_min": int(g["doc_id"].min()) if len(g) else None,
         "doc_max": int(g["doc_id"].max()) if len(g) else None,
@@ -96,12 +97,27 @@ def run_resumable(
 ):
     """Write a flat (doc_id, ...) Dataset to a resumable partitioned layout.
 
-    Already-done partitions are pruned BEFORE any compute on their rows
-    (the filter runs right after the scan), so resume cost is proportional
-    to the remaining work. Returns the list of lineage records written by
-    this invocation (empty if everything was already done).
+    Already-done partitions are filtered before the SHUFFLE + WRITE, so a
+    resume skips the expensive wide stages — but the caller's upstream map
+    stages on ``flat_ds`` still execute (Ray does not hoist this filter
+    above user transforms). For resume cost proportional to remaining
+    work, prune at the SOURCE with :func:`pending_docs_filter` applied to
+    the input read, then run the pipeline on the pruned docs. Returns the
+    lineage records written by this invocation (empty if all done).
     """
     import pyarrow.compute as pc
+
+    # refuse to resume against manifests written with different parameters:
+    # a changed n_parts or stage silently remixes partition membership and
+    # duplicates/loses rows
+    for m in read_manifests(out_dir):
+        if m.get("n_parts", n_parts) != n_parts or m.get("stage", stage) != stage:
+            raise ValueError(
+                f"out_dir {out_dir!r} holds manifests for "
+                f"stage={m.get('stage')!r} n_parts={m.get('n_parts')} — "
+                f"refusing to resume with stage={stage!r} n_parts={n_parts}; "
+                "use a fresh out_dir"
+            )
 
     done = done_partitions(out_dir)
 
@@ -126,10 +142,34 @@ def run_resumable(
         tag_and_filter, batch_format="pyarrow", zero_copy_batch=True
     )
     lineage = pending.groupby("_pid").map_groups(
-        lambda g: _write_partition(g, out_dir, stage, run_id),
+        lambda g: _write_partition(g, out_dir, stage, run_id, n_parts),
         batch_format="pandas",
     )
     return lineage.to_pandas().to_dict("records")
+
+
+def pending_docs_filter(out_dir: str, n_parts: int):
+    """Batch fn for the INPUT documents read: drop docs whose partition is
+    already done, so resume skips upstream compute too (apply as the first
+    map_batches after the scan)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    done = done_partitions(out_dir)
+    done_arr = pa.array(sorted(done), type=pa.int32()) if done else None
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if done_arr is None:
+            return batch
+        pid = (
+            batch["doc_id"].to_numpy(zero_copy_only=False) % n_parts
+        ).astype(np.int32)
+        mask = pc.invert(
+            pc.is_in(pa.array(pid, type=pa.int32()), value_set=done_arr)
+        )
+        return batch.filter(mask)
+
+    return fn
 
 
 def read_output(out_dir: str):
