@@ -166,15 +166,17 @@ def estimate_row_bytes(batch: pa.Table) -> np.ndarray:
 
 
 def repartition_by_bytes(ds, target_bytes: int):
-    """Split blocks so no output block exceeds ~target_bytes of ESTIMATED
-    payload (per-row byte cost model, not row count — a handful of
-    media-heavy rows must not ride in one giant block).
+    """Bound the BYTES any downstream batch carries (per-row byte cost
+    model, not row count — a handful of media-heavy rows must not ride in
+    one giant unit of work).
 
-    Implementation: a generator batch fn — yielding several tables from one
-    map_batches call makes Ray emit each as its own block. Cuts happen at
-    row boundaries, so one single row larger than target_bytes still forms
-    its own (oversized) block; pair with spans/byte caps upstream for
-    row-level bounds."""
+    Semantics, precisely: the generator yields sub-tables cut at cumulative
+    byte boundaries, so each batch handed to the NEXT fused stage is
+    bounded by ~target_bytes (+ one row of slack; a single oversized row
+    still forms its own cut). Ray's OUTPUT BLOCK sizing is a separate
+    knob — the streaming executor re-bundles yielded tables up to
+    ``DataContext.target_max_block_size``, so set that too when the goal
+    is object-store block bounds rather than per-batch work bounds."""
 
     def split(batch: pa.Table):
         sizes = estimate_row_bytes(batch)

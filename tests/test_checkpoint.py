@@ -84,3 +84,35 @@ class TestCheckpoint:
         b = cp.partition_id(ids, 8)
         assert (a == b).all()
         assert set(a) == set(range(8))
+
+
+class TestSourcePruning:
+    def test_pending_docs_filter_skips_done(self, ray_session, sf_small, out_dir):
+        import pyarrow.parquet as pq
+
+        _run(sf_small, out_dir)
+        # all partitions done -> the source filter drops every doc
+        fn = cp.pending_docs_filter(out_dir, n_parts=8)
+        batch = pq.read_table(
+            f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+        )
+        assert len(fn(batch)) == 0
+        # remove one manifest -> only that partition's docs survive
+        os.remove(os.path.join(out_dir, "_manifest", "3.json"))
+        fn2 = cp.pending_docs_filter(out_dir, n_parts=8)
+        kept = fn2(batch)
+        assert len(kept) > 0
+        assert (kept["doc_id"].to_numpy(zero_copy_only=False) % 8 == 3).all()
+
+    def test_mismatched_params_refused(self, ray_session, sf_small, out_dir):
+        _run(sf_small, out_dir)
+        from ocr_machine_ray.pipelines.extraction import extract
+
+        with pytest.raises(ValueError, match="refusing to resume"):
+            cp.run_resumable(
+                extract(sf_small), out_dir, n_parts=16, stage="extract"
+            )
+        with pytest.raises(ValueError, match="refusing to resume"):
+            cp.run_resumable(
+                extract(sf_small), out_dir, n_parts=8, stage="other"
+            )
