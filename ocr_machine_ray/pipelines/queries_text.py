@@ -121,3 +121,156 @@ def q_fingerprints(sf_dir: str):
     return read_documents(sf_dir).map_batches(
         md5_fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token-frequency table — the classic skewed-key wide aggregate
+# (hot tokens like 'the' dominate). Pre-aggregate per batch, shuffle only
+# (token, partial_count) rows.
+# ---------------------------------------------------------------------------
+_TOKEN_FREQ_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY tok
+"""
+
+
+@query("token_frequencies", _TOKEN_FREQ_SQL)
+def q_token_frequencies(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from ..corpus import FlatTokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        vals, counts = np.unique(ft.tokens, return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(vals, type=pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    partials = read_documents(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("tok").aggregate(Sum("n", alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# Top bigrams by frequency (deterministic tie-break on the bigram text).
+# ---------------------------------------------------------------------------
+_BIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS i
+  FROM documents
+),
+bg AS (
+  SELECT t1.tok || ' ' || t2.tok AS bigram
+  FROM toks t1 JOIN toks t2
+    ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+),
+cnt AS (SELECT bigram, count(*) AS n FROM bg GROUP BY bigram)
+SELECT bigram, CAST(n AS BIGINT) AS n
+FROM cnt ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+@query("top_bigrams", _BIGRAM_SQL)
+def q_top_bigrams(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from ..corpus import FlatTokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        toks = ft.tokens
+        same_doc = ft.row_idx[1:] == ft.row_idx[:-1]
+        left = toks[:-1][same_doc]
+        right = toks[1:][same_doc]
+        bigrams = np.char.add(np.char.add(left.astype(str), " "),
+                              right.astype(str))
+        vals, counts = np.unique(bigrams, return_counts=True)
+        return pa.table(
+            {
+                "bigram": pa.array(vals, type=pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    partials = read_documents(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = partials.groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    top = counts.sort(["n", "bigram"], descending=[True, False]).limit(20)
+    return top
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (lowercase, collapse whitespace) + stopword removal —
+# standard training-data cleaning maps, value-exact vs SQL string kernels.
+# ---------------------------------------------------------------------------
+_NORMALIZE_SQL = """
+SELECT doc_id,
+       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm_text
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@query("normalize_text", _NORMALIZE_SQL)
+def q_normalize_text(sf_dir: str):
+    import pyarrow.compute as pc
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(
+            pc.replace_substring_regex(
+                pc.utf8_trim_whitespace(batch["text"]), r"\s+", " "
+            )
+        )
+        return pa.table({"doc_id": batch["doc_id"], "norm_text": t})
+
+    return read_documents(sf_dir).map_batches(
+        norm, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+_STOPFILTER_SQL = """
+SELECT doc_id,
+       array_to_string(
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> t NOT IN ('the', 'a')), ' ') AS filtered_text
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@query("stopword_filter", _STOPFILTER_SQL)
+def q_stopword_filter(sf_dir: str):
+    from ..corpus import FlatTokens
+    from ..functions.text import QUALITY_STOPWORDS
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        keep = ~np.isin(ft.tokens, QUALITY_STOPWORDS)
+        out = []
+        # per-row join of surviving tokens (boundaries from row_idx)
+        kept_rows = ft.row_idx[keep]
+        kept_toks = ft.tokens[keep]
+        n = len(batch)
+        starts = np.searchsorted(kept_rows, np.arange(n + 1))
+        for r in range(n):
+            out.append(" ".join(kept_toks[starts[r]:starts[r + 1]]))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "filtered_text": pa.array(out, type=pa.string()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(
+        filt, batch_format="pyarrow", zero_copy_batch=True
+    )
