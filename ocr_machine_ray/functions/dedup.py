@@ -11,7 +11,7 @@ the same interfaces.
 from __future__ import annotations
 
 import hashlib
-
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -21,6 +21,18 @@ from ..corpus import FlatTokens
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding.
 # ---------------------------------------------------------------------------
+# ASCII-\s tokenizer shared by every Python-side dedup kernel — matches
+# the engine's Arrow/RE2 tokenization (FlatTokens) and the DuckDB oracle's
+# string_split_regex('\s+'); str.split() would differ on unicode
+# whitespace like NBSP.
+_TOKEN_RE = re.compile(r"\s+", re.ASCII)
+
+
+def tokenize(text: str) -> list[str]:
+    t = text.strip()
+    return _TOKEN_RE.split(t) if t else [""] if text == "" else [t]
+
+
 MINHASH_SEEDS = 8
 BAND_SIZE = 2
 N_BANDS = MINHASH_SEEDS // BAND_SIZE
@@ -58,7 +70,7 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     for doc_id, text in zip(
         batch["doc_id"].to_pylist(), batch["text"].to_pylist()
     ):
-        sig = minhash_signature(word_shingles((text or "").split()))
+        sig = minhash_signature(word_shingles(tokenize(text or "")))
         for b, key in enumerate(band_keys(sig)):
             doc_ids.append(doc_id)
             bands.append(b)

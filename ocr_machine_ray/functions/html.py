@@ -22,7 +22,8 @@ import re
 from html.parser import HTMLParser
 
 BOILERPLATE_ANCESTORS = frozenset(
-    ["nav", "header", "footer", "aside", "script", "style", "form", "noscript"]
+    ["nav", "header", "footer", "aside", "script", "style", "form",
+     "noscript", "head", "title"]
 )
 BLOCK_TAGS = frozenset(
     ["p", "div", "section", "article", "li", "td", "h1", "h2", "h3", "h4",
@@ -41,6 +42,7 @@ class _BlockCollector(HTMLParser):
         self.blocks: list[dict] = []
         self._open_block: dict | None = None
         self._anchor_depth = 0
+        self._furniture_depth = 0
 
     # -- helpers ----------------------------------------------------------
     def _in_furniture(self) -> bool:
@@ -50,7 +52,7 @@ class _BlockCollector(HTMLParser):
         self._flush()
         self._open_block = {
             "text": [],
-            "anchor_chars": 0,
+            "anchor_text": [],
             "furniture": self._in_furniture(),
             "tags": 0,
         }
@@ -60,10 +62,14 @@ class _BlockCollector(HTMLParser):
         if b is not None:
             text = _WS.sub(" ", "".join(b["text"])).strip()
             if text:
+                # normalize anchor text the same way as block text so link
+                # density compares like with like (raw anchor chars counted
+                # pretty-printed indentation and inflated density)
+                anchor = _WS.sub(" ", "".join(b["anchor_text"])).strip()
                 self.blocks.append(
                     {
                         "text": text,
-                        "anchor_chars": b["anchor_chars"],
+                        "anchor_chars": len(anchor),
                         "furniture": b["furniture"],
                         "tags": b["tags"],
                     }
@@ -77,34 +83,49 @@ class _BlockCollector(HTMLParser):
         self.stack.append(tag)
         if tag == "a":
             self._anchor_depth += 1
+        if tag in BOILERPLATE_ANCESTORS:
+            self._furniture_depth += 1
         if self._open_block is not None:
             self._open_block["tags"] += 1
-            if self._in_furniture():
-                self._open_block["furniture"] = True
+            # NOTE: an inline furniture element (e.g. <script> inside a
+            # content <div>) suppresses only ITS OWN text via handle_data;
+            # it must not taint the sibling text of the block
 
     def handle_endtag(self, tag: str) -> None:
         if tag == "a" and self._anchor_depth:
             self._anchor_depth -= 1
-        while self.stack and self.stack[-1] != tag:
-            self.stack.pop()
-        if self.stack:
-            self.stack.pop()
+        if tag in self.stack:
+            # pop to the matching open tag; implicitly-closed tags on the
+            # way out release their anchor/furniture depth too
+            while self.stack and self.stack[-1] != tag:
+                popped = self.stack.pop()
+                if popped == "a" and self._anchor_depth:
+                    self._anchor_depth -= 1
+                if popped in BOILERPLATE_ANCESTORS and self._furniture_depth:
+                    self._furniture_depth -= 1
+            if self.stack:
+                popped = self.stack.pop()
+                if popped in BOILERPLATE_ANCESTORS and self._furniture_depth:
+                    self._furniture_depth -= 1
+        # else: stray close tag — ignore, keep ancestor context intact
         if tag in BLOCK_TAGS:
             self._flush()
 
     def handle_data(self, data: str) -> None:
+        if self._furniture_depth or self._in_furniture():
+            return  # text inside furniture never reaches any block
         if self._open_block is None and data.strip():
             self._start_block()
         if self._open_block is not None:
             self._open_block["text"].append(data)
-            if self._anchor_depth or self._in_furniture():
-                pass
             if self._anchor_depth:
-                self._open_block["anchor_chars"] += len(data)
+                self._open_block["anchor_text"].append(data)
 
-    def close(self) -> None:  # flush trailing inline text
-        self._flush()
+    def close(self) -> None:
+        # the parser may buffer trailing data (potential incomplete charref)
+        # until close — flush AFTER it has been delivered via handle_data
         super().close()
+        self._flush()
 
 
 def extract_main_content(html: str) -> str:
@@ -134,10 +155,13 @@ def extract_main_content(html: str) -> str:
 def render_html(doc_id: int, text: str) -> str:
     """Wrap real text in deterministic boilerplate furniture. The stripper
     must return exactly the whitespace-normalized `text`."""
+    from html import escape
+
     toks = text.split()
-    # main content split into <p> blocks of ~12 tokens
+    # main content split into <p> blocks of ~12 tokens; escaped so text
+    # containing markup metacharacters round-trips exactly
     paras = [
-        "<p>" + " ".join(toks[i : i + 12]) + "</p>"
+        "<p>" + escape(" ".join(toks[i : i + 12])) + "</p>"
         for i in range(0, len(toks), 12)
     ]
     nav_links = "".join(

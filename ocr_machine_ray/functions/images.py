@@ -54,14 +54,16 @@ def synth_media_image(media_ref: str, pattern: str) -> np.ndarray:
 # Page classifier kernel (M1/M18 stand-in): detect ruled grids via line
 # periodicity, blobs via dark-mass without ruling.
 # ---------------------------------------------------------------------------
-def classify_page_image(img: np.ndarray) -> tuple[bool, bool]:
+def classify_page_image(
+    img: np.ndarray, min_ruled_rows: int = 3, min_ruled_cols: int = 2
+) -> tuple[bool, bool]:
     """(is_table, is_diagram) from dark-row/column ruling vs blob mass."""
     dark = img < 100
     row_frac = dark.mean(axis=1)  # fraction of dark pixels per row
     col_frac = dark.mean(axis=0)
     ruled_rows = (row_frac > 0.5).sum()
     ruled_cols = (col_frac > 0.5).sum()
-    is_table = ruled_rows >= 3 and ruled_cols >= 2
+    is_table = ruled_rows >= min_ruled_rows and ruled_cols >= min_ruled_cols
     dark_mass = dark.mean()
     # smallest synthetic blob covers ~3.7% of the page; noise/blank pages
     # have ~0% dark mass, ruled grids are caught by is_table first
@@ -133,26 +135,25 @@ def _otsu_threshold(img: np.ndarray) -> float:
     return float(np.argmax(between))
 
 
-def _open_horizontal(binary: np.ndarray, k: int) -> np.ndarray:
-    """Morphological opening with a k x 1 horizontal line kernel (erode then
-    dilate along rows) — isolates horizontal strokes like the reference's
-    line-kernel open (strikethrough_agent.py:85-87)."""
-    b = binary.astype(np.uint8)
-    # erosion: a pixel survives iff all k pixels in its row window are set
-    cs = np.cumsum(np.pad(b, ((0, 0), (k, 0)), mode="edge"), axis=1, dtype=np.int32)
-    win = cs[:, k:] - cs[:, :-k]
+def _window_sums_h(b: np.ndarray, k: int) -> np.ndarray:
+    """Centered k-wide horizontal window sums with zero padding: out[c] =
+    sum over original cols [c-shift, c+k-1-shift], shift=(k-1)//2."""
     shift = (k - 1) // 2
-    eroded = np.zeros_like(b)
-    valid = win[:, : b.shape[1]] == k
-    eroded[:, : b.shape[1] - shift] = valid[:, shift:]
-    # dilation with the same kernel
-    cs2 = np.cumsum(
-        np.pad(eroded, ((0, 0), (k, 0)), mode="constant"), axis=1, dtype=np.int32
-    )
-    win2 = cs2[:, k:] - cs2[:, :-k]
-    dil = np.zeros_like(b)
-    dil[:, shift:] = (win2[:, : b.shape[1] - shift] > 0).astype(np.uint8)
-    return dil
+    p = np.pad(b, ((0, 0), (shift, k - 1 - shift)), constant_values=0)
+    cs = np.cumsum(np.pad(p, ((0, 0), (1, 0))), axis=1, dtype=np.int32)
+    return cs[:, k:] - cs[:, :-k]
+
+
+def _open_horizontal(binary: np.ndarray, k: int) -> np.ndarray:
+    """Morphological opening with a centered k x 1 horizontal line kernel
+    (erode then dilate along rows, zero border) — isolates horizontal
+    strokes like the reference's line-kernel open
+    (strikethrough_agent.py:85-87). Both halves use the same centered
+    windowing; a skewed dilation index here once shifted every opened line
+    ~k px right and truncated right-edge strikes."""
+    b = binary.astype(np.uint8)
+    eroded = (_window_sums_h(b, k) == k).astype(np.uint8)
+    return (_window_sums_h(eroded, k) > 0).astype(np.uint8)
 
 
 def cv_strike_verdict(img: np.ndarray, orientation_vertical: bool = False) -> bool:

@@ -9,6 +9,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.dedup import (
+    tokenize as dedup_tokenize,
     BAND_SIZE,
     MINHASH_SEEDS,
     SHINGLE_N,
@@ -63,8 +64,11 @@ shingles AS (
   JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
   JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
   UNION
-  SELECT doc_id, trim(text) AS sh FROM documents
-  WHERE len(string_split_regex(trim(text), '\\s+')) < {SHINGLE_N}
+  SELECT doc_id,
+         array_to_string(string_split_regex(trim(text), '\\s+'), ' ') AS sh
+  FROM documents
+  WHERE text IS NOT NULL
+    AND len(string_split_regex(trim(text), '\\s+')) < {SHINGLE_N}
 ),
 seeds AS (SELECT unnest(range({MINHASH_SEEDS})) AS seed),
 minhashes AS (
@@ -172,7 +176,7 @@ def q_dedup_minhash(sf_dir: str):
     # this would be a bucketed join — documented partitioning assumption)
     docs_df = docs.to_pandas()
     shingle_map = {
-        d: word_shingles((t or "").split())
+        d: word_shingles(dedup_tokenize(t or ""))
         for d, t in zip(docs_df["doc_id"], docs_df["text"])
     }
     ref = ray.put(shingle_map)
@@ -243,7 +247,7 @@ def q_dedup_jaccard(sf_dir: str):
     def pairs_group(g: pd.DataFrame) -> pd.DataFrame:
         a, b = jaccard_pairs_group(
             g["doc_id"].to_numpy(),
-            [t.split() for t in g["text"]],
+            [dedup_tokenize(t) for t in g["text"]],
             JACCARD_T,
         )
         return pd.DataFrame({"doc_a": a, "doc_b": b})

@@ -65,12 +65,15 @@ class PageClassifier:
     heuristics on the image pixels — the deterministic stand-in for the
     reference's vision-model call (table_detector_agent.py:64-118)."""
 
-    def __init__(self):
+    def __init__(self, min_ruled_rows: int = 3):
         # stands in for model load / prompt setup (once per actor)
-        self.min_ruled_rows = 3
+        self.min_ruled_rows = min_ruled_rows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        verdicts = [classify_page_image(img) for img in _imgs_from_batch(batch)]
+        verdicts = [
+            classify_page_image(img, self.min_ruled_rows)
+            for img in _imgs_from_batch(batch)
+        ]
         is_table = [v[0] for v in verdicts]
         is_diagram = [v[1] for v in verdicts]
         return pa.table(

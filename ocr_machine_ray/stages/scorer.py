@@ -60,7 +60,8 @@ def normalize_stack(raw: np.ndarray) -> np.ndarray:
 def _make_weights(seed: int = 42) -> dict[str, np.ndarray]:
     """Deterministic stand-in checkpoint: a row-pooling linear head that
     fires on a dark horizontal band in the center rows — the same signal the
-    real model learns. Swap with a torch load in production."""
+    real model learns. Swap with a torch load in production (the seed then
+    selects the checkpoint variant; the stand-in weights are seed-free)."""
     w_rows = np.zeros(NORM_H, dtype=np.float32)
     lo, hi = int(NORM_H * 0.3), int(NORM_H * 0.7)
     w_rows[lo:hi] = 1.0
@@ -72,8 +73,8 @@ class ModelScorer:
     normalized, stacked, and scored in one vectorized pass; verdict =
     sigmoid(score) >= 0.5 (model_inference_test.py:100)."""
 
-    def __init__(self, threshold: float = 0.5):
-        self.weights = _make_weights()
+    def __init__(self, threshold: float = 0.5, seed: int = 42):
+        self.weights = _make_weights(seed)
         self.threshold = threshold
 
     def _score(self, stack: np.ndarray) -> np.ndarray:

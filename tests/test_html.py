@@ -87,3 +87,57 @@ class TestSplitDeterminism:
         t2, v2 = membership()
         assert t1 == t2 and v1 == v2
         assert not (t1 & v1)
+
+
+class TestStripperRobustness:
+    """Regression tests for real-world HTML failure modes (each previously
+    dropped or leaked content)."""
+
+    @pytest.mark.parametrize(
+        "html,expected",
+        [
+            # unclosed <a>: later paragraphs must survive
+            ("<p><a href=x>link</p><p>this long real content paragraph "
+             "should survive easily</p>",
+             "this long real content paragraph should survive easily"),
+            # trailing data buffered until close
+            ("<p>text ending with entity", "text ending with entity"),
+            # inline script must not taint sibling text
+            ("<div>Main article body text that is definitely long enough "
+             "<script>var x=1;</script></div>",
+             "Main article body text that is definitely long enough"),
+            # stray close tag must not destroy furniture context
+            ("<nav><a href=x>l</a></b><div>nav leftovers long enough "
+             "here</div></nav><p>real content</p>", "real content"),
+            # pretty-printed anchor: whitespace must not inflate density
+            ("<p>Some real content here <a href=x>\n     link text\n  "
+             "</a> tail</p>", "Some real content here link text tail"),
+            # head/title text is furniture
+            ("<head><title>Site Title Words</title></head><p>body</p>",
+             "body"),
+        ],
+    )
+    def test_cases(self, html, expected):
+        assert extract_main_content(html) == expected
+
+    def test_metachar_roundtrip(self):
+        text = "alpha <beta> gamma & delta epsilon"
+        assert extract_main_content(render_html(3, text)) == text
+
+
+class TestCVEdgeStrikes:
+    def test_right_edge_strike_detected(self):
+        import numpy as np
+
+        from ocr_machine_ray.functions.images import (
+            WORD_H,
+            WORD_W,
+            cv_strike_verdict,
+        )
+
+        img = np.full((WORD_H, WORD_W), 240, dtype=np.uint8)
+        img[12:14, 40:WORD_W] = 30  # line touching the right edge
+        assert cv_strike_verdict(img)
+        img2 = np.full((WORD_H, WORD_W), 240, dtype=np.uint8)
+        img2[12:14, 0:40] = 30  # line touching the left edge
+        assert cv_strike_verdict(img2)
