@@ -157,7 +157,9 @@ def jaccard_pairs_group(
             rows.append(r)
             cols.append(c)
     n, v = len(token_lists), len(vocab)
-    M = np.zeros((n, v), dtype=np.float32)
+    # float64: Jaccard at an exact threshold (e.g. 19/20 vs 0.95) must
+    # round identically to the SQL oracle's DOUBLE arithmetic
+    M = np.zeros((n, v), dtype=np.float64)
     M[rows, cols] = 1.0
     inter = M @ M.T
     sizes = M.sum(axis=1)

@@ -49,6 +49,14 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
         V = _as_matrix(batch["embedding"])
         norms = np.linalg.norm(V, axis=1, keepdims=True)
         Vn = V / np.where(norms == 0, 1.0, norms)
@@ -116,6 +124,14 @@ class LshTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
         V = _as_matrix(batch["embedding"])
         norms = np.linalg.norm(V, axis=1, keepdims=True)
         Vn = V / np.where(norms == 0, 1.0, norms)
@@ -168,7 +184,7 @@ def kmeans_fit(ds, k: int, n_iter: int = 10, seed: int = 42,
     # blob and k-means collapses into a local minimum)
     n = ds.count()
     frac = min(1.0, max(k * 40, 200) / max(1, n))
-    sample = ds.random_sample(frac, seed=seed).take(max(k * 20, k))
+    sample = ds.random_sample(frac, seed=seed).take(max(k * 40, 200))
     rng = np.random.default_rng(seed)
     pts = np.stack(
         [np.asarray(s[vec_col], dtype=np.float64) for s in sample]

@@ -268,7 +268,8 @@ _EMB_DUP_SQL = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_T}
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {COSINE_T}
 """
 
 
@@ -348,7 +349,10 @@ def q_dedup_clusters(sf_dir: str):
     nodes = np.unique(edges[["a", "b"]].to_numpy())
     labels = pd.DataFrame({"n": nodes, "lbl": nodes})
     edges_ds = ray.data.from_pandas(edges)
-    for _ in range(16):  # diameter bound; converges much earlier
+    # iterate to convergence: rounds needed = graph diameter; the node
+    # count is an absolute upper bound (a fixed small cap silently
+    # returned unconverged labels on long similarity chains)
+    for _ in range(max(2, len(nodes))):
         lbl_map = dict(zip(labels["n"], labels["lbl"]))
 
         def relabel(batch: pd.DataFrame, m=lbl_map) -> pd.DataFrame:

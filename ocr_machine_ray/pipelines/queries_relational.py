@@ -23,7 +23,18 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _cents(arr: np.ndarray) -> np.ndarray:
-    return np.round(arr * 100).astype(np.int64)
+    # floor(x*100 + 0.5): rounds halves AWAY from zero for the positive
+    # money values here, matching DuckDB round(); np.round's half-to-even
+    # would diverge by one cent on exact-.5 inputs
+    return np.floor(arr * 100.0 + 0.5).astype(np.int64)
+
+
+def _int_bincount(inv: np.ndarray, weights: np.ndarray, n: int) -> np.ndarray:
+    """Exact int64 grouped sum (np.bincount accumulates weights in float64,
+    which rounds once partials exceed 2^53)."""
+    acc = np.zeros(n, dtype=np.int64)
+    np.add.at(acc, inv, weights.astype(np.int64))
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -60,8 +71,8 @@ def q_q1_pricing(sf_dir: str):
         price_c = _cents(
             batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
         )
-        disc_pct = np.round(
-            100 - batch["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100
+        disc_pct = np.floor(
+            100.5 - batch["l_discount"].to_numpy(zero_copy_only=False)[keep] * 100
         ).astype(np.int64)
         key = np.char.add(np.char.add(rf.astype(str), "|"), ls.astype(str))
         uk, inv = np.unique(key, return_inverse=True)
@@ -71,14 +82,12 @@ def q_q1_pricing(sf_dir: str):
             {
                 "l_returnflag": pa.array(out_rf, type=pa.string()),
                 "l_linestatus": pa.array(out_ls, type=pa.string()),
-                "sum_qty": pa.array(
-                    np.bincount(inv, weights=qty).astype(np.int64)
-                ),
+                "sum_qty": pa.array(_int_bincount(inv, qty, len(uk))),
                 "sum_base_cents": pa.array(
-                    np.bincount(inv, weights=price_c).astype(np.int64)
+                    _int_bincount(inv, price_c, len(uk))
                 ),
                 "sum_disc_units": pa.array(
-                    np.bincount(inv, weights=price_c * disc_pct).astype(np.int64)
+                    _int_bincount(inv, price_c * disc_pct, len(uk))
                 ),
                 "n_items": pa.array(np.bincount(inv).astype(np.int64)),
             }
@@ -144,10 +153,13 @@ def q_revenue_by_nation(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.keys, ck)
-            nk = self.nks[pos]
+            pos = np.searchsorted(self.keys, ck).clip(0, len(self.keys) - 1)
+            # inner-join semantics: drop orders whose custkey is absent
+            # (searchsorted alone would mis-attribute them to a neighbor)
+            hit = self.keys[pos] == ck
+            nk = self.nks[pos[hit]]
             price_c = _cents(
-                batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                batch["o_totalprice"].to_numpy(zero_copy_only=False)[hit]
             )
             uk, inv = np.unique(nk, return_inverse=True)
             return pa.table(
@@ -156,9 +168,9 @@ def q_revenue_by_nation(sf_dir: str):
                         [self.names[int(k)] for k in uk], type=pa.string()
                     ),
                     "revenue_cents": pa.array(
-                        np.bincount(inv, weights=price_c).astype(np.int64)
+                        _int_bincount(inv, price_c, len(uk))
                     ),
-                    "n_orders": pa.array(np.bincount(inv).astype(np.int64)),
+                    "n_orders": pa.array(np.bincount(inv, minlength=len(uk)).astype(np.int64)),
                 }
             )
 
@@ -455,19 +467,32 @@ def q_topk_per_customer(sf_dir: str):
 # user — pd.merge_asof per user-hash bucket inside map_groups (the
 # documented Ray Data pattern for as-of/range joins).
 # ---------------------------------------------------------------------------
+# tie-break: among clicks sharing the latest prior ts, the highest
+# event_id wins on BOTH sides (ASOF JOIN leaves ties unspecified)
 _ASOF_SQL = """
-SELECT p.event_id AS purchase_id, c.event_id AS click_id
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND p.ts > c.ts
+SELECT p.event_id AS purchase_id,
+       (SELECT c.event_id FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts < p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (SELECT 1 FROM events c WHERE c.user_id = p.user_id
+              AND c.event_type = 'click' AND c.ts < p.ts)
 """
 
 
 @query("asof_purchase_click", _ASOF_SQL)
 def q_asof(sf_dir: str):
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["event_type"] == "purchase"].sort_values("ts")
-        c = g[g["event_type"] == "click"].sort_values("ts")
+        # stable sort by (ts, event_id): merge_asof picks the LAST tied
+        # row, i.e. the highest event_id — mirrored in the SQL oracle
+        p = g[g["event_type"] == "purchase"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        c = g[g["event_type"] == "click"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
         if p.empty or c.empty:
             return pd.DataFrame(
                 {"purchase_id": pd.Series(dtype="int64"),
@@ -669,9 +694,7 @@ def q_native_join(sf_dir: str):
         return pa.table(
             {
                 "o_orderpriority": pa.array(uk, type=pa.string()),
-                "revenue_cents": pa.array(
-                    np.bincount(inv, weights=cents).astype(np.int64)
-                ),
+                "revenue_cents": pa.array(_int_bincount(inv, cents, len(uk))),
                 "n_items": pa.array(np.bincount(inv).astype(np.int64)),
             }
         )

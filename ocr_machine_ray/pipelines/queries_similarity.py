@@ -33,7 +33,8 @@ WITH q AS (
 ),
 s AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_cosine_similarity(q.qe, e.embedding) AS c
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS c
   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
 ),
 r AS (
@@ -106,7 +107,8 @@ WITH q AS (
 ),
 s AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         list_cosine_similarity(q.qe, e.embedding) AS c
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS c
   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
 ),
 r AS (
