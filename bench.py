@@ -9,7 +9,7 @@ Usage:
   python bench.py                 # sf dir from $GRAFT_SF_DIR (default sf0.1),
                                   # cpus from $RAY_GRAFT_CPUS (default 32)
   python bench.py --scaling       # same pipeline at N vs 4N cpus (default
-                                  # 2 vs 8) in fresh processes; prints
+                                  # 4 vs 16) in fresh processes; prints
                                   # scaling efficiency
 """
 
@@ -190,7 +190,7 @@ def main_single() -> None:
         {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries(SF_DIR)
     )
     result = {
-        "metric": "documents/sec extraction throughput (amplified corpus)",
+        "metric": "extraction wall seconds over amplified corpus (lower is better; throughput in docs_per_sec)",
         "value": round(head["wall_sec"], 3),
         "unit": "sec",
         "docs_per_sec": round(head["docs_per_sec"], 1),

@@ -50,7 +50,14 @@ TABLE_TOKEN = "table"
 DIAGRAM_TOKEN = "vector"
 CATEGORY_MIN_COUNT = 3
 
-TOKEN_SPLIT_RE = r"\s+"
+TOKEN_SPLIT_RE = r"\s+"  # RE2 \s is ASCII: [ \t\n\r\v\f]
+ASCII_WS = " \t\n\r\v\f"
+# DuckDB expression stripping the same ASCII whitespace set from both ends
+# (bare trim() strips spaces only; Arrow's utf8_trim_whitespace strips
+# Unicode whitespace — both diverge from RE2 \s, so BOTH sides use this
+# explicit ASCII set)
+SQL_TRIM = ("trim(text, ' ' || chr(9) || chr(10) || chr(13) "
+            "|| chr(11) || chr(12))")
 
 
 # ---------------------------------------------------------------------------
@@ -71,7 +78,8 @@ class FlatTokens:
 
     def __init__(self, batch: pa.Table):
         toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(batch["text"]), TOKEN_SPLIT_RE
+            pc.utf8_trim(batch["text"], characters=ASCII_WS),
+            TOKEN_SPLIT_RE,
         )
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -105,9 +113,9 @@ def struck_mask(doc_ids: np.ndarray, i: np.ndarray) -> np.ndarray:
     return (doc_ids * STRIKE_A + i * STRIKE_B) % STRIKE_MOD == 0
 
 
-def categories_from_tokens(ft: FlatTokens, n_docs: int) -> pa.Array:
-    """Per-doc routing category from token counts (vectorized; the equality
-    scans run as Arrow C kernels, no Python-string materialization)."""
+def category_flags(ft: FlatTokens, n_docs: int):
+    """(is_table, is_diagram, category) per doc in ONE pass of Arrow-kernel
+    equality scans — no Python-string materialization, no double counting."""
     is_tbl = pc.equal(ft.tokens_arrow, TABLE_TOKEN).to_numpy(
         zero_copy_only=False
     )
@@ -116,11 +124,17 @@ def categories_from_tokens(ft: FlatTokens, n_docs: int) -> pa.Array:
     )
     tbl_cnt = np.bincount(ft.row_idx[is_tbl], minlength=n_docs)
     dia_cnt = np.bincount(ft.row_idx[is_dia], minlength=n_docs)
+    is_table = tbl_cnt >= CATEGORY_MIN_COUNT
+    is_diagram = dia_cnt >= CATEGORY_MIN_COUNT
     cat = np.where(
-        tbl_cnt >= CATEGORY_MIN_COUNT, "tables",
-        np.where(dia_cnt >= CATEGORY_MIN_COUNT, "diagrams", "other"),
+        is_table, "tables", np.where(is_diagram, "diagrams", "other")
     )
-    return pa.array(cat, type=pa.string())
+    return is_table, is_diagram, pa.array(cat, type=pa.string())
+
+
+def categories_from_tokens(ft: FlatTokens, n_docs: int) -> pa.Array:
+    """Per-doc routing category (see category_flags)."""
+    return category_flags(ft, n_docs)[2]
 
 
 # ---------------------------------------------------------------------------
@@ -210,11 +224,11 @@ def derive_spans_batch(batch: pa.Table) -> pa.Table:
 # ---------------------------------------------------------------------------
 # SQL fragments for the DuckDB oracle (documents is a pre-registered view).
 # ---------------------------------------------------------------------------
-SQL_TOKS = """
+SQL_TOKS = f"""
 toks AS (
   SELECT doc_id,
-         unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS i
+         unnest(string_split_regex({SQL_TRIM}, '\\s+')) AS tok,
+         generate_subscripts(string_split_regex({SQL_TRIM}, '\\s+'), 1) AS i
   FROM documents
 )
 """

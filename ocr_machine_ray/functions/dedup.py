@@ -28,9 +28,12 @@ from ..corpus import FlatTokens
 _TOKEN_RE = re.compile(r"\s+", re.ASCII)
 
 
+_ASCII_WS = " \t\n\r\v\f"
+
+
 def tokenize(text: str) -> list[str]:
-    t = text.strip()
-    return _TOKEN_RE.split(t) if t else [""] if text == "" else [t]
+    t = text.strip(_ASCII_WS)
+    return _TOKEN_RE.split(t) if t else [""]
 
 
 MINHASH_SEEDS = 8

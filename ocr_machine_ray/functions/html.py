@@ -32,7 +32,8 @@ BLOCK_TAGS = frozenset(
 MAX_LINK_DENSITY = 0.5
 MIN_STUB_CHARS = 10
 
-_WS = re.compile(r"\s+")
+# ASCII \s to match the SQL oracle's RE2 semantics
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 class _BlockCollector(HTMLParser):
@@ -157,7 +158,7 @@ def render_html(doc_id: int, text: str) -> str:
     must return exactly the whitespace-normalized `text`."""
     from html import escape
 
-    toks = text.split()
+    toks = _WS.split(text.strip(" \t\n\r\v\f"))
     # main content split into <p> blocks of ~12 tokens; escaped so text
     # containing markup metacharacters round-trips exactly
     paras = [

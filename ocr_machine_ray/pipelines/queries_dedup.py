@@ -52,9 +52,9 @@ def q_dedup_exact(sf_dir: str):
 _SHINGLE_CTE = f"""
 toks AS (
   SELECT doc_id,
-         unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS i,
-         len(string_split_regex(trim(text), '\\s+')) AS n
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'), 1) AS i,
+         len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS n
   FROM documents
 ),
 shingles AS (
@@ -65,10 +65,10 @@ shingles AS (
   JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
   UNION
   SELECT doc_id,
-         array_to_string(string_split_regex(trim(text), '\\s+'), ' ') AS sh
+         array_to_string(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'), ' ') AS sh
   FROM documents
   WHERE text IS NOT NULL
-    AND len(string_split_regex(trim(text), '\\s+')) < {SHINGLE_N}
+    AND len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) < {SHINGLE_N}
 ),
 seeds AS (SELECT unnest(range({MINHASH_SEEDS})) AS seed),
 minhashes AS (
@@ -194,7 +194,7 @@ def q_dedup_minhash(sf_dir: str):
 _SIMHASH_SQL = """
 WITH toks AS (
   SELECT DISTINCT doc_id,
-         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok
   FROM documents
 ),
 th AS (
@@ -232,7 +232,7 @@ JACCARD_T = 0.95
 _JACCARD_SQL = f"""
 WITH ws AS (
   SELECT doc_id, lang,
-         list_distinct(string_split_regex(trim(text), '\\s+')) AS s
+         list_distinct(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS s
   FROM documents WHERE text IS NOT NULL
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -304,7 +304,7 @@ def q_dedup_embedding(sf_dir: str):
 _CLUSTERS_SQL = f"""
 WITH RECURSIVE ws AS (
   SELECT doc_id, lang,
-         list_distinct(string_split_regex(trim(text), '\\s+')) AS s
+         list_distinct(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS s
   FROM documents WHERE text IS NOT NULL
 ),
 pairs AS (

@@ -102,19 +102,19 @@ FROM flags
 
 @query("classify_route", _CLASSIFY_SQL)
 def q_classify_route(sf_dir: str):
+    from ..corpus import category_flags  # driver-side: closure captures it
+                                         # (a batch-fn-body import fails on
+                                         # workers under pickle-by-value)
+
     def classify(batch: pa.Table) -> pa.Table:
         ft = FlatTokens(batch)
-        n = len(batch)
-        tbl = np.bincount(ft.row_idx[ft.tokens == TABLE_TOKEN], minlength=n)
-        dia = np.bincount(ft.row_idx[ft.tokens == DIAGRAM_TOKEN], minlength=n)
-        is_table = tbl >= CATEGORY_MIN_COUNT
-        is_diagram = dia >= CATEGORY_MIN_COUNT
+        is_table, is_diagram, route = category_flags(ft, len(batch))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "is_table": pa.array(is_table),
                 "is_diagram": pa.array(is_diagram),
-                "route": categories_from_tokens(ft, n),
+                "route": route,
             }
         )
 
@@ -204,12 +204,20 @@ def q_strike_stats(sf_dir: str):
         v = rule_verdict_flat(batch)
         t = v.filter(pa.compute.equal(v["kind"], "text"))
         s = t["struck"].to_numpy(zero_copy_only=False)
+        # emit only classes present in this batch — the SQL GROUP BY has
+        # no rows for empty groups, and a zero-count partial would survive
+        # the Sum aggregate as a spurious n=0 row
+        classes, counts = [], []
+        n_true = int(s.sum())
+        n_false = int(len(s) - n_true)
+        if n_false:
+            classes.append(False); counts.append(n_false)
+        if n_true:
+            classes.append(True); counts.append(n_true)
         return pa.table(
             {
-                "struck": pa.array([False, True]),
-                "n": pa.array(
-                    [int((~s).sum()), int(s.sum())], type=pa.int64()
-                ),
+                "struck": pa.array(classes, type=pa.bool_()),
+                "n": pa.array(counts, type=pa.int64()),
             }
         )
 

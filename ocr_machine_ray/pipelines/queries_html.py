@@ -19,7 +19,7 @@ from .extraction import read_documents
 # ---------------------------------------------------------------------------
 _HTML_SQL = """
 SELECT doc_id,
-       regexp_replace(trim(text), '\\s+', ' ', 'g') AS main_text
+       regexp_replace(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+', ' ', 'g') AS main_text
 FROM documents WHERE text IS NOT NULL
 """
 
@@ -85,15 +85,18 @@ def q_union_sources(sf_dir: str):
 # The driver-checkable projection is split SIZES (exact); membership
 # stability is asserted in pytest.
 # ---------------------------------------------------------------------------
+# mirrors Ray split_proportionately's CUMULATIVE int indices:
+# train_end = int(c*0.7), val_end = int(c*0.85) — floor(c*0.15) would
+# disagree whenever the fractional parts of 0.7c and 0.15c sum past 1
 _SPLIT_SQL = """
 WITH n AS (SELECT count(*) AS c FROM documents)
 SELECT 'test' AS split,
-       CAST(c - CAST(floor(c*0.7) AS BIGINT)
-              - CAST(floor(c*0.15) AS BIGINT) AS BIGINT) AS n_docs FROM n
+       CAST(c - CAST(floor(c*0.85) AS BIGINT) AS BIGINT) AS n_docs FROM n
 UNION ALL
 SELECT 'train', CAST(floor(c*0.7) AS BIGINT) FROM n
 UNION ALL
-SELECT 'val', CAST(floor(c*0.15) AS BIGINT) FROM n
+SELECT 'val', CAST(floor(c*0.85) AS BIGINT)
+              - CAST(floor(c*0.7) AS BIGINT) FROM n
 """
 
 
@@ -173,6 +176,20 @@ def q_doc_length_stats_sketch(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch["n_chars"].to_numpy(zero_copy_only=False)
+        if len(vals) == 0:
+            return pa.table(
+                {
+                    "counts": pa.array([], type=pa.list_(pa.int64())),
+                    "min_v": pa.array([], type=pa.int64()),
+                    "max_v": pa.array([], type=pa.int64()),
+                    "total": pa.array([], type=pa.int64()),
+                }
+            )
+        if int(vals.max()) > HI:
+            raise ValueError(
+                f"n_chars {int(vals.max())} exceeds sketch domain [{LO},{HI}]"
+                " — raise HI (clipping would silently skew the percentiles)"
+            )
         sk = HistogramSketch(LO, HI).add(vals)
         _, _, counts = sk.to_arrays()
         return pa.table(

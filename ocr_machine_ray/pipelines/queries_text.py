@@ -58,8 +58,8 @@ def q_lang_distribution(sf_dir: str):
 _QUALITY_SQL = """
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS i
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'), 1) AS i
   FROM documents
 ),
 lagged AS (
@@ -92,7 +92,7 @@ def q_quality_stats(sf_dir: str):
 # ---------------------------------------------------------------------------
 _TOKEN_COUNT_SQL = """
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       CAST(len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS BIGINT)
            AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS BIGINT)
            AS n_bpeish_tokens
@@ -130,7 +130,7 @@ def q_fingerprints(sf_dir: str):
 # ---------------------------------------------------------------------------
 _TOKEN_FREQ_SQL = """
 WITH toks AS (
-  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  SELECT unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok
   FROM documents WHERE text IS NOT NULL
 )
 SELECT tok, CAST(count(*) AS BIGINT) AS n
@@ -166,8 +166,8 @@ def q_token_frequencies(sf_dir: str):
 _BIGRAM_SQL = """
 WITH toks AS (
   SELECT doc_id,
-         unnest(string_split_regex(trim(text), '\\s+')) AS tok,
-         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS i
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'), 1) AS i
   FROM documents
 ),
 bg AS (
@@ -217,7 +217,7 @@ def q_top_bigrams(sf_dir: str):
 # ---------------------------------------------------------------------------
 _NORMALIZE_SQL = """
 SELECT doc_id,
-       lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm_text
+       lower(regexp_replace(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+', ' ', 'g')) AS norm_text
 FROM documents WHERE text IS NOT NULL
 """
 
@@ -242,7 +242,7 @@ def q_normalize_text(sf_dir: str):
 _STOPFILTER_SQL = """
 SELECT doc_id,
        array_to_string(
-         list_filter(string_split_regex(trim(text), '\\s+'),
+         list_filter(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'),
                      t -> t NOT IN ('the', 'a')), ' ') AS filtered_text
 FROM documents WHERE text IS NOT NULL
 """

@@ -37,6 +37,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].where(pd.notna(df[c]), None)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            # round before SORTING so last-ulp engine differences cannot
+            # reorder near-tied rows and misalign the positional compare
+            df[c] = df[c].round(9)
     return df.sort_values(list(df.columns), na_position="first").reset_index(
         drop=True
     )
