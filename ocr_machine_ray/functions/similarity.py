@@ -192,6 +192,10 @@ def kmeans_fit(ds, k: int, n_iter: int = 10, seed: int = 42,
     # k-means++ seeding over the sample: distance-weighted picks avoid the
     # uniform-pick failure where two seeds land in one blob and Lloyd
     # merges two true clusters into one centroid
+    # tiny datasets: can't seed more distinct centroids than sample points;
+    # shrink k rather than silently duplicating points (duplicate centroids
+    # tie on every assignment and one side starves forever)
+    k = min(k, len(pts))
     chosen = [pts[int(rng.integers(len(pts)))]]
     while len(chosen) < k:
         d2 = _sq_dists(pts, np.stack(chosen)).min(axis=1)
@@ -246,7 +250,12 @@ def kmeans_fit(ds, k: int, n_iter: int = 10, seed: int = 42,
         # bucket is stranded at its init forever
         n_empty = int((~nonempty).sum())
         if n_empty:
-            ridx = rng.choice(len(sample), size=n_empty, replace=False)
+            # replace=False raises when n_empty > sample size (tiny data)
+            ridx = rng.choice(
+                len(sample),
+                size=n_empty,
+                replace=n_empty > len(sample),
+            )
             centroids[~nonempty] = np.stack(
                 [np.asarray(sample[i][vec_col], dtype=np.float64)
                  for i in ridx]

@@ -23,10 +23,13 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _cents(arr: np.ndarray) -> np.ndarray:
-    # floor(x*100 + 0.5): rounds halves AWAY from zero for the positive
-    # money values here, matching DuckDB round(); np.round's half-to-even
-    # would diverge by one cent on exact-.5 inputs
-    return np.floor(arr * 100.0 + 0.5).astype(np.int64)
+    # round halves AWAY from zero (both signs) to match DuckDB round();
+    # np.round's half-to-even would diverge by one cent on exact-.5 inputs,
+    # and a bare floor(x*100+0.5) rounds negative halves toward +inf
+    scaled = np.asarray(arr, dtype=np.float64) * 100.0
+    return np.where(
+        scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+    ).astype(np.int64)
 
 
 def _int_bincount(inv: np.ndarray, weights: np.ndarray, n: int) -> np.ndarray:

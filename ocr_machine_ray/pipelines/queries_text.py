@@ -226,10 +226,14 @@ FROM documents WHERE text IS NOT NULL
 def q_normalize_text(sf_dir: str):
     import pyarrow.compute as pc
 
+    from ..corpus import ASCII_WS
+
     def norm(batch: pa.Table) -> pa.Table:
+        # explicit ASCII set: utf8_trim_whitespace strips Unicode ws (NBSP)
+        # and would diverge from the SQL oracle's ASCII trim on non-ASCII text
         t = pc.utf8_lower(
             pc.replace_substring_regex(
-                pc.utf8_trim_whitespace(batch["text"]), r"\s+", " "
+                pc.utf8_trim(batch["text"], characters=ASCII_WS), r"\s+", " "
             )
         )
         return pa.table({"doc_id": batch["doc_id"], "norm_text": t})

@@ -57,8 +57,6 @@ def quarantine_batch_fn(
                 return
             try:
                 out = fn(tbl)
-                ok_parts.append(out.cast(out_schema) if out.schema != out_schema
-                                else out)
             except Exception as exc:
                 if len(tbl) == 1:
                     err_doc.append(tbl["doc_id"][0].as_py())
@@ -67,6 +65,14 @@ def quarantine_batch_fn(
                     mid = len(tbl) // 2
                     attempt(tbl.slice(0, mid))
                     attempt(tbl.slice(mid))
+                return
+            # cast OUTSIDE the try: a schema mismatch between fn's row-path
+            # output and the probed/declared out_schema is an engine bug, not
+            # per-row poison — quarantining it would silently route every
+            # healthy row into the error channel (false poison / data loss)
+            ok_parts.append(
+                out.cast(out_schema) if out.schema != out_schema else out
+            )
 
         attempt(batch)
         good = pa.concat_tables(ok_parts) if ok_parts else None
