@@ -41,6 +41,20 @@ BAND_SIZE = 2
 N_BANDS = MINHASH_SEEDS // BAND_SIZE
 SHINGLE_N = 3
 
+# Universal-hash family for the k MinHash permutations: each shingle is
+# md5-hashed ONCE to a uint64 base value h, then permutation i applies
+# h_i = (A[i]*h + B[i]) mod 2^64 — a single vectorized numpy op instead of
+# k salted md5 calls per shingle. A entries are odd and < 2^32 so the SQL
+# oracle can evaluate the identical arithmetic in HUGEINT without overflow.
+# Fixed literals (seeded rng(42)) so the SQL oracle embeds the same values.
+MINHASH_A = (383329929, 3324115917, 2811363265, 1884968547,
+             1859786277, 3687649987, 369133711, 2995172879)
+MINHASH_B = (434316358506045562, 4499263958308476131, 3510137321738899740,
+             3625081766230566352, 590819848579757124, 2077038532689293147,
+             1710004064013894666, 4273949141441111211)
+_MH_A = np.array(MINHASH_A, dtype=np.uint64)
+_MH_B = np.array(MINHASH_B, dtype=np.uint64)
+
 
 def word_shingles(tokens: list[str], n: int = SHINGLE_N) -> set[str]:
     """n-word shingles; a doc shorter than n yields its single joined text."""
@@ -49,42 +63,183 @@ def word_shingles(tokens: list[str], n: int = SHINGLE_N) -> set[str]:
     }
 
 
-def minhash_signature(shingles: set[str], k: int = MINHASH_SEEDS) -> list[str]:
-    """k min-hex-md5 values of seed-salted shingles (lexicographic min over
-    hex strings — identical to SQL ``min(md5(shingle || '|' || seed))``)."""
+def shingle_base_hash(s: str) -> int:
+    """uint64 base hash of a shingle: first 8 md5 bytes, big-endian —
+    identical to SQL ``('0x' || substr(md5(s), 1, 16))::UBIGINT``."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+def minhash_signature(shingles: set[str], k: int = MINHASH_SEEDS) -> list[int]:
+    """k MinHash values: min over shingles of (A[i]*md5_64(s) + B[i]) mod
+    2^64. Reference implementation kept for tests; the batch path below
+    computes the same values vectorized."""
+    bases = [shingle_base_hash(s) for s in shingles]
     return [
-        min(hashlib.md5(f"{s}|{seed}".encode()).hexdigest() for s in shingles)
-        for seed in range(k)
+        min((MINHASH_A[i] * h + MINHASH_B[i]) % (1 << 64) for h in bases)
+        for i in range(k)
     ]
 
 
-def band_keys(sig: list[str]) -> list[str]:
+def band_keys(sig: list[int]) -> list[str]:
+    """Band key = md5 of the band's minhash values joined as decimal strings
+    (matches SQL ``md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed))``)."""
     return [
-        hashlib.md5("|".join(sig[b * BAND_SIZE : (b + 1) * BAND_SIZE]).encode())
-        .hexdigest()
+        hashlib.md5(
+            "|".join(
+                str(v) for v in sig[b * BAND_SIZE : (b + 1) * BAND_SIZE]
+            ).encode()
+        ).hexdigest()
         for b in range(N_BANDS)
     ]
+
+
+def _batch_doc_shingles(batch: pa.Table):
+    """Distinct word shingles per doc, batch-vectorized.
+
+    Returns ``(p_rows, p_sh, uniq_sh)``: distinct (row, shingle) incidence
+    pairs (sorted by row) indexing into the batch-wide unique shingle list.
+    Shingle strings are built with Arrow C kernels (three shifted slices of
+    the flat token array joined element-wise); only deduplication and the
+    short-doc fallback touch Python objects.
+    """
+    import pyarrow.compute as pc
+
+    from ..corpus import FlatTokens
+
+    ft = FlatTokens(batch)
+    rows = ft.row_idx
+    n_docs = len(batch)
+    total = len(rows)
+    arr = ft.tokens_arrow
+    sh_strings: list = []
+    sh_rows_parts: list[np.ndarray] = []
+    if total >= SHINGLE_N:
+        win = total - SHINGLE_N + 1
+        joined = pc.binary_join_element_wise(
+            arr.slice(0, win), arr.slice(1, win), arr.slice(2, win), " "
+        )
+        valid = rows[: win] == rows[SHINGLE_N - 1 :]
+        sh_strings.append(
+            np.asarray(joined.to_numpy(zero_copy_only=False))[valid]
+        )
+        sh_rows_parts.append(rows[:win][valid])
+    # docs shorter than SHINGLE_N yield their single joined text
+    short = np.flatnonzero(ft.counts < SHINGLE_N)
+    if len(short):
+        toks = ft.tokens
+        starts = np.concatenate(([0], np.cumsum(ft.counts)))
+        sh_strings.append(
+            np.array(
+                [
+                    " ".join(toks[starts[r] : starts[r + 1]])
+                    for r in short
+                ],
+                dtype=object,
+            )
+        )
+        sh_rows_parts.append(short.astype(np.int64))
+    flat_sh = (
+        np.concatenate([np.asarray(p, dtype=object) for p in sh_strings])
+        if sh_strings
+        else np.array([], dtype=object)
+    )
+    flat_rows = (
+        np.concatenate(sh_rows_parts)
+        if sh_rows_parts
+        else np.array([], dtype=np.int64)
+    )
+    uniq_sh, inv = np.unique(flat_sh, return_inverse=True)
+    # distinct (row, shingle) pairs, sorted by row then shingle id
+    pair_key = flat_rows * max(1, len(uniq_sh)) + inv
+    uniq_pairs = np.unique(pair_key)
+    p_rows = uniq_pairs // max(1, len(uniq_sh))
+    p_sh = uniq_pairs % max(1, len(uniq_sh))
+    return p_rows, p_sh, uniq_sh, n_docs
+
+
+def _signatures_from_pairs(
+    p_rows: np.ndarray,
+    p_sh: np.ndarray,
+    uniq_sh: np.ndarray,
+    n_docs: int,
+    k: int = MINHASH_SEEDS,
+) -> np.ndarray:
+    """(n_docs, k) uint64 signature matrix from distinct (row, shingle)
+    pairs: ONE md5 per unique shingle (digests decoded by a single
+    np.frombuffer), k permutations as one vectorized multiply-add with
+    native uint64 wraparound (== mod 2^64), per-doc minima via
+    np.minimum.at — no Python per-(doc, shingle, seed) work.
+    """
+    n_uniq = len(uniq_sh)
+    buf = bytearray(n_uniq * 8)
+    mv = memoryview(buf)
+    for u in range(n_uniq):
+        mv[u * 8 : u * 8 + 8] = hashlib.md5(uniq_sh[u].encode()).digest()[:8]
+    base = np.frombuffer(buf, dtype=">u8").astype(np.uint64)  # (n_uniq,)
+    with np.errstate(over="ignore"):
+        vals = base[:, None] * _MH_A[None, :k] + _MH_B[None, :k]  # mod 2^64
+    sig = np.full((n_docs, k), np.iinfo(np.uint64).max, dtype=np.uint64)
+    np.minimum.at(sig, p_rows, vals[p_sh])
+    return sig
+
+
+def _band_rows(batch: pa.Table, with_shingles: bool):
+    """Shared core of the two band emitters: per-doc band keys (and
+    optionally the distinct shingle list carried alongside for bucket-local
+    verification). NULL-text docs are dropped — identical to the SQL
+    oracle, where splitting NULL yields no shingles."""
+    import pyarrow.compute as pc
+
+    batch = batch.filter(pc.is_valid(batch["text"]))
+    p_rows, p_sh, uniq_sh, n_docs = _batch_doc_shingles(batch)
+    sig = _signatures_from_pairs(p_rows, p_sh, uniq_sh, n_docs)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    keys = [
+        hashlib.md5(
+            "|".join(
+                str(int(v))
+                for v in sig[r, b * BAND_SIZE : (b + 1) * BAND_SIZE]
+            ).encode()
+        ).hexdigest()
+        for r in range(n_docs)
+        for b in range(N_BANDS)
+    ]
+    out = {
+        "doc_id": pa.array(
+            np.repeat(doc_ids, N_BANDS).astype(np.int64), type=pa.int64()
+        ),
+        "band": pa.array(
+            np.tile(np.arange(N_BANDS, dtype=np.int64), n_docs),
+            type=pa.int64(),
+        ),
+        "band_key": pa.array(keys, type=pa.string()),
+    }
+    if with_shingles:
+        starts = np.searchsorted(p_rows, np.arange(n_docs + 1))
+        per_doc = [
+            uniq_sh[p_sh[starts[r] : starts[r + 1]]].tolist()
+            for r in range(n_docs)
+        ]
+        out["shingles"] = pa.array(
+            [per_doc[r] for r in range(n_docs) for _ in range(N_BANDS)],
+            type=pa.list_(pa.string()),
+        )
+    return pa.table(out)
 
 
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     """Per-doc LSH bucket keys: (doc_id, band, band_key). Downstream dedup is
     groupby((band, band_key)) — hash-partitioned, no all-pairs."""
-    doc_ids, bands, keys = [], [], []
-    for doc_id, text in zip(
-        batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-    ):
-        sig = minhash_signature(word_shingles(tokenize(text or "")))
-        for b, key in enumerate(band_keys(sig)):
-            doc_ids.append(doc_id)
-            bands.append(b)
-            keys.append(key)
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "band": pa.array(bands, type=pa.int64()),
-            "band_key": pa.array(keys, type=pa.string()),
-        }
-    )
+    return _band_rows(batch, with_shingles=False)
+
+
+def minhash_bands_shingles_batch(batch: pa.Table) -> pa.Table:
+    """Band rows that CARRY each doc's distinct shingle set (list<string>)
+    so candidate verification happens inside the bucket groupby — no
+    driver-side shingle index, no second scan of documents. The ×N_BANDS
+    duplication of shingle lists is the documented cost of keeping the
+    verify stage a single shuffle."""
+    return _band_rows(batch, with_shingles=True)
 
 
 def shingle_jaccard(a: set[str], b: set[str]) -> float:
@@ -138,6 +293,105 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Prefix filtering for the exact set-similarity self-join (AllPairs/PPJoin
+# family): under ANY globally consistent total order of the token universe,
+# two sets with Jaccard >= t must share a token within each other's first
+# |A| - ceil(t*|A|) + 1 tokens. Emitting one row per PREFIX token (carrying
+# the doc's distinct token set) and grouping by that token gives bounded
+# buckets with exact output — no all-pairs over a coarse key like language.
+# The order used is md5-of-token (pseudo-random, so natural-language hot
+# tokens don't all rank first), tie-broken by the token string.
+# ---------------------------------------------------------------------------
+def prefix_rows_batch(
+    batch: pa.Table, threshold: float, extra_key: str | None = None
+) -> pa.Table:
+    """(doc_id[, extra_key], ptok, tokens) rows — one per prefix token.
+
+    ``ptok`` is the md5-prefixed token (hash hex + token, making the bucket
+    key order-consistent and collision-safe); ``tokens`` is the doc's full
+    distinct-token set carried for in-bucket verification.
+    """
+    import pyarrow.compute as pc
+
+    from ..corpus import FlatTokens
+
+    batch = batch.filter(pc.is_valid(batch["text"]))
+    ft = FlatTokens(batch)
+    n_docs = len(batch)
+    toks = ft.tokens
+    rows = ft.row_idx
+    uniq_t, inv = np.unique(toks, return_inverse=True)
+    # md5-64 per unique token (cached across batches)
+    th = np.array([_token_hash64(t) for t in uniq_t], dtype=np.uint64)
+    # global order: (hash, token) — rank is batch-local but the ORDER
+    # relation is global, which is all the prefix theorem needs
+    rank = np.empty(len(uniq_t), dtype=np.int64)
+    rank[np.lexsort((uniq_t.astype(str), th))] = np.arange(len(uniq_t))
+    # distinct (row, token) pairs
+    key = rows * max(1, len(uniq_t)) + inv
+    up = np.unique(key)
+    pr = up // max(1, len(uniq_t))
+    pt = up % max(1, len(uniq_t))
+    order = np.lexsort((rank[pt], pr))
+    pr, pt = pr[order], pt[order]
+    starts = np.searchsorted(pr, np.arange(n_docs + 1))
+    sizes = np.diff(starts)  # distinct tokens per doc
+    prefix_len = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+    pos = np.arange(len(pr)) - starts[pr]
+    keep = pos < prefix_len[pr]
+    kp_rows, kp_toks = pr[keep], pt[keep]
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    token_lists = [
+        uniq_t[pt[starts[r] : starts[r + 1]]].tolist() for r in range(n_docs)
+    ]
+    ptok = [
+        format(int(th[t]), "016x") + str(uniq_t[t]) for t in kp_toks
+    ]
+    out = {
+        "doc_id": pa.array(doc_ids[kp_rows].astype(np.int64), pa.int64()),
+        "ptok": pa.array(ptok, type=pa.string()),
+        "tokens": pa.array(
+            [token_lists[r] for r in kp_rows], type=pa.list_(pa.string())
+        ),
+    }
+    if extra_key is not None:
+        out[extra_key] = batch[extra_key].take(
+            pa.array(kp_rows, type=pa.int64())
+        )
+    return pa.table(out)
+
+
+# Scale guard for LSH / prefix buckets: a pathological bucket (boilerplate
+# cluster where thousands of docs share a band key or prefix token) would
+# otherwise emit O(n^2) pairs. Above the cap the bucket degrades to a STAR
+# pairing against its min doc_id — connected components (what dedup
+# consumes) are preserved, pair-level completeness is traded for a linear
+# bound. Default is far above anything the correctness-gate corpora hit.
+BUCKET_CAP = 4096
+
+
+def bucket_pairs(
+    doc_ids: np.ndarray,
+    member_sets: list[list[str]],
+    threshold: float,
+    cap: int = BUCKET_CAP,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Verified similar pairs within one bucket (see BUCKET_CAP)."""
+    order = np.argsort(doc_ids)
+    doc_ids = doc_ids[order]
+    member_sets = [member_sets[i] for i in order]
+    if len(doc_ids) > cap:
+        anchor = set(member_sets[0])
+        keep = [
+            shingle_jaccard(anchor, set(s)) >= threshold
+            for s in member_sets[1:]
+        ]
+        others = doc_ids[1:][np.asarray(keep, dtype=bool)]
+        return np.full(len(others), doc_ids[0]), others
+    return jaccard_pairs_group(doc_ids, member_sets, threshold)
 
 
 # ---------------------------------------------------------------------------

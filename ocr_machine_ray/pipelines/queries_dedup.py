@@ -1,5 +1,12 @@
 """Driver-checked queries: dedup family (exact, MinHash+LSH, SimHash,
-n-gram Jaccard, embedding-cosine near-dup).
+n-gram Jaccard via prefix filtering, embedding-cosine near-dup via sign-bit
+LSH buckets, connected-component duplicate clusters).
+
+Every pipeline here is fully distributed: candidate generation is a
+groupby over bucket keys (band keys, prefix tokens, sign codes), candidate
+verification happens INSIDE the bucket groups (the member sets ride along
+with the bucket rows), and nothing materializes the corpus — or the pair
+set — on the driver.
 """
 
 from __future__ import annotations
@@ -9,16 +16,18 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.dedup import (
-    tokenize as dedup_tokenize,
     BAND_SIZE,
+    BUCKET_CAP,
+    MINHASH_A,
+    MINHASH_B,
     MINHASH_SEEDS,
     SHINGLE_N,
+    bucket_pairs,
     content_hash_batch,
-    jaccard_pairs_group,
     minhash_bands_batch,
+    minhash_bands_shingles_batch,
+    prefix_rows_batch,
     simhash_batch,
-    word_shingles,
-    shingle_jaccard,
 )
 from ..registry import query
 from .extraction import read_documents
@@ -48,7 +57,15 @@ def q_dedup_exact(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # MinHash signatures -> LSH band keys (the shuffle key for near-dedup).
+# Hash family: one md5 per shingle -> uint64 base h, then permutation i is
+# (A[i]*h + B[i]) mod 2^64 (universal hashing — vectorizes to one numpy
+# multiply-add instead of k salted digests per shingle). The SQL below
+# evaluates the identical arithmetic in HUGEINT.
 # ---------------------------------------------------------------------------
+_SEED_VALUES = ", ".join(
+    f"({i}, {MINHASH_A[i]}, {MINHASH_B[i]})" for i in range(MINHASH_SEEDS)
+)
+
 _SHINGLE_CTE = f"""
 toks AS (
   SELECT doc_id,
@@ -70,15 +87,19 @@ shingles AS (
   WHERE text IS NOT NULL
     AND len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) < {SHINGLE_N}
 ),
-seeds AS (SELECT unnest(range({MINHASH_SEEDS})) AS seed),
+seeds AS (SELECT * FROM (VALUES {_SEED_VALUES}) AS t(seed, a, b)),
 minhashes AS (
-  SELECT doc_id, seed, min(md5(sh || '|' || seed)) AS mh
+  SELECT doc_id, seed,
+         min(CAST((CAST(a AS HUGEINT)
+                   * CAST(('0x' || substr(md5(sh), 1, 16))::UBIGINT AS HUGEINT)
+                   + CAST(b AS HUGEINT)) % 18446744073709551616
+                  AS UBIGINT)) AS mh
   FROM shingles CROSS JOIN seeds
   GROUP BY doc_id, seed
 ),
 bands AS (
   SELECT doc_id, seed // {BAND_SIZE} AS band,
-         md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
   FROM minhashes GROUP BY doc_id, seed // {BAND_SIZE}
 )
 """
@@ -97,8 +118,10 @@ def q_minhash_bands(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# MinHash LSH dedup end-to-end: band groupby -> candidate pairs -> verify
-# exact shingle Jaccard >= 0.5.
+# MinHash LSH dedup end-to-end: band groupby -> bucket-local verify (exact
+# shingle Jaccard >= 0.5) -> distinct pairs. The shingle sets travel WITH
+# the band rows into the bucket groupby, so verification needs no driver
+# index and no second scan of documents.
 # ---------------------------------------------------------------------------
 MINHASH_VERIFY_T = 0.5
 
@@ -123,69 +146,36 @@ WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {MINHASH_VERIFY_T}
 """
 
 
+def _distinct_pairs(pair_ds):
+    """Distinct (doc_a, doc_b) — a pair can surface in several buckets."""
+    return pair_ds.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def _verified_shingle_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    a, b = bucket_pairs(
+        g["doc_id"].to_numpy(), list(g["shingles"]), MINHASH_VERIFY_T
+    )
+    return pd.DataFrame(
+        {"doc_a": a.astype(np.int64), "doc_b": b.astype(np.int64)}
+    )
+
+
 @query("dedup_minhash", _MINHASH_PAIRS_SQL)
 def q_dedup_minhash(sf_dir: str):
     """LSH candidates via groupby on (band, band_key), verified with exact
-    shingle Jaccard inside map_groups — the full near-dedup pipeline."""
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
-
-    class VerifyJaccard:
-        """Actor holding doc_id -> shingle set (broadcast via ray.put once),
-        verifying candidate pairs per batch."""
-
-        def __init__(self, shingle_ref):
-            import ray
-
-            self.shingles = ray.get(shingle_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["doc_a"].to_pylist()
-            b = batch["doc_b"].to_pylist()
-            keep = [
-                shingle_jaccard(self.shingles[x], self.shingles[y])
-                >= MINHASH_VERIFY_T
-                for x, y in zip(a, b)
-            ]
-            return batch.filter(pa.array(keep))
-
-    import ray
-
-    docs = read_documents(sf_dir)
-    bands = docs.map_batches(
-        minhash_bands_batch, batch_format="pyarrow", zero_copy_batch=True
-    )
-    cand = (
-        bands.groupby(["band", "band_key"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-    )
-    # distinct pairs (a doc pair can collide in several bands)
-    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
-    # broadcast the shingle-set index (small side: one set per doc; at scale
-    # this would be a bucketed join — documented partitioning assumption)
-    docs_df = docs.to_pandas()
-    shingle_map = {
-        d: word_shingles(dedup_tokenize(t or ""))
-        for d, t in zip(docs_df["doc_id"], docs_df["text"])
-    }
-    ref = ray.put(shingle_map)
-    return cand.map_batches(
-        VerifyJaccard,
-        fn_constructor_args=(ref,),
+    shingle Jaccard INSIDE the bucket groups (sets carried on the band
+    rows) — the full near-dedup pipeline with no driver-side state."""
+    bands = read_documents(sf_dir).map_batches(
+        minhash_bands_shingles_batch,
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        zero_copy_batch=True,
     )
+    pairs = bands.groupby(["band", "band_key"]).map_groups(
+        _verified_shingle_pairs, batch_format="pandas"
+    )
+    return _distinct_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -225,7 +215,12 @@ def q_dedup_simhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# n-gram (word-set) Jaccard near-dup pairs, bucketed by language.
+# n-gram (word-set) Jaccard near-dup pairs — EXACT self-join via prefix
+# filtering (AllPairs/PPJoin): each doc emits one row per token in its
+# md5-ordered prefix (|A| - ceil(t|A|) + 1 tokens); two sets with
+# Jaccard >= t provably share a prefix token, so grouping on
+# (lang, prefix-token) yields bounded buckets with exact output — no
+# all-pairs over a 5-value language key.
 # ---------------------------------------------------------------------------
 JACCARD_T = 0.95
 
@@ -242,64 +237,143 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 """
 
 
-@query("dedup_ngram_jaccard", _JACCARD_SQL)
-def q_dedup_jaccard(sf_dir: str):
-    def pairs_group(g: pd.DataFrame) -> pd.DataFrame:
-        a, b = jaccard_pairs_group(
-            g["doc_id"].to_numpy(),
-            [dedup_tokenize(t) for t in g["text"]],
-            JACCARD_T,
-        )
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+def _jaccard_prefix_rows(batch: pa.Table) -> pa.Table:
+    return prefix_rows_batch(batch, JACCARD_T, extra_key="lang")
 
-    return (
-        read_documents(sf_dir, ["doc_id", "lang", "text"])
-        .groupby("lang")
-        .map_groups(pairs_group, batch_format="pandas")
+
+def _verified_token_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    a, b = bucket_pairs(g["doc_id"].to_numpy(), list(g["tokens"]), JACCARD_T)
+    return pd.DataFrame(
+        {"doc_a": a.astype(np.int64), "doc_b": b.astype(np.int64)}
     )
 
 
+@query("dedup_ngram_jaccard", _JACCARD_SQL)
+def q_dedup_jaccard(sf_dir: str):
+    rows = read_documents(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        _jaccard_prefix_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = rows.groupby(["lang", "ptok"]).map_groups(
+        _verified_token_pairs, batch_format="pandas"
+    )
+    return _distinct_pairs(pairs)
+
+
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup, bucketed by label (coarse-quantizer stand-in).
+# Embedding-cosine near-dup: sign-bit LSH buckets (the coordinate signs of
+# dimension block t*B..t*B+B-1 form table t's bucket code — deterministic
+# and SQL-expressible), exact cosine verification inside each bucket,
+# distinct across tables. Candidacy-by-bucket is part of the QUERY
+# semantics — both sides compute it identically, so the check is
+# value-exact. More bits per table = smaller buckets and lower recall:
+# that's the documented scale lever (at 10^12 rows you raise EMB_LSH_BITS,
+# not the bucket cap).
 # ---------------------------------------------------------------------------
 COSINE_T = 0.35
+EMB_LSH_BITS = 4
+EMB_LSH_TABLES = 4
+
+_EMB_CODE_TERMS = " + ".join(
+    f"{1 << i}*(CASE WHEN embedding[t*{EMB_LSH_BITS}+{i + 1}] > 0 "
+    "THEN 1 ELSE 0 END)"
+    for i in range(EMB_LSH_BITS)
+)
 
 _EMB_DUP_SQL = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+WITH codes AS (
+  SELECT vec_id, embedding, t, {_EMB_CODE_TERMS} AS code
+  FROM embeddings CROSS JOIN (SELECT unnest(range({EMB_LSH_TABLES})) AS t)
+)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM codes a JOIN codes b
+  ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= {COSINE_T}
 """
+
+
+def _emb_code_rows(batch: pa.Table) -> pa.Table:
+    """One row per (vector, table): (t, code, vec_id, embedding)."""
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) == 0:
+        return pa.table(
+            {
+                "t": pa.array([], type=pa.int64()),
+                "code": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array(
+                    [], type=batch.schema.field("embedding").type
+                ),
+            }
+        )
+    V = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+    weights = (1 << np.arange(EMB_LSH_BITS)).astype(np.int64)
+    ts, codes = [], []
+    for t in range(EMB_LSH_TABLES):
+        block = V[:, t * EMB_LSH_BITS : (t + 1) * EMB_LSH_BITS] > 0
+        codes.append(block.astype(np.int64) @ weights)
+        ts.append(np.full(len(ids), t, dtype=np.int64))
+    emb_col = batch["embedding"]
+    if isinstance(emb_col, pa.ChunkedArray):
+        emb_col = emb_col.combine_chunks()
+    return pa.table(
+        {
+            "t": pa.array(np.concatenate(ts)),
+            "code": pa.array(np.concatenate(codes)),
+            "vec_id": pa.array(np.tile(ids, EMB_LSH_TABLES)),
+            "embedding": pa.concat_arrays(
+                [emb_col] * EMB_LSH_TABLES
+            ),
+        }
+    )
+
+
+def _verified_cosine_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    ids = g["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    V = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    if len(ids) > BUCKET_CAP:
+        # scale guard: degrade to star pairing against the min vec_id
+        sims = Vn[1:] @ Vn[0]
+        others = ids[1:][sims >= COSINE_T]
+        return pd.DataFrame(
+            {
+                "vec_a": np.full(len(others), ids[0], dtype=np.int64),
+                "vec_b": others.astype(np.int64),
+            }
+        )
+    S = Vn @ Vn.T
+    ii, jj = np.where(np.triu(S >= COSINE_T, k=1))
+    return pd.DataFrame(
+        {"vec_a": ids[ii].astype(np.int64), "vec_b": ids[jj].astype(np.int64)}
+    )
 
 
 @query("dedup_embedding", _EMB_DUP_SQL)
 def q_dedup_embedding(sf_dir: str):
     import ray.data
 
-    def pairs_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy()
-        V = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        S = Vn @ Vn.T
-        ii, jj = np.where(np.triu(S >= COSINE_T, k=1))
-        a, b = ids[ii], ids[jj]
-        swap = a > b
-        return pd.DataFrame(
-            {
-                "vec_a": np.where(swap, b, a),
-                "vec_b": np.where(swap, a, b),
-            }
-        )
-
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return emb.groupby("label").map_groups(pairs_group, batch_format="pandas")
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    rows = emb.map_batches(
+        _emb_code_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = rows.groupby(["t", "code"]).map_groups(
+        _verified_cosine_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
-# Duplicate clusters: connected components over near-dup pairs (min-label
-# propagation with a groupby per round — the distributed-friendly CC; the
-# oracle recomputes components with a recursive CTE).
+# Duplicate clusters: connected components over near-dup pairs, computed
+# entirely as Dataset joins/groupbys — min-label propagation with path
+# compression (label doubling), so rounds grow with log(diameter), and the
+# only thing the driver ever holds is one convergence scalar per round.
 # ---------------------------------------------------------------------------
 _CLUSTERS_SQL = f"""
 WITH RECURSIVE ws AS (
@@ -325,55 +399,129 @@ FROM cc GROUP BY n
 """
 
 
-@query("dedup_clusters", _CLUSTERS_SQL)
-def q_dedup_clusters(sf_dir: str):
-    """Cluster near-duplicate documents: jaccard pairs (bucketed by lang) ->
-    iterative min-label propagation. Each round is one groupby over edge
-    endpoints (hash-partitioned by node) — the standard distributed CC;
-    rounds = graph diameter, tiny for dup clusters."""
-    import ray.data
-    from ray.data.aggregate import Min
-
-    pair_ds = q_dedup_jaccard(sf_dir)
-    pairs = pair_ds.to_pandas()  # candidate pairs are small by construction
-    if len(pairs) == 0:
-        return pd.DataFrame({"doc_id": [], "cluster": []}).astype("int64")
-
-    edges = pd.concat(
-        [
-            pairs.rename(columns={"doc_a": "a", "doc_b": "b"}),
-            pairs.rename(columns={"doc_b": "a", "doc_a": "b"})[["a", "b"]],
-        ],
-        ignore_index=True,
+def _edges_both_dirs(t: pa.Table) -> pa.Table:
+    a = t["doc_a"].combine_chunks() if isinstance(t["doc_a"], pa.ChunkedArray) else t["doc_a"]
+    b = t["doc_b"].combine_chunks() if isinstance(t["doc_b"], pa.ChunkedArray) else t["doc_b"]
+    return pa.table(
+        {
+            "src": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+            "dst": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+        }
     )
-    nodes = np.unique(edges[["a", "b"]].to_numpy())
-    labels = pd.DataFrame({"n": nodes, "lbl": nodes})
-    edges_ds = ray.data.from_pandas(edges)
-    # iterate to convergence: rounds needed = graph diameter; the node
-    # count is an absolute upper bound (a fixed small cap silently
-    # returned unconverged labels on long similarity chains)
-    for _ in range(max(2, len(nodes))):
-        lbl_map = dict(zip(labels["n"], labels["lbl"]))
 
-        def relabel(batch: pd.DataFrame, m=lbl_map) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"n": batch["b"], "cand": batch["a"].map(m)}
-            )
 
+def connected_components(pair_ds, max_rounds: int = 50):
+    """Distributed connected components over a (doc_a, doc_b) pair Dataset.
+
+    Each round:
+      1. edge propagation — join labels onto edge sources, take
+         min(label) over each destination's incoming sources;
+      2. path compression — relabel every node by its label's label
+         (pointer jumping, halving chain depth each round).
+    Labels only decrease, so sum(label) is a strictly decreasing convergence
+    witness; the driver holds that single scalar and never sees the node
+    table. Rounds needed: O(log diameter) thanks to compression.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    edges = pair_ds.map_batches(
+        _edges_both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if edges.count() == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "cluster": pd.Series([], dtype="int64")}
+        )
+
+    def _init_lbl(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "n": t["src"],
+                "lbl": pc.min_element_wise(t["src"], t["nbr_min"]),
+            }
+        )
+
+    # repartition before materializing: hash-aggregate output contains
+    # EMPTY schema-less blocks for idle partitions, and a schema-less block
+    # on the probe side of a later hash join fails FieldRef resolution
+    # inside pyarrow (observed on ray 2.49); repartition concatenates them
+    # into schema-bearing blocks. The label table is O(nodes in the dup
+    # graph), far smaller than the corpus, so this shuffle is cheap.
+    labels = (
+        edges.groupby("src")
+        .aggregate(Min("dst", alias_name="nbr_min"))
+        .map_batches(_init_lbl, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(4)
+        .materialize()
+    )
+    prev_total = None
+    for _ in range(max_rounds):
+        # 1. propagate: candidate label for dst = lbl(src). Materialized
+        # separately — two hash-shuffle joins in ONE streaming plan
+        # mis-resolve key columns (ray 2.49), so each join runs its own
+        # plan over the (small, materialized) label table.
         prop = (
-            edges_ds.map_batches(relabel, batch_format="pandas")
+            edges.join(
+                labels,
+                join_type="inner",
+                num_partitions=8,
+                on=("src",),
+                right_on=("n",),
+            )
+            .map_batches(
+                lambda t: pa.table({"n": t["dst"], "cand": t["lbl"]}),
+                batch_format="pyarrow",
+            )
             .groupby("n")
             .aggregate(Min("cand", alias_name="cand"))
-            .to_pandas()
+            .materialize()
         )
-        merged = labels.merge(prop, on="n", how="left")
-        new_lbl = np.minimum(
-            merged["lbl"], merged["cand"].fillna(merged["lbl"])
-        ).astype(np.int64)
-        if (new_lbl == labels["lbl"]).all():
+        # 2. compress: cand for n = lbl(lbl(n)) (pointer jumping)
+        jump = (
+            labels.join(
+                labels.map_batches(
+                    lambda t: pa.table({"jn": t["n"], "jl": t["lbl"]}),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner",
+                num_partitions=8,
+                on=("lbl",),
+                right_on=("jn",),
+            )
+            .map_batches(
+                lambda t: pa.table({"n": t["n"], "cand": t["jl"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        current = labels.map_batches(
+            lambda t: pa.table({"n": t["n"], "cand": t["lbl"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            current.union(prop, jump)
+            .groupby("n")
+            .aggregate(Min("cand", alias_name="lbl"))
+            .repartition(4)
+            .materialize()
+        )
+        total = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
+        if total == prev_total:
             break
-        labels["lbl"] = new_lbl
-    return pd.DataFrame(
-        {"doc_id": labels["n"].astype(np.int64),
-         "cluster": labels["lbl"].astype(np.int64)}
+        prev_total = total
+    return labels
+
+
+@query("dedup_clusters", _CLUSTERS_SQL)
+def q_dedup_clusters(sf_dir: str):
+    """Cluster near-duplicate documents: exact Jaccard pairs (prefix-filter
+    join) -> Dataset-native connected components."""
+    labels = connected_components(q_dedup_jaccard(sf_dir))
+    if isinstance(labels, pd.DataFrame):
+        return labels
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["n"], "cluster": t["lbl"]}),
+        batch_format="pyarrow",
     )

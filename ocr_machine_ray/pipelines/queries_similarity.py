@@ -17,7 +17,12 @@ def _load_queries(sf_dir: str):
     import pyarrow.parquet as pq
     import pyarrow.compute as pc
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    # row-group predicate pushed into the read: only the query rows are
+    # decoded, not the whole embeddings table
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
     t = t.filter(pc.less(t["vec_id"], N_QUERIES))
     q_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
@@ -132,27 +137,38 @@ FROM (
 """
 
 
+def _vote(g: pd.DataFrame) -> pd.DataFrame:
+    counts = g.groupby("label").size().reset_index(name="c")
+    counts = counts.sort_values(["c", "label"], ascending=[False, True])
+    return pd.DataFrame(
+        {
+            "query_id": [np.int64(g["query_id"].iloc[0])],
+            "pred_label": [np.int64(counts["label"].iloc[0])],
+        }
+    )
+
+
 @query("knn_classify", _KNN_SQL)
 def q_knn_classify(sf_dir: str):
-    import collections
+    """Majority label of the top-k neighbors: hash join of the top-k result
+    against a pruned (vec_id, label) read, then a per-query vote — no
+    driver-side label dictionary, no full-table read."""
+    import ray.data
 
-    import pyarrow.parquet as pq
-
-    topk = q_ann_topk(sf_dir).to_pandas()
-    lab_t = pq.read_table(
+    topk = q_ann_topk(sf_dir)
+    labels = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
     )
-    labels = dict(
-        zip(lab_t["vec_id"].to_pylist(), lab_t["label"].to_pylist())
+    joined = topk.join(
+        labels,
+        join_type="inner",
+        num_partitions=4,
+        on=("neighbor_id",),
+        right_on=("vec_id",),
     )
-    rows = []
-    for qid, g in topk.groupby("query_id"):
-        votes = collections.Counter(labels[n] for n in g["neighbor_id"])
-        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
-        rows.append((int(qid), int(best)))
-    import pandas as pd
-
-    return pd.DataFrame(rows, columns=["query_id", "pred_label"])
+    return joined.groupby("query_id").map_groups(
+        _vote, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -166,10 +182,12 @@ def q_ivf_clusters(sf_dir: str):
 
     from ..functions.similarity import kmeans_assign, kmeans_fit
 
-    # materialize once: the iterative fit scans the dataset every round,
-    # and a lazy read would re-read + re-decode the parquet each time
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).materialize()
-    centroids = kmeans_fit(emb, k=8, n_iter=5)
+    )
+    # fit on a materialized SAMPLE (bounded object-store footprint at any
+    # corpus size — the iterative Lloyd rounds rescan only the sample);
+    # assignment then streams once over the lazy full read
+    fit_ds = emb.random_sample(0.5, seed=42).materialize()
+    centroids = kmeans_fit(fit_ds, k=8, n_iter=5)
     return kmeans_assign(emb, centroids)

@@ -1,0 +1,131 @@
+"""Scale-guard behavior of the dedup family: bounded buckets under a
+pathological 100%-duplicate corpus, star-degradation preserving connected
+components, and Dataset-native connected components on long chains."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocr_machine_ray.functions import dedup
+
+
+class TestBucketCap:
+    def test_allpairs_below_cap(self):
+        ids = np.arange(6, dtype=np.int64)
+        sets = [["a", "b", "c"]] * 6
+        a, b = dedup.bucket_pairs(ids, sets, 0.5, cap=100)
+        assert len(a) == 6 * 5 // 2  # full quadratic pairing
+
+    def test_star_above_cap_is_linear(self):
+        n = 500  # pathological: every doc identical -> one giant bucket
+        ids = np.arange(n, dtype=np.int64)
+        sets = [["a", "b", "c"]] * n
+        a, b = dedup.bucket_pairs(ids, sets, 0.5, cap=8)
+        # linear output, all anchored at the min doc_id
+        assert len(a) == n - 1
+        assert (a == 0).all()
+        assert sorted(b) == list(range(1, n))
+
+    def test_star_preserves_components(self):
+        # two duplicate groups forced through the capped path: the star
+        # pairs must keep each group connected and never bridge groups
+        ids = np.arange(20, dtype=np.int64)
+        sets = [["x", "y", "z"]] * 20
+        a, b = dedup.bucket_pairs(ids, sets, 0.9, cap=4)
+        assert (a == 0).all() and len(b) == 19
+
+    def test_star_still_verifies(self):
+        # non-duplicate members of a hot bucket are NOT paired
+        ids = np.arange(10, dtype=np.int64)
+        sets = [["a", "b", "c"]] * 9 + [["q", "r", "s"]]
+        a, b = dedup.bucket_pairs(ids, sets, 0.9, cap=4)
+        assert 9 not in set(b)
+
+
+class TestConnectedComponents:
+    def _run(self, pairs_df, ray_session):
+        import ray.data
+
+        from ocr_machine_ray.pipelines.queries_dedup import (
+            connected_components,
+        )
+
+        res = connected_components(ray.data.from_pandas(pairs_df))
+        if isinstance(res, pd.DataFrame):
+            return res
+        return res.to_pandas().rename(columns={"n": "doc_id", "lbl": "cluster"})
+
+    def test_long_chain_converges(self, ray_session):
+        # a 40-node path graph: min label must reach the far end; the naive
+        # one-hop propagation needs 40 rounds, path compression O(log n)
+        n = 40
+        pairs = pd.DataFrame(
+            {"doc_a": np.arange(n - 1), "doc_b": np.arange(1, n)}
+        )
+        out = self._run(pairs, ray_session).sort_values("doc_id")
+        assert len(out) == n
+        assert (out["cluster"] == 0).all()
+
+    def test_two_components(self, ray_session):
+        pairs = pd.DataFrame(
+            {"doc_a": [0, 1, 10, 11], "doc_b": [1, 2, 11, 12]}
+        )
+        out = self._run(pairs, ray_session)
+        lbl = dict(zip(out["doc_id"], out["cluster"]))
+        assert lbl[0] == lbl[1] == lbl[2] == 0
+        assert lbl[10] == lbl[11] == lbl[12] == 10
+
+    def test_empty_pairs(self, ray_session):
+        pairs = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64")}
+        )
+        out = self._run(pairs, ray_session)
+        assert len(out) == 0
+
+
+class TestPrefixFilter:
+    def test_prefix_rows_cover_all_similar_pairs(self):
+        # exactness property: any pair with Jaccard >= t must share a
+        # bucket (prefix token), for random sets near the threshold
+        rng = np.random.default_rng(7)
+        vocab = np.array([f"w{i}" for i in range(40)], dtype=object)
+        docs = []
+        base = list(vocab[:20])
+        for i in range(30):
+            d = list(base)
+            for _ in range(int(rng.integers(0, 2))):
+                d[int(rng.integers(len(d)))] = str(
+                    vocab[int(rng.integers(len(vocab)))]
+                )
+            docs.append(" ".join(d))
+        t = 0.9
+        batch = pa.table(
+            {
+                "doc_id": list(range(len(docs))),
+                "lang": ["en"] * len(docs),
+                "text": docs,
+            }
+        )
+        rows = prefix_tbl = dedup.prefix_rows_batch(batch, t, "lang").to_pandas()
+        buckets: dict[str, set[int]] = {}
+        for d, p in zip(prefix_tbl["doc_id"], prefix_tbl["ptok"]):
+            buckets.setdefault(p, set()).add(d)
+        tok_sets = [set(dedup.tokenize(x)) for x in docs]
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                jac = dedup.shingle_jaccard(tok_sets[i], tok_sets[j])
+                if jac >= t:
+                    assert any(
+                        i in m and j in m for m in buckets.values()
+                    ), (i, j, jac)
+
+    def test_prefix_length_formula(self):
+        batch = pa.table(
+            {"doc_id": [1], "lang": ["en"],
+             "text": [" ".join(f"t{i}" for i in range(20))]}
+        )
+        rows = dedup.prefix_rows_batch(batch, 0.95, "lang").to_pandas()
+        # 20 distinct tokens at t=0.95 -> prefix of 20 - 19 + 1 = 2 tokens
+        assert len(rows) == 2

@@ -70,14 +70,36 @@ class TestSimhash:
 
 
 class TestMinhash:
-    def test_signature_is_min_over_salted_shingles(self):
+    def test_signature_is_min_over_permuted_shingles(self):
         sh = {"a b c", "b c d"}
         sig = dedup.minhash_signature(sh, k=2)
-        for seed, got in enumerate(sig):
+        for i, got in enumerate(sig):
             exp = min(
-                hashlib.md5(f"{s}|{seed}".encode()).hexdigest() for s in sh
+                (
+                    dedup.MINHASH_A[i]
+                    * int.from_bytes(
+                        hashlib.md5(s.encode()).digest()[:8], "big"
+                    )
+                    + dedup.MINHASH_B[i]
+                )
+                % (1 << 64)
+                for s in sh
             )
             assert got == exp
+
+    def test_batch_signatures_match_reference(self):
+        texts = ["a b c d e f", "", "  x ", "a b",
+                 "the quick brown fox jumps", "a b c d e f"]
+        batch = pa.table(
+            {"doc_id": list(range(len(texts))), "text": texts}
+        )
+        p_rows, p_sh, uniq, n = dedup._batch_doc_shingles(batch)
+        sig = dedup._signatures_from_pairs(p_rows, p_sh, uniq, n)
+        for r, t in enumerate(texts):
+            ref = dedup.minhash_signature(
+                dedup.word_shingles(dedup.tokenize(t))
+            )
+            assert [int(v) for v in sig[r]] == ref
 
     def test_identical_docs_share_all_bands(self):
         t = "one two three four five six seven eight nine ten"
