@@ -84,26 +84,106 @@ STRIKE_CENTER_HI = 0.7
 STRIKE_MIN_DENSITY = 0.35
 
 
-def synth_word_image(doc_id: int, offset: int, struck: bool) -> np.ndarray:
-    """Deterministic word crop: light background + text-ish vertical strokes;
-    if struck, a horizontal line through the middle satisfying the gates."""
-    rng = np.random.default_rng((doc_id * 1_000_003 + offset) & 0x7FFFFFFF)
-    img = np.full((WORD_H, WORD_W), 240, dtype=np.uint8)
-    img = (img.astype(np.int16) + rng.integers(-10, 10, img.shape)).clip(
-        0, 255
-    ).astype(np.uint8)
-    # text strokes: short dark vertical bars in the middle band
-    n_strokes = int(rng.integers(4, 9))
-    for _ in range(n_strokes):
-        x = int(rng.integers(4, WORD_W - 4))
-        y0 = int(rng.integers(4, 8))
-        img[y0 : y0 + 12, x : x + 2] = 70
-    if struck:
-        y = int(WORD_H * float(rng.uniform(0.42, 0.58)))
-        x0 = int(rng.integers(0, int(WORD_W * 0.1)))
-        x1 = x0 + int(WORD_W * float(rng.uniform(0.65, 0.95)))
-        img[y : y + 2, x0 : min(x1, WORD_W)] = 30
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (counter-based determinism: every
+    derived value is a pure function of its key, independent of batch
+    composition — a per-image Generator object costs ~10x more than the
+    whole image synthesis)."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+_N_STROKE_SLOTS = 8
+_PIXEL_CHUNKS = WORD_H * WORD_W // 8  # one u64 of noise per 8 pixels
+
+
+def synth_word_image_stack(
+    doc_ids: np.ndarray, offsets: np.ndarray, struck: np.ndarray
+) -> np.ndarray:
+    """(n, WORD_H, WORD_W) deterministic word crops, batch-vectorized.
+
+    Light noisy background + dark vertical text strokes; struck rows get a
+    horizontal line through the middle band satisfying the CV gates
+    (span > 0.4w, thickness < 0.25h, center-y in [0.3, 0.7]h). All
+    randomness is splitmix64 of (doc_id, offset, salt) counters."""
+    n = len(doc_ids)
+    H, W = WORD_H, WORD_W
+    base = _mix64(
+        doc_ids.astype(np.uint64) * np.uint64(0x100000001B3)
+        ^ offsets.astype(np.uint64)
+    )
+    # background: 240 +- 10 noise, 8 pixels per mixed counter word
+    ctr = base[:, None] ^ np.arange(
+        1000, 1000 + _PIXEL_CHUNKS, dtype=np.uint64
+    )
+    nbytes = _mix64(ctr).view(np.uint8).reshape(n, H * W)
+    img = (
+        (np.int16(240) + (nbytes % 21).astype(np.int16) - 10)
+        .clip(0, 255)
+        .astype(np.uint8)
+        .reshape(n, H, W)
+    )
+    # text strokes: 4-8 short dark vertical bars. Each stroke lives in its
+    # own 9px slot with jitter % 5, guaranteeing >= 3px clearance between
+    # strokes — the 3x3 blur then cannot bridge neighboring strokes into a
+    # >= k horizontal run, which would merge with a genuine strike line
+    # into an over-thick band and fail the thickness gate (false negative).
+    n_strokes = 4 + (_mix64(base ^ np.uint64(2001)) % 5).astype(np.int64)
+    j = np.arange(_N_STROKE_SLOTS, dtype=np.uint64)
+    sx = (
+        4
+        + 9 * j.astype(np.int64)[None, :]
+        + (
+            _mix64(base[:, None] ^ (np.uint64(3000) + j)) % np.uint64(5)
+        ).astype(np.int64)
+    )
+    sy = 4 + (
+        _mix64(base[:, None] ^ (np.uint64(4000) + j)) % np.uint64(4)
+    ).astype(np.int64)
+    live = np.arange(_N_STROKE_SLOTS)[None, :] < n_strokes[:, None]
+    i_idx, j_idx = np.nonzero(live)
+    gidx = (
+        i_idx[:, None, None] * (H * W)
+        + (sy[i_idx, j_idx][:, None, None] + np.arange(12)[None, :, None]) * W
+        + sx[i_idx, j_idx][:, None, None]
+        + np.arange(2)[None, None, :]
+    )
+    flat = img.reshape(-1)
+    flat[gidx.ravel()] = 70
+    # strike line (struck rows only)
+    sidx = np.flatnonzero(struck)
+    if len(sidx):
+        b = base[sidx]
+        u_y = (_mix64(b ^ np.uint64(5001)) % 1024) / 1024.0
+        y = (H * (0.42 + 0.16 * u_y)).astype(np.int64)
+        x0 = (_mix64(b ^ np.uint64(5002)) % np.uint64(max(1, W // 10))).astype(
+            np.int64
+        )
+        u_l = (_mix64(b ^ np.uint64(5003)) % 1024) / 1024.0
+        x1 = np.minimum(x0 + (W * (0.65 + 0.30 * u_l)).astype(np.int64), W)
+        cols = np.arange(W)
+        m_i, m_c = np.nonzero(
+            (cols[None, :] >= x0[:, None]) & (cols[None, :] < x1[:, None])
+        )
+        g1 = sidx[m_i] * (H * W) + y[m_i] * W + m_c
+        flat[g1] = 30
+        flat[g1 + W] = 30
     return img
+
+
+def synth_word_image(doc_id: int, offset: int, struck: bool) -> np.ndarray:
+    """Single-image convenience wrapper over synth_word_image_stack."""
+    return synth_word_image_stack(
+        np.array([doc_id], dtype=np.int64),
+        np.array([offset], dtype=np.int64),
+        np.array([struck], dtype=bool),
+    )[0]
 
 
 def _box_blur3(img: np.ndarray) -> np.ndarray:
@@ -156,23 +236,12 @@ def _open_horizontal(binary: np.ndarray, k: int) -> np.ndarray:
     return (_window_sums_h(eroded, k) > 0).astype(np.uint8)
 
 
-def cv_strike_verdict(img: np.ndarray, orientation_vertical: bool = False) -> bool:
-    """Image-space strikethrough decision with the reference's geometric
-    gates. Horizontal-text path only is exercised by the synthetic corpus;
-    the vertical path transposes and reuses it
-    (strikethrough_agent.py:69-127)."""
-    if orientation_vertical:
-        img = img.T
-    h, w = img.shape
-    blur = _box_blur3(img)
-    t = _otsu_threshold(blur.astype(np.uint8))
-    binary = (blur <= t).astype(np.uint8)  # inverse binary: dark -> 1
-    k = max(w // 4, 3)
-    lines = _open_horizontal(binary, k)
-    if not lines.any():
-        return False
-    # connected horizontal components: label by rows of surviving pixels
+def _bands_verdict(lines: np.ndarray, h: int, w: int) -> bool:
+    """Geometric gates over the opened line image (shared by the scalar and
+    stacked verdict paths)."""
     ys, xs = np.nonzero(lines)
+    if len(ys) == 0:
+        return False
     # group into bands of adjacent rows
     bands: list[tuple[int, int]] = []
     for y in np.unique(ys):
@@ -194,6 +263,116 @@ def cv_strike_verdict(img: np.ndarray, orientation_vertical: bool = False) -> bo
             if region.mean() >= STRIKE_MIN_DENSITY:
                 return True
     return False
+
+
+def cv_strike_verdict(img: np.ndarray, orientation_vertical: bool = False) -> bool:
+    """Image-space strikethrough decision with the reference's geometric
+    gates. Horizontal-text path only is exercised by the synthetic corpus;
+    the vertical path transposes and reuses it
+    (strikethrough_agent.py:69-127)."""
+    if orientation_vertical:
+        img = img.T
+    h, w = img.shape
+    blur = _box_blur3(img)
+    t = _otsu_threshold(blur.astype(np.uint8))
+    binary = (blur <= t).astype(np.uint8)  # inverse binary: dark -> 1
+    k = max(w // 4, 3)
+    lines = _open_horizontal(binary, k)
+    return _bands_verdict(lines, h, w)
+
+
+# ---------------------------------------------------------------------------
+# Stacked (batch-vectorized) CV path: same math as the scalar kernels but
+# over an (n, h, w) stack — one pad/cumsum/argmax per BATCH instead of per
+# image. Value-identical to the scalar path (asserted in pytest); the
+# residual per-image Python work (band grouping) runs only on the minority
+# of images whose opened line image is non-empty.
+# ---------------------------------------------------------------------------
+def _box_sum9_stack(stack: np.ndarray) -> np.ndarray:
+    """(n, h, w) uint16 3x3 box SUMS (edge-padded), separable passes.
+
+    Integer sums instead of the scalar path's float32 mean: the float
+    quantities it feeds are recovered exactly — uint8(blur) == sum // 9
+    (both exact for sums <= 2295 in float32), and ``blur <= t`` for integer
+    t is equivalent to ``sum <= 9 t`` (an integer sum strictly above 9t is
+    at least 1/9 above t, far beyond a float32 ulp)."""
+    p = np.pad(
+        stack.astype(np.uint16), ((0, 0), (1, 1), (1, 1)), mode="edge"
+    )
+    h3 = p[:, :, :-2] + p[:, :, 1:-1] + p[:, :, 2:]
+    return h3[:, :-2, :] + h3[:, 1:-1, :] + h3[:, 2:, :]
+
+
+def _otsu_threshold_stack(blur_u8: np.ndarray) -> np.ndarray:
+    """(n,) Otsu thresholds — identical arithmetic to _otsu_threshold,
+    computed row-parallel on an (n, 256) histogram matrix."""
+    n = blur_u8.shape[0]
+    idx = blur_u8.reshape(n, -1).astype(np.int32)
+    idx += (np.arange(n, dtype=np.int32) * 256)[:, None]
+    hist = np.bincount(idx.ravel(), minlength=n * 256).reshape(
+        n, 256
+    ).astype(np.float64)
+    total = hist.sum(axis=1, keepdims=True)
+    w0 = np.cumsum(hist, axis=1)
+    m = np.cumsum(hist * np.arange(256), axis=1)
+    w1 = total - w0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu0 = m / w0
+        mu1 = (m[:, -1:] - m) / w1
+        between = w0 * w1 * (mu0 - mu1) ** 2
+    between[np.isnan(between)] = 0
+    return np.argmax(between, axis=1).astype(np.float64)
+
+
+def _window_sums_h_stack(b: np.ndarray, k: int) -> np.ndarray:
+    shift = (k - 1) // 2
+    p = np.pad(b, ((0, 0), (0, 0), (shift, k - 1 - shift)),
+               constant_values=0)
+    cs = np.cumsum(
+        np.pad(p, ((0, 0), (0, 0), (1, 0))), axis=2, dtype=np.int32
+    )
+    return cs[:, :, k:] - cs[:, :, :-k]
+
+
+def cv_strike_verdict_stack(
+    stack: np.ndarray, orientation_vertical: bool = False
+) -> np.ndarray:
+    """(n,) bool verdicts for an (n, h, w) uniform-size word-image stack."""
+    if orientation_vertical:
+        stack = stack.transpose(0, 2, 1)
+    n, h, w = stack.shape
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    sum9 = _box_sum9_stack(stack)
+    t = _otsu_threshold_stack((sum9 // 9).astype(np.uint8))
+    # blur <= t  ==  sum9 <= 9t (see _box_sum9_stack)
+    binary = (sum9 <= (9 * t).astype(np.uint16)[:, None, None]).astype(
+        np.uint8
+    )
+    k = max(w // 4, 3)
+    eroded = (_window_sums_h_stack(binary, k) == k).astype(np.uint8)
+    lines = (_window_sums_h_stack(eroded, k) > 0).astype(np.uint8)
+    out = np.zeros(n, dtype=bool)
+    for i in np.flatnonzero(lines.any(axis=(1, 2))):
+        out[i] = _bands_verdict(lines[i], h, w)
+    return out
+
+
+def classify_page_stack(
+    stack: np.ndarray, min_ruled_rows: int = 3, min_ruled_cols: int = 2
+) -> tuple[np.ndarray, np.ndarray]:
+    """(is_table, is_diagram) arrays for an (n, h, w) page stack — the
+    stacked twin of classify_page_image (bool sums are integer-exact in
+    float64, so the means compare identically)."""
+    dark = stack < 100
+    row_frac = dark.mean(axis=2)
+    col_frac = dark.mean(axis=1)
+    ruled_rows = (row_frac > 0.5).sum(axis=1)
+    ruled_cols = (col_frac > 0.5).sum(axis=1)
+    is_table = (ruled_rows >= min_ruled_rows) & (ruled_cols >= min_ruled_cols)
+    dark_mass = dark.mean(axis=(1, 2))
+    is_diagram = ~is_table & (dark_mass > 0.02)
+    return is_table, is_diagram
 
 
 # ---------------------------------------------------------------------------

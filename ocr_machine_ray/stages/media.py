@@ -20,10 +20,12 @@ from ..functions.images import (
     WORD_W,
     augment_scan,
     classify_page_image,
+    classify_page_stack,
     compress_quantize,
     cv_strike_verdict,
+    cv_strike_verdict_stack,
     synth_media_image,
-    synth_word_image,
+    synth_word_image_stack,
     whiteout,
 )
 from ..stages.strike import token_index_from_offset
@@ -37,6 +39,24 @@ def _imgs_from_batch(batch: pa.Table, w_col="width", h_col="height"):
         np.frombuffer(b, dtype=np.uint8).reshape(h, w)
         for b, w, h in zip(buf, ws, hs)
     ]
+
+
+def _stack_from_batch(batch: pa.Table, w_col="width", h_col="height"):
+    """(n, h, w) stack when every image in the batch has the same size
+    (the common case — fixed-size word crops / page rasters), else None.
+    One join + one frombuffer instead of n reshapes."""
+    ws = batch[w_col].to_numpy(zero_copy_only=False)
+    hs = batch[h_col].to_numpy(zero_copy_only=False)
+    if len(ws) == 0 or (ws != ws[0]).any() or (hs != hs[0]).any():
+        return None
+    buf = b"".join(batch["bytes"].to_pylist())
+    n = len(ws)
+    expected = n * int(ws[0]) * int(hs[0])
+    if len(buf) != expected:
+        return None
+    return np.frombuffer(buf, dtype=np.uint8).reshape(
+        n, int(hs[0]), int(ws[0])
+    )
 
 
 def synth_media_batch(batch: pa.Table) -> pa.Table:
@@ -70,12 +90,20 @@ class PageClassifier:
         self.min_ruled_rows = min_ruled_rows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        verdicts = [
-            classify_page_image(img, self.min_ruled_rows)
-            for img in _imgs_from_batch(batch)
-        ]
-        is_table = [v[0] for v in verdicts]
-        is_diagram = [v[1] for v in verdicts]
+        stack = _stack_from_batch(batch)
+        if stack is not None:
+            is_table, is_diagram = classify_page_stack(
+                stack, self.min_ruled_rows
+            )
+            is_table = is_table.tolist()
+            is_diagram = is_diagram.tolist()
+        else:  # mixed-size fallback: per-image scalar kernel
+            verdicts = [
+                classify_page_image(img, self.min_ruled_rows)
+                for img in _imgs_from_batch(batch)
+            ]
+            is_table = [v[0] for v in verdicts]
+            is_diagram = [v[1] for v in verdicts]
         return pa.table(
             {
                 "media_ref": batch["media_ref"],
@@ -94,18 +122,29 @@ def render_word_regions_batch(batch: pa.Table) -> pa.Table:
     off = batch["offset"].to_numpy(zero_copy_only=False).astype(np.int64)
     i = token_index_from_offset(off)
     struck = struck_mask(doc, i)
-    imgs = [
-        synth_word_image(int(d), int(o), bool(s))
-        for d, o, s in zip(doc, off, struck)
-    ]
+    stack = synth_word_image_stack(doc.astype(np.int64), off, struck)
+    n = len(doc)
+    # one contiguous buffer + offset vector -> zero-copy Arrow binary column
+    values = pa.py_buffer(stack.tobytes())
+    offsets = pa.array(
+        np.arange(0, (n + 1) * WORD_H * WORD_W, WORD_H * WORD_W,
+                  dtype=np.int32)
+    )
+    bytes_col = pa.BinaryArray.from_buffers(
+        pa.binary(), n, [None, offsets.buffers()[1], values]
+    )
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "offset": batch["offset"],
             "text": batch["text"],
-            "bytes": pa.array([im.tobytes() for im in imgs], type=pa.binary()),
-            "width": pa.array([WORD_W] * len(imgs), type=pa.int32()),
-            "height": pa.array([WORD_H] * len(imgs), type=pa.int32()),
+            "bytes": bytes_col,
+            "width": pa.array(
+                np.full(n, WORD_W, dtype=np.int32), type=pa.int32()
+            ),
+            "height": pa.array(
+                np.full(n, WORD_H, dtype=np.int32), type=pa.int32()
+            ),
             "struck_truth": pa.array(struck),
         }
     )
@@ -120,10 +159,14 @@ class StrikeCV:
         self.vertical = vertical
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        verdicts = [
-            cv_strike_verdict(img, self.vertical)
-            for img in _imgs_from_batch(batch)
-        ]
+        stack = _stack_from_batch(batch)
+        if stack is not None:
+            verdicts = cv_strike_verdict_stack(stack, self.vertical).tolist()
+        else:  # mixed-size fallback: per-image scalar kernel
+            verdicts = [
+                cv_strike_verdict(img, self.vertical)
+                for img in _imgs_from_batch(batch)
+            ]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
