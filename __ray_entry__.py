@@ -20,15 +20,10 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-# Ray pickles map_batches callables by reference; worker processes may not
-# have this repo on sys.path (the driver controls cwd/PYTHONPATH, not us).
-# Registering the package for pickle-by-value makes every stage function
-# self-contained in the task payload regardless of worker environment.
-from ray import cloudpickle  # noqa: E402  (Ray serializes with its vendored copy)
-
+# Importing the package registers it for pickle-by-value with Ray's
+# vendored cloudpickle (see ocr_machine_ray/__init__.py) so workers can run
+# stage functions without this repo on their sys.path.
 import ocr_machine_ray  # noqa: E402
-
-cloudpickle.register_pickle_by_value(ocr_machine_ray)
 
 SF0001 = "/root/testdata/sf0.001"
 

@@ -46,6 +46,17 @@ STRIKE_A = 37
 STRIKE_B = 101
 STRIKE_MOD = 7
 MEDIA_EVERY = 10
+# Page-orientation rule (M8): synthetic word GEOMETRY is laid out
+# vertically for these docs; the orientation enricher must recover the
+# label from the bbox geometry alone (reference textract_agent.py:107-110
+# derives PageOrientationBasedOnWords from word polygons, consumed by
+# strikethrough_agent.py:168-171 to pick the CV kernel branch).
+ORIENT_MOD = 5
+ORIENT_VERTICAL_RESIDUE = 2
+SQL_ORIENTATION = (
+    f"CASE WHEN doc_id % {ORIENT_MOD} = {ORIENT_VERTICAL_RESIDUE} "
+    "THEN 'vertical' ELSE 'horizontal' END"
+)
 TABLE_TOKEN = "table"
 DIAGRAM_TOKEN = "vector"
 CATEGORY_MIN_COUNT = 3
@@ -106,6 +117,12 @@ class FlatTokens:
         if self._tokens_np is None:
             self._tokens_np = self.tokens_arrow.to_numpy(zero_copy_only=False)
         return self._tokens_np
+
+
+def vertical_mask(doc_ids: np.ndarray) -> np.ndarray:
+    """Ground-truth page orientation of the synthetic GEOMETRY (the
+    analyzer must re-derive this from bboxes, never read it directly)."""
+    return doc_ids % ORIENT_MOD == ORIENT_VERTICAL_RESIDUE
 
 
 def struck_mask(doc_ids: np.ndarray, i: np.ndarray) -> np.ndarray:

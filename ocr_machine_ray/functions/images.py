@@ -5,10 +5,10 @@ Images are raw 8-bit grayscale arrays carried as Arrow binary columns plus
 word crops, reference ``table_detector_agent.py:183-191``,
 ``create_bbox_chunked.py:25-26``).
 
-Real-decoder stages (JPEG/PNG/video frames) are STUBS behind
-`decode_external` — the Ray-side plumbing (schema, actor signature, batch
-sizing) is real and tested; the codec call raises NotImplementedError
-unless a deterministic fake is requested.
+`decode_external` routes codec "png" to the REAL pure-numpy/zlib codec in
+functions/png.py; JPEG/video remain stubs — the Ray-side plumbing (schema,
+actor signature, batch sizing) is real and tested, and the codec call
+raises NotImplementedError unless a deterministic fake is requested.
 """
 
 from __future__ import annotations
@@ -16,6 +16,8 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+
+from .png import png_decode
 
 MEDIA_W, MEDIA_H = 96, 64  # synthetic page-crop size
 WORD_W, WORD_H = 80, 24    # synthetic word-region size
@@ -434,9 +436,13 @@ def compress_quantize(img: np.ndarray, levels: int = 16) -> np.ndarray:
 
 
 def decode_external(payload: bytes, codec: str, fake: bool = False) -> np.ndarray:
-    """STUB: real JPEG/PNG/video decode needs imaging libs absent from this
-    container. With fake=True returns a deterministic image derived from the
-    payload hash (for plumbing tests); otherwise raises."""
+    """Decode an external media payload. PNG is REAL (pure numpy/zlib codec
+    in functions/png.py, all five scanline filters); JPEG/video remain
+    stubs (no imaging libraries in this container — swap in cv2/PIL here
+    in production). fake=True returns a payload-hash-seeded image for
+    plumbing tests of the stubbed codecs."""
+    if codec.lower() == "png":
+        return png_decode(payload)
     if fake:
         seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
         rng = np.random.default_rng(seed)

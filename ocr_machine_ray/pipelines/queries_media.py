@@ -63,6 +63,171 @@ def q_media_classify(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Document reassembly sink (S7 full form): every doc's media pages glued
+# into ONE ordered binary artifact + manifest (fake_scan.py:319-320,
+# white_out_manager.py:40-45). The artifact bytes are pytest-checked
+# (SQL cannot draw pixels); the oracle value-checks the structural
+# columns: page count, artifact size, ordered manifest.
+# ---------------------------------------------------------------------------
+from ..functions.images import MEDIA_H, MEDIA_W
+
+_ARTIFACT_SQL = f"""
+{SQL_ALL_SPANS}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(*) * {MEDIA_W * MEDIA_H} AS BIGINT) AS total_bytes,
+       string_agg(media_ref, '|' ORDER BY off) AS manifest
+FROM all_spans WHERE kind = 'media'
+GROUP BY doc_id
+"""
+
+
+@query("doc_artifacts", _ARTIFACT_SQL)
+def q_doc_artifacts(sf_dir: str):
+    from ..stages.media import reassemble_doc_media
+
+    artifacts = (
+        _media_rows(sf_dir)
+        .groupby("doc_id")
+        .map_groups(reassemble_doc_media, batch_format="pandas")
+    )
+    return artifacts.map_batches(
+        lambda t: t.select(
+            ["doc_id", "n_pages", "total_bytes", "manifest"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real-codec round trip: media payloads PNG-encoded (pure numpy/zlib
+# codec), decoded back, then classified — same closed-loop oracle as
+# media_classify, now with an actual interchange format in the middle.
+# The encode/decode stages are the actor-pool shape real pipelines use
+# for codec work (decode state per actor, batched byte columns).
+# ---------------------------------------------------------------------------
+@query("media_decode_classify", _MEDIA_CLASSIFY_SQL)
+def q_media_decode_classify(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.images import decode_external
+    from ..functions.png import png_encode
+
+    def encode(batch: pa.Table) -> pa.Table:
+        enc = []
+        for b, w, h in zip(
+            batch["bytes"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+        ):
+            img = np.frombuffer(b, dtype=np.uint8).reshape(h, w)
+            enc.append(png_encode(img))
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "doc_id": batch["doc_id"],
+                "png": pa.array(enc, type=pa.binary()),
+            }
+        )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        imgs = [
+            decode_external(b, "png") for b in batch["png"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "doc_id": batch["doc_id"],
+                "bytes": pa.array(
+                    [i.tobytes() for i in imgs], type=pa.binary()
+                ),
+                "width": pa.array(
+                    [i.shape[1] for i in imgs], type=pa.int32()
+                ),
+                "height": pa.array(
+                    [i.shape[0] for i in imgs], type=pa.int32()
+                ),
+            }
+        )
+
+    encoded = _media_rows(sf_dir).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    decoded = encoded.map_batches(
+        decode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    return decoded.map_batches(
+        PageClassifier,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page orientation derived from word GEOMETRY (M8): word bboxes are laid
+# out by the corpus orientation rule; the enricher recovers the label from
+# tall-vs-wide box majority via mergeable per-batch partials + a groupby —
+# the fully distributed form of the per-page derivation the CV path does
+# batch-locally (reference textract_agent.py:107-110).
+# ---------------------------------------------------------------------------
+_ORIENT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 2 THEN 'vertical' ELSE 'horizontal' END
+         AS orientation
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@query("page_orientation", _ORIENT_SQL)
+def q_page_orientation(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..corpus import FlatTokens, vertical_mask
+    from ..functions.geometry import tall_counts, word_bboxes
+    from .extraction import read_documents
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        rule_v = vertical_mask(ft.doc_ids)
+        bboxes = word_bboxes(ft.doc_ids.astype(np.int64), ft.i, rule_v)
+        tall, total = tall_counts(bboxes, ft.row_idx, len(batch))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "tall": pa.array(tall, type=pa.int64()),
+                "total": pa.array(total, type=pa.int64()),
+            }
+        )
+
+    def majority(batch: pa.Table) -> pa.Table:
+        tall = batch["tall"].to_numpy(zero_copy_only=False)
+        total = batch["total"].to_numpy(zero_copy_only=False)
+        lab = np.where(tall * 2 > total, "vertical", "horizontal")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "orientation": pa.array(lab.tolist(), type=pa.string()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir)
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("tall", alias_name="tall"), Sum("total", alias_name="total")
+        )
+        .map_batches(majority, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+# ---------------------------------------------------------------------------
 # CV strikethrough round-trip: kernel(image) must equal the strike rule.
 # ---------------------------------------------------------------------------
 _STRIKE_CV_SQL = f"""

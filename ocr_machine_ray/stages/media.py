@@ -13,6 +13,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..corpus import struck_mask
+from ..functions.geometry import rule_and_derived_vertical
 from ..functions.images import (
     MEDIA_H,
     MEDIA_W,
@@ -122,10 +123,21 @@ def render_word_regions_batch(batch: pa.Table) -> pa.Table:
     off = batch["offset"].to_numpy(zero_copy_only=False).astype(np.int64)
     i = token_index_from_offset(off)
     struck = struck_mask(doc, i)
+    # page orientation: geometry drawn by the rule, the flag ROUTED
+    # downstream comes from the geometry-based derivation (M8 closed loop;
+    # per-batch-local like the reference's per-page analysis)
+    rule_v, derived_v = rule_and_derived_vertical(doc.astype(np.int64), i)
     stack = synth_word_image_stack(doc.astype(np.int64), off, struck)
     n = len(doc)
+    # vertical pages carry transposed crops (H x W swapped)
+    flat_px = np.empty((n, WORD_H * WORD_W), dtype=np.uint8)
+    flat_px[~rule_v] = stack[~rule_v].reshape(-1, WORD_H * WORD_W)
+    if rule_v.any():
+        flat_px[rule_v] = stack[rule_v].transpose(0, 2, 1).reshape(
+            -1, WORD_H * WORD_W
+        )
     # one contiguous buffer + offset vector -> zero-copy Arrow binary column
-    values = pa.py_buffer(stack.tobytes())
+    values = pa.py_buffer(flat_px.tobytes())
     offsets = pa.array(
         np.arange(0, (n + 1) * WORD_H * WORD_W, WORD_H * WORD_W,
                   dtype=np.int32)
@@ -140,11 +152,14 @@ def render_word_regions_batch(batch: pa.Table) -> pa.Table:
             "text": batch["text"],
             "bytes": bytes_col,
             "width": pa.array(
-                np.full(n, WORD_W, dtype=np.int32), type=pa.int32()
+                np.where(rule_v, WORD_H, WORD_W).astype(np.int32),
+                type=pa.int32(),
             ),
             "height": pa.array(
-                np.full(n, WORD_H, dtype=np.int32), type=pa.int32()
+                np.where(rule_v, WORD_W, WORD_H).astype(np.int32),
+                type=pa.int32(),
             ),
+            "vertical": pa.array(derived_v),
             "struck_truth": pa.array(struck),
         }
     )
@@ -153,20 +168,36 @@ def render_word_regions_batch(batch: pa.Table) -> pa.Table:
 class StrikeCV:
     """Actor-pool CV strikethrough scorer (M10): per word-region image,
     blur -> Otsu inverse binary -> horizontal-line open -> geometric gates
-    (exact constants from strikethrough_agent.py:96-127)."""
+    (exact constants from strikethrough_agent.py:96-127).
+
+    Kernel branch (horizontal vs vertical text) follows the batch's
+    per-row ``vertical`` column when present (the M8 orientation enricher,
+    strikethrough_agent.py:168-171); else the actor-level default."""
 
     def __init__(self, vertical: bool = False):
         self.vertical = vertical
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _verdicts(self, batch: pa.Table, vertical: bool) -> list:
         stack = _stack_from_batch(batch)
         if stack is not None:
-            verdicts = cv_strike_verdict_stack(stack, self.vertical).tolist()
-        else:  # mixed-size fallback: per-image scalar kernel
-            verdicts = [
-                cv_strike_verdict(img, self.vertical)
-                for img in _imgs_from_batch(batch)
-            ]
+            return cv_strike_verdict_stack(stack, vertical).tolist()
+        return [  # mixed-size fallback: per-image scalar kernel
+            cv_strike_verdict(img, vertical)
+            for img in _imgs_from_batch(batch)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if "vertical" in batch.column_names:
+            flags = batch["vertical"].to_numpy(zero_copy_only=False)
+            verdicts = np.empty(len(batch), dtype=bool)
+            for flag in (False, True):
+                sel = np.flatnonzero(flags == flag)
+                if len(sel):
+                    sub = batch.take(pa.array(sel))
+                    verdicts[sel] = self._verdicts(sub, bool(flag))
+            verdicts = verdicts.tolist()
+        else:
+            verdicts = self._verdicts(batch, self.vertical)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -218,6 +249,34 @@ def encode_base64_batch(batch: pa.Table) -> pa.Table:
         for b in batch["bytes"].to_pylist()
     ]
     return batch.append_column("b64", pa.array(enc, type=pa.string()))
+
+
+def reassemble_doc_media(g) -> "pd.DataFrame":
+    """Document reassembly sink (S7 full form): concatenate one doc's media
+    payloads into a single ordered binary artifact plus a manifest — the
+    engine's PDF-leaf analog (reference ``fake_scan.py:319-320`` and
+    ``white_out_manager.py:40-45`` rebuild page images into documents).
+
+    Runs inside ``groupby(doc_id).map_groups``; pages are ordered by their
+    page index (the media_ref suffix — monotone in span offset), the
+    manifest lists the page refs in artifact order so a reader can slice
+    pages back out (page size is uniform per doc here; a production
+    manifest would carry per-page byte offsets)."""
+    import pandas as pd
+
+    order = g["media_ref"].str.rsplit("-", n=1).str[1].astype(int)
+    g = g.iloc[order.argsort(kind="mergesort")]
+    payloads = list(g["bytes"])
+    artifact = b"".join(payloads)
+    return pd.DataFrame(
+        {
+            "doc_id": [int(g["doc_id"].iloc[0])],
+            "n_pages": [len(g)],
+            "total_bytes": [len(artifact)],
+            "manifest": ["|".join(g["media_ref"])],
+            "artifact": [artifact],
+        }
+    )
 
 
 def rle_size(img: np.ndarray) -> int:

@@ -184,3 +184,35 @@ class TestBase64AndCompression:
         out = media_stages.augment_batch(rows)
         img = np.frombuffer(out["bytes"][0].as_py(), dtype=np.uint8)
         assert len(np.unique(img)) <= 16  # quantized
+
+
+class TestDocArtifacts:
+    def test_artifact_byte_order(self):
+        import pandas as pd
+        from ocr_machine_ray.stages.media import reassemble_doc_media
+
+        pages = {
+            "doc_id": [7, 7, 7],
+            "media_ref": ["m-7-3", "m-7-1", "m-7-2"],
+            "bytes": [b"CC", b"AA", b"BB"],
+            "offset": [32, 10, 21],
+        }
+        out = reassemble_doc_media(pd.DataFrame(pages))
+        assert out["artifact"].iloc[0] == b"AABBCC"
+        assert out["manifest"].iloc[0] == "m-7-1|m-7-2|m-7-3"
+        assert out["n_pages"].iloc[0] == 3
+        assert out["total_bytes"].iloc[0] == 6
+
+    def test_page_index_sorts_numerically(self):
+        import pandas as pd
+        from ocr_machine_ray.stages.media import reassemble_doc_media
+
+        # ref m-7-10 must sort AFTER m-7-9 (numeric, not lexicographic)
+        pages = {
+            "doc_id": [7, 7],
+            "media_ref": ["m-7-10", "m-7-9"],
+            "bytes": [b"J", b"I"],
+            "offset": [109, 98],
+        }
+        out = reassemble_doc_media(pd.DataFrame(pages))
+        assert out["artifact"].iloc[0] == b"IJ"
