@@ -259,11 +259,21 @@ def q_strike_cv(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # Model-based strikethrough scoring (M11/M12): actor pool holding the
-# checkpoint, batched normalized inference. Rows-only check (a learned-model
-# stand-in is not bit-exact by contract); agreement with the CV kernel and
-# the rule is asserted in pytest (>=95%).
+# checkpoint, batched normalized inference. ORACLE-EXACT on the synthetic
+# corpus: the scorer's dark-pixel threshold (raw < 64) selects exactly the
+# strike-line pixels (drawn at 30; text strokes 70, background >= 230), so
+# the verdict equals the strike rule bit-for-bit — checked value-exact
+# against SQL. The float score column stays out of the oracle-compared
+# output (pytest covers it).
 # ---------------------------------------------------------------------------
-@query("strike_model_verdicts")
+_STRIKE_MODEL_SQL = f"""
+{SQL_ALL_SPANS}
+SELECT doc_id, CAST(off AS INT) AS "offset", struck AS struck_model
+FROM all_spans WHERE kind = 'text'
+"""
+
+
+@query("strike_model_verdicts", _STRIKE_MODEL_SQL)
 def q_strike_model(sf_dir: str):
     from ..stages.scorer import ModelScorer
 
@@ -277,9 +287,13 @@ def q_strike_model(sf_dir: str):
     regions = words.map_batches(
         render_word_regions_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    return regions.map_batches(
+    scored = regions.map_batches(
         ModelScorer,
         batch_format="pyarrow",
         batch_size=512,  # actor-pool boundary: input rows here ARE words
         concurrency=(1, 4),
+    )
+    return scored.map_batches(
+        lambda t: t.select(["doc_id", "offset", "struck_model"]),
+        batch_format="pyarrow",
     )

@@ -8,6 +8,12 @@ linear scorer over pooled image features (clearly a stand-in), while all the
 Ray-side structure is real and tested: weights loaded once per actor in
 ``__init__``, batched inference over a stacked float32 tensor, sigmoid +
 0.5 threshold, and the exact tile-then-crop normalization geometry.
+
+On the synthetic corpus the stand-in is ORACLE-EXACT, not approximate: its
+dark-pixel threshold (raw < 64 after Normalize(0.5, 0.5)) selects exactly
+the strike-line pixels (drawn at 30) and never text strokes (70) or
+background (>= 230), so verdict == strike rule bit-for-bit — the
+``strike_model_verdicts`` query value-checks this against SQL.
 """
 
 from __future__ import annotations
@@ -91,14 +97,24 @@ class ModelScorer:
         bufs = batch["bytes"].to_pylist()
         ws = batch["width"].to_pylist()
         hs = batch["height"].to_pylist()
+        # orientation-aware deskew: vertical pages carry transposed crops
+        # (M8); rotate them back before the fixed 64x365 transform, the way
+        # the reference consumes PageOrientationBasedOnWords before its
+        # strike analysis (strikethrough_agent.py:168-171)
+        if "vertical" in batch.column_names:
+            verts = batch["vertical"].to_pylist()
+        else:
+            verts = [False] * len(bufs)
         # per-image loop measured FASTER than a 3D batched resample here
         # (the tile-to-365 step makes large float32 temporaries per batch)
         stack = np.stack(
             [
                 normalize_region(
-                    np.frombuffer(b, dtype=np.uint8).reshape(h, w)
+                    np.frombuffer(b, dtype=np.uint8).reshape(h, w).T
+                    if v
+                    else np.frombuffer(b, dtype=np.uint8).reshape(h, w)
                 )
-                for b, w, h in zip(bufs, ws, hs)
+                for b, w, h, v in zip(bufs, ws, hs, verts)
             ]
         )
         probs = self._score(stack)

@@ -147,8 +147,30 @@ class TestModelScorer:
         out = scorer(batch)
         got = out["struck_model"].to_pylist()
         truth = [r[3] for r in rows]
-        acc = np.mean([g == t for g, t in zip(got, truth)])
-        assert acc >= 0.95, acc
+        # exact, not approximate: dark-threshold 64 selects only strike
+        # pixels (30) — never strokes (70) or background (>=230)
+        assert got == truth
+
+    def test_scorer_deskews_vertical_crops(self):
+        scorer = ModelScorer()
+        rows = []
+        for doc in range(12):
+            for off, struck in ((3, False), (7, True)):
+                img = synth_word_image(doc, off, struck)
+                rows.append((doc, off, img.T.copy().tobytes(), struck))
+        batch = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "offset": pa.array([r[1] for r in rows], type=pa.int32()),
+                "bytes": pa.array([r[2] for r in rows], type=pa.binary()),
+                # transposed: width/height swapped, vertical flag set
+                "width": pa.array([24] * len(rows), type=pa.int32()),
+                "height": pa.array([80] * len(rows), type=pa.int32()),
+                "vertical": pa.array([True] * len(rows)),
+            }
+        )
+        out = scorer(batch)
+        assert out["struck_model"].to_pylist() == [r[3] for r in rows]
 
     def test_weights_loaded_once_deterministic(self):
         a, b = ModelScorer(), ModelScorer()
