@@ -185,9 +185,10 @@ def q_ivf_clusters(sf_dir: str):
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    # fit on a materialized SAMPLE (bounded object-store footprint at any
-    # corpus size — the iterative Lloyd rounds rescan only the sample);
-    # assignment then streams once over the lazy full read
-    fit_ds = emb.random_sample(0.5, seed=42).materialize()
+    # fit on a materialized SAMPLE hard-capped by limit() (truly bounded
+    # object-store footprint at any corpus size — a proportional sample
+    # alone would still be O(n); the iterative Lloyd rounds rescan only
+    # the sample); assignment then streams once over the lazy full read
+    fit_ds = emb.random_sample(0.5, seed=42).limit(100_000).materialize()
     centroids = kmeans_fit(fit_ds, k=8, n_iter=5)
     return kmeans_assign(emb, centroids)
