@@ -43,6 +43,25 @@ BENCH_QUERIES = [
 ]
 
 
+def host_probe() -> float:
+    """Fixed single-thread memory+ALU workload, timed. This sandbox is a VM
+    whose hypervisor host is sometimes heavily contended (measured: the SAME
+    probe ranges 0.3 s idle to >12 s throttled), which inflates every
+    wall-clock number in this file uniformly. The probe is reported in the
+    bench JSON so round-over-round deltas can be normalized: compare
+    docs_per_sec only between runs with similar host_probe_sec, or scale by
+    the probe ratio as a first-order correction."""
+    import numpy as np
+
+    x = (np.arange(50_000_000, dtype=np.int64) % 251).astype(np.uint8)
+    t0 = time.time()
+    acc = 0.0
+    for _ in range(2):
+        acc += float(x.astype(np.float64).sum())
+    assert acc > 0
+    return time.time() - t0
+
+
 def amplified_documents(sf_dir: str, replicas: int, n_blocks: int):
     """documents table replicated `replicas` times with shifted doc_ids —
     deterministic, derived only from the driver-provided testdata.
@@ -200,6 +219,7 @@ def main_single() -> None:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "amplify": AMPLIFY,
+        "host_probe_sec": round(host_probe(), 3),
     }
     print(json.dumps(result))
     ray.shutdown()
@@ -241,6 +261,10 @@ def main_scaling() -> None:
                 "scaling_efficiency": round(eff, 3),
                 "n_docs": r_hi["n_docs"],
                 "sf": SF_DIR,
+                "host_probe_sec": [
+                    r_lo.get("host_probe_sec"),
+                    r_hi.get("host_probe_sec"),
+                ],
             }
         )
     )

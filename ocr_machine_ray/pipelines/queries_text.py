@@ -278,3 +278,170 @@ def q_stopword_filter(sf_dir: str):
     return read_documents(sf_dir).map_batches(
         filt, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (training-data hygiene): flag documents whose
+# text shares any word trigram with a designated benchmark subset
+# (doc_id % 97 == 0 — the stand-in for an eval-suite document list). The
+# benchmark side is the SMALL side by construction (eval suites are tiny
+# next to a 100 TB corpus): its distinct grams are collected once and
+# broadcast via ray.put; the corpus side streams, testing membership with
+# the Arrow is_in kernel per batch — no shuffle touches the big table. If
+# the benchmark set ever outgrew a broadcast, the same gram columns
+# hash-join instead (the dedup family already implements that shape).
+# ---------------------------------------------------------------------------
+from ..corpus import FlatTokens as _FlatTokens
+
+_BENCH_MOD = 97
+
+
+def _grams3(batch: pa.Table):
+    """(trigram StringArray, flat row index) for a documents batch — pure
+    Arrow kernels (tokenize once, three zero-copy slices, C-level join),
+    no Python string loop."""
+    import pyarrow.compute as pc
+
+    ft = _FlatTokens(batch)
+    toks = ft.tokens_arrow
+    n = len(toks)
+    if n < 3:
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    ok = ft.row_idx[:-2] == ft.row_idx[2:]
+    g = pc.binary_join_element_wise(
+        toks.slice(0, n - 2), toks.slice(1, n - 2), toks.slice(2, n - 2), " "
+    )
+    return g.filter(pa.array(ok)), ft.row_idx[:-2][ok]
+
+
+_DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'), 1) AS i
+  FROM documents
+),
+g AS (
+  SELECT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS gram
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+hits AS (
+  SELECT m.doc_id, count(*) AS n
+  FROM g m JOIN bench b USING (gram)
+  WHERE m.doc_id % {_BENCH_MOD} != 0
+  GROUP BY m.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_matched,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {_BENCH_MOD} != 0 AND d.text IS NOT NULL
+"""
+
+
+@query("decontaminate", _DECONTAM_SQL)
+def q_decontaminate(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % _BENCH_MOD == 0))
+        g, _ = _grams3(sub)
+        return pa.table({"gram": pc.unique(g)})
+
+    # small side: per-block distinct grams, final dedup on the driver
+    gram_rows = docs.map_batches(
+        bench_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    bench = pa.array(
+        np.unique(np.array([r["gram"] for r in gram_rows], dtype=object)),
+        type=pa.string(),
+    )
+    ref = ray.put(bench)
+
+    class Flagger:
+        def __init__(self):
+            self.bench = ray.get(ref)  # once per actor, shared-memory read
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            sub = batch.filter(pa.array(ids % _BENCH_MOD != 0))
+            g, ridx = _grams3(sub)
+            hit = pc.is_in(g, value_set=self.bench).to_numpy(
+                zero_copy_only=False
+            )
+            n = np.bincount(ridx[hit], minlength=len(sub)).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": sub["doc_id"],
+                    "n_matched": pa.array(n),
+                    "contaminated": pa.array(n > 0),
+                }
+            )
+
+    return docs.map_batches(
+        Flagger, batch_format="pyarrow", batch_size=1024, concurrency=(1, 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality filter (Gopher-style): per-document duplicate-token
+# statistics — integer counters only, exactly reproducible in SQL. Entirely
+# batch-local (each document's stats depend on that row alone): zero
+# shuffle, embarrassingly parallel at any corpus size.
+# ---------------------------------------------------------------------------
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'), 1) AS i
+  FROM documents
+),
+cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(max(c) AS BIGINT) AS top_count,
+       (max(c) * 5 > sum(c)) AS flagged
+FROM cnt GROUP BY doc_id
+"""
+
+
+@query("repetition_stats", _REPETITION_SQL)
+def q_repetition_stats(sf_dir: str):
+    import pyarrow.compute as pc
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ft = _FlatTokens(batch)
+        nrows = len(batch)
+        # dictionary-encode once (C kernel) -> integer token ids; combine
+        # with the row index so one np.unique yields per-(doc, token) counts
+        enc = pc.dictionary_encode(ft.tokens_arrow)
+        tok_ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = len(enc.dictionary)
+        combined = ft.row_idx * max(n_dict, 1) + tok_ids
+        pair, pair_c = np.unique(combined, return_counts=True)
+        pair_row = pair // max(n_dict, 1)
+        n_unique = np.bincount(pair_row, minlength=nrows).astype(np.int64)
+        top = np.zeros(nrows, dtype=np.int64)
+        np.maximum.at(top, pair_row, pair_c)
+        n_tokens = ft.counts.astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens),
+                "n_unique": pa.array(n_unique),
+                "top_count": pa.array(top),
+                "flagged": pa.array(top * 5 > n_tokens),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    )

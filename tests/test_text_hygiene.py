@@ -1,0 +1,86 @@
+"""Decontamination + repetition quality filters (training-data hygiene)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ocr_machine_ray.pipelines.queries_text import _grams3, q_repetition_stats
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+class TestGrams3:
+    def test_basic_trigrams(self):
+        g, ridx = _grams3(_docs(["a b c d"]))
+        assert g.to_pylist() == ["a b c", "b c d"]
+        assert ridx.tolist() == [0, 0]
+
+    def test_no_cross_document_grams(self):
+        g, ridx = _grams3(_docs(["a b", "c d e f"]))
+        # "a b" has no trigram; nothing spans the doc boundary
+        assert g.to_pylist() == ["c d e", "d e f"]
+        assert ridx.tolist() == [1, 1]
+
+    def test_short_and_empty_docs(self):
+        g, ridx = _grams3(_docs(["", "x", "x y"]))
+        assert len(g) == 0 and len(ridx) == 0
+
+    def test_whitespace_variants_tokenize_identically(self):
+        a, _ = _grams3(_docs(["a\tb\nc"]))
+        b, _ = _grams3(_docs(["a b c"]))
+        assert a.to_pylist() == b.to_pylist() == ["a b c"]
+
+
+class TestRepetitionStats:
+    def test_counts_by_hand(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        t = _docs(["a a a a b", "a b c d e", "x x x x x x"])
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = (
+            q_repetition_stats(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_tokens"].tolist() == [5, 5, 6]
+        assert out["n_unique"].tolist() == [2, 5, 1]
+        assert out["top_count"].tolist() == [4, 1, 6]
+        # flagged iff top_count*5 > n_tokens
+        assert out["flagged"].tolist() == [True, False, True]
+
+class TestDecontaminate:
+    def test_flags_benchmark_overlap(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ocr_machine_ray.pipelines.queries_text import q_decontaminate
+
+        t = _docs(
+            [
+                "alpha beta gamma delta",   # doc 0: benchmark (0 % 97 == 0)
+                "x alpha beta gamma y",     # shares trigram "alpha beta gamma"
+                "x alpha zeta beta gamma",  # benchmark words, no shared trigram
+                "p q r s t",                # clean
+            ],
+            ids=[0, 5, 6, 7],
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = (
+            q_decontaminate(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # benchmark doc excluded from the output universe
+        assert out["doc_id"].tolist() == [5, 6, 7]
+        assert out["n_matched"].tolist() == [1, 0, 0]
+        assert out["contaminated"].tolist() == [True, False, False]
