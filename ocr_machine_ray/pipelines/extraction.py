@@ -172,11 +172,25 @@ def extract_via_cv(sf_dir: str) -> ray.data.Dataset:
         batch_size=None,
     )
 
-    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("offset", kind="mergesort")
-        g["ord"] = np.arange(len(g), dtype=np.int64)
-        return g[["doc_id", "kind", "text", "media_ref", "ord"]]
+    def reassemble_local(batch: pa.Table) -> pa.Table:
+        """Batch-local order restoration: the fused derive->explode->verdict
+        task keeps every document's spans inside one block (batch_size=None,
+        one task per repartitioned block), so no shuffle is needed — one
+        stable lexsort by (doc_id, offset) and a per-doc dense ord. The wide
+        groupby(doc_id) reassembly stays covered by extract_flat_shuffled."""
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        off = batch["offset"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((off, doc))
+        t = batch.take(pa.array(order))
+        d = doc[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        counts = np.diff(np.r_[starts, len(d)])
+        ordv = np.arange(len(d), dtype=np.int64) - np.repeat(starts, counts)
+        return t.select(["doc_id", "kind", "text", "media_ref"]).append_column(
+            "ord", pa.array(ordv)
+        )
 
-    return filtered.groupby("doc_id").map_groups(
-        reassemble, batch_format="pandas"
+    return filtered.map_batches(
+        reassemble_local, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
     )
