@@ -104,8 +104,6 @@ def _batch_doc_shingles(batch: pa.Table):
     """
     import pyarrow.compute as pc
 
-    from ..corpus import FlatTokens
-
     ft = FlatTokens(batch)
     rows = ft.row_idx
     n_docs = len(batch)
@@ -315,8 +313,6 @@ def prefix_rows_batch(
     distinct-token set carried for in-bucket verification.
     """
     import pyarrow.compute as pc
-
-    from ..corpus import FlatTokens
 
     batch = batch.filter(pc.is_valid(batch["text"]))
     ft = FlatTokens(batch)
