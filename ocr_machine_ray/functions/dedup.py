@@ -362,10 +362,18 @@ def prefix_rows_batch(
 
 # Scale guard for LSH / prefix buckets: a pathological bucket (boilerplate
 # cluster where thousands of docs share a band key or prefix token) would
-# otherwise emit O(n^2) pairs. Above the cap the bucket degrades to a STAR
-# pairing against its min doc_id — connected components (what dedup
-# consumes) are preserved, pair-level completeness is traded for a linear
-# bound. Default is far above anything the correctness-gate corpora hit.
+# otherwise emit O(n^2) pairs. Above the cap the bucket degrades to
+# STAR + CHAIN pairing (every member verified against the min-doc anchor,
+# plus each consecutive pair in doc_id order) — a linear bound on both
+# pairs emitted and verifications run. This is an APPROXIMATION: two
+# members similar to each other but not to the anchor or to a doc_id
+# neighbor lose their direct edge (homogeneous boilerplate buckets — the
+# case that actually triggers the cap — keep their components via the
+# anchor; adversarially mixed buckets may split). Exact below the cap;
+# the default sits far above anything the correctness-gate corpora hit,
+# so oracles compare the exact path. At 10^12 rows the first lever is
+# more selective bucket keys (more LSH bits / longer prefixes), not a
+# bigger cap.
 BUCKET_CAP = 4096
 
 
@@ -380,13 +388,20 @@ def bucket_pairs(
     doc_ids = doc_ids[order]
     member_sets = [member_sets[i] for i in order]
     if len(doc_ids) > cap:
-        anchor = set(member_sets[0])
-        keep = [
-            shingle_jaccard(anchor, set(s)) >= threshold
-            for s in member_sets[1:]
-        ]
-        others = doc_ids[1:][np.asarray(keep, dtype=bool)]
-        return np.full(len(others), doc_ids[0]), others
+        sets = [set(s) for s in member_sets]
+        a_out, b_out = [], []
+        anchor = sets[0]
+        for i in range(1, len(sets)):
+            if shingle_jaccard(anchor, sets[i]) >= threshold:
+                a_out.append(doc_ids[0])
+                b_out.append(doc_ids[i])
+            if i >= 2 and shingle_jaccard(sets[i - 1], sets[i]) >= threshold:
+                a_out.append(doc_ids[i - 1])
+                b_out.append(doc_ids[i])
+        return (
+            np.asarray(a_out, dtype=doc_ids.dtype),
+            np.asarray(b_out, dtype=doc_ids.dtype),
+        )
     return jaccard_pairs_group(doc_ids, member_sets, threshold)
 
 

@@ -144,13 +144,9 @@ def extract_via_cv(sf_dir: str) -> ray.data.Dataset:
     from ..stages.explode import explode_spans
     from ..stages.media import StrikeCV, render_word_regions_batch
 
-    flat = spans_corpus(sf_dir, n_blocks=64).map_batches(
-        explode_spans, batch_format="pyarrow", zero_copy_batch=True
-    )
-
     def verdict_and_filter(batch: pa.Table) -> pa.Table:
-        """Fused per-batch: render word images -> CV verdict -> drop struck
-        text spans. Media spans pass through untouched."""
+        """Render word images -> CV verdict -> drop struck text spans.
+        Media spans pass through untouched."""
         is_text = pc.equal(batch["kind"], "text")
         words = batch.filter(is_text)
         media = batch.filter(pc.invert(is_text.combine_chunks()))
@@ -162,22 +158,9 @@ def extract_via_cv(sf_dir: str) -> ray.data.Dataset:
         cols = ["doc_id", "kind", "text", "media_ref", "offset"]
         return pa.concat_tables([words.select(cols), media.select(cols)])
 
-    # batch_size=None: one batch per block. A row-count batch_size here
-    # counts the FUSED operator's input rows (documents), so Ray bundles
-    # many blocks into few tasks and parallelism collapses (observed: 64
-    # blocks -> 3 tasks at batch_size=2048). Granularity is controlled by
-    # the n_blocks repartition above instead.
-    filtered = flat.map_batches(
-        verdict_and_filter, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
-    )
-
     def reassemble_local(batch: pa.Table) -> pa.Table:
-        """Batch-local order restoration: the fused derive->explode->verdict
-        task keeps every document's spans inside one block (batch_size=None,
-        one task per repartitioned block), so no shuffle is needed — one
-        stable lexsort by (doc_id, offset) and a per-doc dense ord. The wide
-        groupby(doc_id) reassembly stays covered by extract_flat_shuffled."""
+        """Order restoration over a batch known to hold whole documents:
+        one stable lexsort by (doc_id, offset) and a per-doc dense ord."""
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
         off = batch["offset"].to_numpy(zero_copy_only=False)
         order = np.lexsort((off, doc))
@@ -190,7 +173,27 @@ def extract_via_cv(sf_dir: str) -> ray.data.Dataset:
             "ord", pa.array(ordv)
         )
 
-    return filtered.map_batches(
-        reassemble_local, batch_format="pyarrow", zero_copy_batch=True,
+    def cv_extract_batch(batch: pa.Table) -> pa.Table:
+        """explode -> CV verdict -> shuffle-free reassembly, composed at the
+        PYTHON level over the nested one-row-per-document representation.
+
+        Composing (rather than chaining three map_batches) is what makes
+        the batch-local reassembly safe: the input batch has one ROW per
+        document, so any batch/block split Ray performs falls on a document
+        boundary by construction; exploded spans then never leave this
+        function un-reassembled. Chained maps would instead rely on Ray
+        never splitting a fused task's intermediate output mid-document
+        (dynamic block splitting at target_max_block_size makes that
+        assumption false for large blocks). The wide groupby(doc_id)
+        reassembly stays covered by extract_flat_shuffled."""
+        return reassemble_local(verdict_and_filter(explode_spans(batch)))
+
+    # batch_size=None: one batch per block. A row-count batch_size here
+    # counts the FUSED operator's input rows (documents), so Ray bundles
+    # many blocks into few tasks and parallelism collapses (observed: 64
+    # blocks -> 3 tasks at batch_size=2048). Granularity is controlled by
+    # the n_blocks repartition inside spans_corpus instead.
+    return spans_corpus(sf_dir, n_blocks=64).map_batches(
+        cv_extract_batch, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )

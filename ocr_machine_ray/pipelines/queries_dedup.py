@@ -146,10 +146,16 @@ WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {MINHASH_VERIFY_T}
 """
 
 
-def _distinct_pairs(pair_ds):
-    """Distinct (doc_a, doc_b) — a pair can surface in several buckets."""
-    return pair_ds.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+def _distinct_pairs(pair_ds, a: str = "doc_a", b: str = "doc_b"):
+    """Distinct key pairs — a pair can surface in several buckets.
+    Aggregate-based: groupby + Count then project the keys — one shuffle,
+    no per-group Python callback (map_groups spawns one callback per
+    unique pair, which is the slowest primitive at millions of pairs)."""
+    from ray.data.aggregate import Count
+
+    counted = pair_ds.groupby([a, b]).aggregate(Count(alias_name="_n"))
+    return counted.map_batches(
+        lambda t: t.select([a, b]), batch_format="pyarrow"
     )
 
 
@@ -364,9 +370,7 @@ def q_dedup_embedding(sf_dir: str):
     pairs = rows.groupby(["t", "code"]).map_groups(
         _verified_cosine_pairs, batch_format="pandas"
     )
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _distinct_pairs(pairs, a="vec_a", b="vec_b")
 
 
 # ---------------------------------------------------------------------------

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import pyarrow.compute as pc
 
-from ..corpus import SQL_ALL_SPANS, SQL_CATEGORY
+from ..corpus import SQL_ALL_SPANS, SQL_CATEGORY, SQL_ORIENTATION
 from ..registry import query
 from ..stages.explode import explode_spans
 from ..stages.media import (
@@ -174,10 +174,8 @@ def q_media_decode_classify(sf_dir: str):
 # the fully distributed form of the per-page derivation the CV path does
 # batch-locally (reference textract_agent.py:107-110).
 # ---------------------------------------------------------------------------
-_ORIENT_SQL = """
-SELECT doc_id,
-       CASE WHEN doc_id % 5 = 2 THEN 'vertical' ELSE 'horizontal' END
-         AS orientation
+_ORIENT_SQL = f"""
+SELECT doc_id, {SQL_ORIENTATION} AS orientation
 FROM documents WHERE text IS NOT NULL
 """
 

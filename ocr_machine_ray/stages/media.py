@@ -136,7 +136,17 @@ def render_word_regions_batch(batch: pa.Table) -> pa.Table:
         flat_px[rule_v] = stack[rule_v].transpose(0, 2, 1).reshape(
             -1, WORD_H * WORD_W
         )
-    # one contiguous buffer + offset vector -> zero-copy Arrow binary column
+    # one contiguous buffer + offset vector -> zero-copy Arrow binary column.
+    # binary32 offsets are int32: (n+1)*WORD_H*WORD_W must stay < 2^31 or
+    # np.arange wraps negative and from_buffers (no validation) silently
+    # corrupts the column. Fail loudly instead — callers control batch
+    # granularity (actor-pool batch_size / block repartition) and stay
+    # ~1000x under this at the documented sizes.
+    if (n + 1) * WORD_H * WORD_W >= 2**31:
+        raise ValueError(
+            f"word-region batch of {n} rows overflows int32 binary offsets; "
+            "reduce batch_size / block size"
+        )
     values = pa.py_buffer(flat_px.tobytes())
     offsets = pa.array(
         np.arange(0, (n + 1) * WORD_H * WORD_W, WORD_H * WORD_W,
@@ -188,7 +198,16 @@ class StrikeCV:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if "vertical" in batch.column_names:
-            flags = batch["vertical"].to_numpy(zero_copy_only=False)
+            # fill_null: a null flag must not leave its verdict
+            # uninitialized (np.empty below is only written for rows
+            # matching the False/True partition)
+            import pyarrow.compute as pc
+
+            flags = (
+                pc.fill_null(batch["vertical"], False)
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
             verdicts = np.empty(len(batch), dtype=bool)
             for flag in (False, True):
                 sel = np.flatnonzero(flags == flag)

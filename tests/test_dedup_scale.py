@@ -17,23 +17,23 @@ class TestBucketCap:
         a, b = dedup.bucket_pairs(ids, sets, 0.5, cap=100)
         assert len(a) == 6 * 5 // 2  # full quadratic pairing
 
-    def test_star_above_cap_is_linear(self):
+    def test_star_chain_above_cap_is_linear(self):
         n = 500  # pathological: every doc identical -> one giant bucket
         ids = np.arange(n, dtype=np.int64)
         sets = [["a", "b", "c"]] * n
         a, b = dedup.bucket_pairs(ids, sets, 0.5, cap=8)
-        # linear output, all anchored at the min doc_id
-        assert len(a) == n - 1
-        assert (a == 0).all()
-        assert sorted(b) == list(range(1, n))
+        # star (n-1) + chain (n-2) pairs: linear, never quadratic
+        assert len(a) == 2 * n - 3
+        assert set(a[b - a > 1]) == {0}  # non-adjacent pairs all anchored
 
-    def test_star_preserves_components(self):
-        # two duplicate groups forced through the capped path: the star
-        # pairs must keep each group connected and never bridge groups
+    def test_star_chain_keeps_boilerplate_connected(self):
+        # a homogeneous boilerplate bucket (the case that triggers the
+        # cap) must come out fully connected through the anchor
         ids = np.arange(20, dtype=np.int64)
         sets = [["x", "y", "z"]] * 20
         a, b = dedup.bucket_pairs(ids, sets, 0.9, cap=4)
-        assert (a == 0).all() and len(b) == 19
+        reached = set(a) | set(b)
+        assert reached == set(range(20))
 
     def test_star_still_verifies(self):
         # non-duplicate members of a hot bucket are NOT paired
@@ -41,6 +41,33 @@ class TestBucketCap:
         sets = [["a", "b", "c"]] * 9 + [["q", "r", "s"]]
         a, b = dedup.bucket_pairs(ids, sets, 0.9, cap=4)
         assert 9 not in set(b)
+
+    def test_chain_catches_adjacent_non_anchor_pairs(self):
+        # B and C similar to each other, dissimilar to the anchor: the
+        # chain edge keeps them paired even though the star misses them
+        ids = np.arange(6, dtype=np.int64)
+        sets = [["a", "b", "c"]] * 4 + [["q", "r", "s"], ["q", "r", "s"]]
+        a, b = dedup.bucket_pairs(ids, sets, 0.9, cap=3)
+        assert (4, 5) in set(zip(a.tolist(), b.tolist()))
+
+    def test_capped_path_is_documented_approximation(self):
+        # non-adjacent similar pair dissimilar to the anchor is MISSED
+        # above the cap (recall trade documented at BUCKET_CAP) but kept
+        # by the exact path below the cap
+        ids = np.arange(6, dtype=np.int64)
+        sets = (
+            [["a", "b", "c"]] * 2
+            + [["q", "r", "s"]]
+            + [["a", "b", "c"]]
+            + [["q", "r", "s"]]
+            + [["a", "b", "c"]]
+        )
+        exact_a, exact_b = dedup.bucket_pairs(ids, sets, 0.9, cap=100)
+        capped_a, capped_b = dedup.bucket_pairs(ids, sets, 0.9, cap=3)
+        exact = set(zip(exact_a.tolist(), exact_b.tolist()))
+        capped = set(zip(capped_a.tolist(), capped_b.tolist()))
+        assert (2, 4) in exact and (2, 4) not in capped
+        assert capped <= exact  # never invents pairs
 
 
 class TestConnectedComponents:
