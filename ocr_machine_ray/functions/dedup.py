@@ -311,6 +311,18 @@ def prefix_rows_batch(
     ``ptok`` is the md5-prefixed token (hash hex + token, making the bucket
     key order-consistent and collision-safe); ``tokens`` is the doc's full
     distinct-token set carried for in-bucket verification.
+
+    Shuffle-volume bound: each doc ships its token set once per prefix
+    token, i.e. ((1-t)|d|+1) x |d| strings — ~0.9x corpus at t=0.95 on
+    typical documents (measured), but quadratic in |d| for giant docs.
+    Production levers, in order: (1) cap |d| upstream (the skew module's
+    span cap exists for exactly this); (2) carry 8-byte token hashes
+    instead of strings (10x smaller; trades value-exactness for a ~2^-60
+    collision risk, so the oracle-gated build keeps strings); (3) switch
+    to join-based verification (prefix rows without payloads -> candidate
+    pairs -> hash-join token sets per side), which re-ships the corpus
+    only twice but shuffles the unpruned candidate set — the right regime
+    when near-dups are sparse and buckets stay small.
     """
     import pyarrow.compute as pc
 
