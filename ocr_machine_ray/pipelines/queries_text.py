@@ -445,3 +445,108 @@ def q_repetition_stats(sf_dir: str):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified (data-mixture) sampling: deterministic per-language sampling
+# rates via a Knuth multiplicative hash of doc_id — the mixture-weighting
+# step of a training-data pipeline (e.g. upsample en, downsample zh).
+# Hash-based selection is reproducible across runs/engines (both sides
+# compute the identical integer bucket), needs no shuffle, no RNG state,
+# and composes with resumable writes: re-running a partition re-selects
+# exactly the same docs.
+# ---------------------------------------------------------------------------
+_MIX_KNUTH = 2654435761
+_MIX_RATES = {"en": 500, "fr": 300, "de": 300, "es": 150, "zh": 100}
+_MIX_DEFAULT = 150
+
+_STRAT_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE (doc_id * {_MIX_KNUTH}) % 1000 <
+      CASE lang
+        WHEN 'en' THEN 500 WHEN 'fr' THEN 300 WHEN 'de' THEN 300
+        WHEN 'es' THEN 150 WHEN 'zh' THEN 100 ELSE {_MIX_DEFAULT}
+      END
+"""
+
+
+@query("stratified_sample", _STRAT_SQL)
+def q_stratified_sample(sf_dir: str):
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        bucket = (ids * _MIX_KNUTH) % 1000
+        rates = np.full(len(ids), _MIX_DEFAULT, dtype=np.int64)
+        for lg, r in _MIX_RATES.items():
+            rates[langs == lg] = r
+        return batch.filter(pa.array(bucket < rates))
+
+    return read_documents(sf_dir, ["doc_id", "lang"]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-example chunking: every document's token sequence split into
+# fixed 32-token windows (last window short) — the example-preparation
+# step before packing/batching. Chunk text is materialized with Arrow C
+# kernels only: one ListArray over the flat token array (non-overlapping
+# windows = monotone offsets) + binary_join. Batch-local, zero shuffle.
+# ---------------------------------------------------------------------------
+_CHUNK_W = 32
+
+_CHUNK_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_id,
+       CAST(k * {_CHUNK_W} + 1 AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK_W}, len(w) - k * {_CHUNK_W}) AS BIGINT) AS n_toks,
+       array_to_string(w[k*{_CHUNK_W}+1 : (k+1)*{_CHUNK_W}], ' ')
+         AS chunk_text
+FROM d, LATERAL (
+  SELECT unnest(range(CAST(ceil(len(w) / {_CHUNK_W}.0) AS BIGINT))) AS k
+) t
+"""
+
+
+@query("chunk_examples", _CHUNK_SQL)
+def q_chunk_examples(sf_dir: str):
+    import pyarrow.compute as pc
+
+    W = _CHUNK_W
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ft = _FlatTokens(batch)
+        counts = ft.counts.astype(np.int64)
+        n_chunks = -(-counts // W)
+        doc_rep = np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
+        cum = np.concatenate([[0], np.cumsum(n_chunks)])
+        k = np.arange(cum[-1], dtype=np.int64) - np.repeat(cum[:-1], n_chunks)
+        start = k * W
+        n_toks = np.minimum(W, counts[doc_rep] - start)
+        tok_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        # non-overlapping windows over the doc-concatenated flat token
+        # array -> one monotone offsets vector, one C-level join
+        offsets = np.append(tok_start[doc_rep] + start, counts.sum())
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), ft.tokens_arrow
+        )
+        texts = pc.binary_join(lists, " ")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(doc_rep)),
+                "chunk_id": pa.array(k),
+                "start_tok": pa.array(start + 1),
+                "n_toks": pa.array(n_toks),
+                "chunk_text": texts,
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -84,3 +84,44 @@ class TestDecontaminate:
         assert out["doc_id"].tolist() == [5, 6, 7]
         assert out["n_matched"].tolist() == [1, 0, 0]
         assert out["contaminated"].tolist() == [True, False, False]
+
+
+class TestChunkExamples:
+    def test_windows_by_hand(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ocr_machine_ray.pipelines.queries_text import q_chunk_examples
+
+        toks66 = " ".join(f"t{i}" for i in range(66))   # 32 + 32 + 2
+        toks32 = " ".join(f"s{i}" for i in range(32))   # exact multiple
+        t = _docs([toks66, toks32, "one", ""], ids=[0, 1, 2, 3])
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = (
+            q_chunk_examples(str(tmp_path))
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        assert out.groupby("doc_id")["chunk_id"].count().tolist() == [3, 1, 1, 1]
+        d0 = out[out.doc_id == 0]
+        assert d0["n_toks"].tolist() == [32, 32, 2]
+        assert d0["start_tok"].tolist() == [1, 33, 65]
+        assert d0["chunk_text"].iloc[2] == "t64 t65"
+        # reconstruction: joining a doc's chunks restores the token stream
+        assert " ".join(d0["chunk_text"]) == toks66
+        # empty text tokenizes to one empty token -> one chunk
+        d3 = out[out.doc_id == 3]
+        assert d3["n_toks"].tolist() == [1] and d3["chunk_text"].iloc[0] == ""
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_rate_shaped(self, ray_session):
+        from ocr_machine_ray.pipelines.queries_text import q_stratified_sample
+
+        a = q_stratified_sample("/root/testdata/sf0.001").to_pandas()
+        b = q_stratified_sample("/root/testdata/sf0.001").to_pandas()
+        assert sorted(a.doc_id) == sorted(b.doc_id)  # hash-based: rerun-stable
+        counts = a.groupby("lang")["doc_id"].count()
+        # en sampled at 5x the zh rate — the mixture must reflect it
+        if "en" in counts and "zh" in counts:
+            assert counts["en"] > counts["zh"]
