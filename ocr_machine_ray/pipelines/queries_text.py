@@ -550,3 +550,64 @@ def q_chunk_examples(sf_dir: str):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         chunks, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: greedy next-fit of example chunks into fixed-capacity
+# packs (capacity 4x the chunk window) — the batching-efficiency step
+# between chunking and the trainer. Packing is BATCH-LOCAL (next-fit never
+# looks back), so the stage streams with zero shuffle and parallelizes per
+# block; pack keys are (first doc_id, first chunk_id), globally unique
+# because batches partition documents. Rows-only by nature (greedy packing
+# is order-path-dependent, not a relational expression); the invariants —
+# capacity respected, every chunk packed exactly once, determinism,
+# utilization floor — are pytest-checked.
+# ---------------------------------------------------------------------------
+_PACK_CAP = 4 * _CHUNK_W
+
+
+@query("pack_examples")
+def q_pack_examples(sf_dir: str):
+    def pack(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "pack_doc": pa.array([], type=pa.int64()),
+                    "pack_chunk": pa.array([], type=pa.int64()),
+                    "n_chunks": pa.array([], type=pa.int64()),
+                    "n_toks": pa.array([], type=pa.int64()),
+                    "util_pct": pa.array([], type=pa.int64()),
+                }
+            )
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        cid = batch["chunk_id"].to_numpy(zero_copy_only=False)
+        nt = batch["n_toks"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cid, doc))
+        doc, cid, nt = doc[order], cid[order], nt[order]
+        # next-fit: loop over CHUNKS (thousands per block), not tokens —
+        # running-sum-with-reset has no closed numpy form
+        pack_idx = np.empty(len(nt), dtype=np.int64)
+        fill = _PACK_CAP + 1  # force a new pack at the first chunk
+        p = -1
+        for i, n in enumerate(nt):
+            if fill + n > _PACK_CAP:
+                p += 1
+                fill = 0
+            fill += n
+            pack_idx[i] = p
+        starts = np.flatnonzero(np.r_[True, pack_idx[1:] != pack_idx[:-1]])
+        counts = np.diff(np.r_[starts, len(nt)])
+        toks = np.add.reduceat(nt, starts)
+        return pa.table(
+            {
+                "pack_doc": pa.array(doc[starts]),
+                "pack_chunk": pa.array(cid[starts]),
+                "n_chunks": pa.array(counts.astype(np.int64)),
+                "n_toks": pa.array(toks.astype(np.int64)),
+                "util_pct": pa.array(toks * 100 // _PACK_CAP),
+            }
+        )
+
+    return q_chunk_examples(sf_dir).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -125,3 +125,31 @@ class TestStratifiedSample:
         # en sampled at 5x the zh rate — the mixture must reflect it
         if "en" in counts and "zh" in counts:
             assert counts["en"] > counts["zh"]
+
+
+class TestPackExamples:
+    def test_invariants(self, ray_session):
+        from ocr_machine_ray.pipelines.queries_text import (
+            _PACK_CAP,
+            q_chunk_examples,
+            q_pack_examples,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        packs = q_pack_examples(sf).to_pandas()
+        chunks = q_chunk_examples(sf).to_pandas()
+        # capacity respected, every chunk packed exactly once
+        assert (packs["n_toks"] <= _PACK_CAP).all()
+        assert packs["n_chunks"].sum() == len(chunks)
+        assert packs["n_toks"].sum() == chunks["n_toks"].sum()
+        # pack keys globally unique
+        assert not packs.duplicated(["pack_doc", "pack_chunk"]).any()
+        # next-fit over >=32-token chunks cannot leave a pack below half
+        # capacity unless it is a block's trailing pack
+        assert (packs["util_pct"] >= 50).mean() > 0.9
+        # deterministic
+        again = q_pack_examples(sf).to_pandas()
+        key = ["pack_doc", "pack_chunk", "n_chunks", "n_toks"]
+        assert sorted(map(tuple, packs[key].values.tolist())) == sorted(
+            map(tuple, again[key].values.tolist())
+        )
