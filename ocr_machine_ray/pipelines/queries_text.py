@@ -611,3 +611,104 @@ def q_pack_examples(sf_dir: str):
     return q_chunk_examples(sf_dir).map_batches(
         pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword extraction (integer-exact tf-idf): top-3 tokens per document by
+# (term frequency DESC, document frequency ASC, token ASC) — the float
+# idf weight is replaced by exact integer ordering so the oracle is
+# value-exact. Composition: batch-local tf rows -> partial-agg df table
+# (one shuffle over tokens) -> native hash join tf x df -> per-doc top-k.
+# ---------------------------------------------------------------------------
+_KEYWORDS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+ranked AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC
+         ) AS rnk
+  FROM tf JOIN df USING (tok)
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok AS keyword,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("keywords_per_doc", _KEYWORDS_SQL)
+def q_keywords_per_doc(sf_dir: str):
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ft = _FlatTokens(batch)
+        enc = pc.dictionary_encode(ft.tokens_arrow)
+        tok_ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = max(len(enc.dictionary), 1)
+        pair, tf = np.unique(ft.row_idx * n_dict + tok_ids, return_counts=True)
+        row, tid = pair // n_dict, pair % n_dict
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[row], type=pa.int64()),
+                "tok": enc.dictionary.take(pa.array(tid)),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    tf_ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        tf_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # tf rows are distinct per (doc, tok): counting rows per tok in a
+        # batch is a mergeable df partial
+        vals, counts = np.unique(
+            batch["tok"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "jtok": pa.array(vals, type=pa.string()),
+                "df": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    # repartition after the aggregate: hash-agg emits empty schema-less
+    # blocks for idle partitions, which break FieldRef resolution on the
+    # probe side of the join (ray 2.49); the df table is vocab-sized
+    df_ds = (
+        tf_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("jtok")
+        .aggregate(Sum("df", alias_name="df"))
+        .repartition(4)
+        .materialize()
+    )
+
+    joined = tf_ds.join(
+        df_ds, join_type="inner", num_partitions=8, on=("tok",),
+        right_on=("jtok",),
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["tf", "df", "tok"], ascending=[False, True, True], kind="mergesort"
+        ).head(3)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+                "keyword": g["tok"].to_numpy(),
+                "tf": g["tf"].to_numpy(),
+                "df": g["df"].to_numpy(),
+            }
+        )
+
+    return joined.groupby("doc_id").map_groups(topk, batch_format="pandas")

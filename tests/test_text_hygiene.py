@@ -153,3 +153,33 @@ class TestPackExamples:
         assert sorted(map(tuple, packs[key].values.tolist())) == sorted(
             map(tuple, again[key].values.tolist())
         )
+
+
+class TestKeywords:
+    def test_rank_order_by_hand(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ocr_machine_ray.pipelines.queries_text import q_keywords_per_doc
+
+        t = _docs(
+            [
+                "apple apple apple rare banana banana",  # tf: apple 3, banana 2, rare 1
+                "apple banana zebra",                    # all tf=1 -> df then token breaks ties
+            ],
+            ids=[0, 1],
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = (
+            q_keywords_per_doc(str(tmp_path))
+            .to_pandas()
+            .sort_values(["doc_id", "rnk"])
+            .reset_index(drop=True)
+        )
+        d0 = out[out.doc_id == 0]
+        assert d0["keyword"].tolist() == ["apple", "banana", "rare"]
+        assert d0["tf"].tolist() == [3, 2, 1]
+        # doc 1: tf all 1; df: apple 2, banana 2, zebra 1 -> zebra first,
+        # then apple/banana by token order
+        d1 = out[out.doc_id == 1]
+        assert d1["keyword"].tolist() == ["zebra", "apple", "banana"]
+        assert d1["df"].tolist() == [1, 2, 2]
