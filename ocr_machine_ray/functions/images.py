@@ -17,7 +17,7 @@ import hashlib
 
 import numpy as np
 
-from .png import png_decode
+from .png import png_decode, pnm_decode
 
 MEDIA_W, MEDIA_H = 96, 64  # synthetic page-crop size
 WORD_W, WORD_H = 80, 24    # synthetic word-region size
@@ -443,6 +443,8 @@ def decode_external(payload: bytes, codec: str, fake: bool = False) -> np.ndarra
     plumbing tests of the stubbed codecs."""
     if codec.lower() == "png":
         return png_decode(payload)
+    if codec.lower() in ("pgm", "ppm", "pnm"):
+        return pnm_decode(payload)
     if fake:
         seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
         rng = np.random.default_rng(seed)

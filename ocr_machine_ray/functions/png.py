@@ -149,3 +149,48 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError(f"IDAT size {len(raw)} != expected {expected}")
     out = _unfilter(raw, h, w, channels)
     return out.reshape((h, w) if channels == 1 else (h, w, channels))
+
+
+# ---------------------------------------------------------------------------
+# Netpbm PGM/PPM (binary P5/P6): the no-compression interchange format —
+# trivial but REAL (any netpbm tool can read/write these streams).
+# ---------------------------------------------------------------------------
+def pnm_encode(img: np.ndarray) -> bytes:
+    """P5 (grayscale, 2-D) or P6 (RGB, 3-D) binary netpbm."""
+    if img.dtype != np.uint8:
+        raise ValueError("pnm_encode expects uint8")
+    if img.ndim == 2:
+        h, w = img.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+    if img.ndim == 3 and img.shape[2] == 3:
+        h, w, _ = img.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+    raise ValueError(f"unsupported shape {img.shape}")
+
+
+def pnm_decode(data: bytes) -> np.ndarray:
+    """Decode binary P5/P6 (whitespace- and comment-tolerant header)."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM stream")
+    rgb = data[:2] == b"P6"
+    # header: magic, width, height, maxval — tokens separated by
+    # whitespace, with '#' comments running to end of line
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    n = w * h * (3 if rgb else 1)
+    buf = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    return buf.reshape((h, w, 3) if rgb else (h, w)).copy()

@@ -110,3 +110,35 @@ def test_truncated_idat():
 def test_other_codecs_still_stub():
     with pytest.raises(NotImplementedError):
         decode_external(b"\xff\xd8\xff", "jpeg")
+
+
+class TestPnm:
+    def test_pgm_roundtrip_via_decode_external(self):
+        import numpy as np
+        from ocr_machine_ray.functions.images import decode_external
+        from ocr_machine_ray.functions.png import pnm_encode
+
+        img = np.random.default_rng(7).integers(0, 256, (24, 80), dtype=np.uint8)
+        assert np.array_equal(decode_external(pnm_encode(img), "pgm"), img)
+
+    def test_ppm_rgb_roundtrip(self):
+        import numpy as np
+        from ocr_machine_ray.functions.png import pnm_decode, pnm_encode
+
+        rgb = np.random.default_rng(8).integers(0, 256, (12, 9, 3), dtype=np.uint8)
+        assert np.array_equal(pnm_decode(pnm_encode(rgb)), rgb)
+
+    def test_comment_and_whitespace_header(self):
+        import numpy as np
+        from ocr_machine_ray.functions.png import pnm_decode
+
+        img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+        data = b"P5 # inline\n# full line comment\n 4\t3 \n255\n" + img.tobytes()
+        assert np.array_equal(pnm_decode(data), img)
+
+    def test_rejects_ascii_variants(self):
+        import pytest
+        from ocr_machine_ray.functions.png import pnm_decode
+
+        with pytest.raises(ValueError):
+            pnm_decode(b"P2\n2 2\n255\n0 1 2 3")
