@@ -291,3 +291,53 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
         )
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class IvfTopK:
+    """IVF-probed ANN: batch vectors are assigned to their nearest coarse
+    centroid; a query scores only vectors whose cell is among its `nprobe`
+    closest cells, with exact cosine rerank on the survivors. The scale
+    path complement to LshTopK — at 10^12 rows the index would be built
+    once (kmeans_fit on a capped sample) and vectors stored partitioned by
+    cell so a probe reads only nprobe/k of the corpus."""
+
+    def __init__(self, query_ref, centroids: np.ndarray, nprobe: int, k: int):
+        import ray
+
+        q_ids, Q = ray.get(query_ref)
+        self.q_ids = q_ids
+        norms = np.linalg.norm(Q, axis=1, keepdims=True)
+        self.Qn = Q / np.where(norms == 0, 1.0, norms)
+        self.C = centroids.astype(np.float64)
+        # (nq, nprobe) nearest cells per query
+        d = _sq_dists(Q, self.C)
+        self.q_cells = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "cos": pa.array([], type=pa.float64()),
+            }
+        )
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return empty
+        V = _as_matrix(batch["embedding"])
+        v_cell = np.argmin(_sq_dists(V, self.C), axis=1)
+        cand = (self.q_cells[:, :, None] == v_cell[None, None, :]).any(axis=1)
+        qi, vi = np.where(cand)
+        if len(qi) == 0:
+            return empty
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.where(norms == 0, 1.0, norms)
+        cos = np.einsum("ij,ij->i", self.Qn[qi], Vn[vi])
+        return pa.table(
+            {
+                "query_id": pa.array(self.q_ids[qi], type=pa.int64()),
+                "neighbor_id": pa.array(ids[vi], type=pa.int64()),
+                "cos": pa.array(cos, type=pa.float64()),
+            }
+        )

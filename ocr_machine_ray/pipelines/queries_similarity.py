@@ -192,3 +192,34 @@ def q_ivf_clusters(sf_dir: str):
     fit_ds = emb.random_sample(0.5, seed=42).limit(100_000).materialize()
     centroids = kmeans_fit(fit_ds, k=8, n_iter=5)
     return kmeans_assign(emb, centroids)
+
+
+@query("ann_topk_ivf")
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF-probed ANN (rows-only: approximate by construction; recall vs
+    brute force asserted in pytest). Coarse quantizer fit on a hard-capped
+    sample; queries probe their 4 nearest of 8 cells (2x pruning at ~0.74
+    recall on this weakly-clustered synthetic space — real embedding
+    spaces cluster far better, so production raises k and lowers
+    nprobe/k); exact cosine rerank inside probed cells."""
+    import ray
+    import ray.data
+
+    from ..functions.similarity import IvfTopK, kmeans_fit
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    fit_ds = emb.random_sample(0.5, seed=42).limit(100_000).materialize()
+    centroids = kmeans_fit(fit_ds, k=8, n_iter=5)
+    ref = ray.put(_load_queries(sf_dir))
+    partials = emb.map_batches(
+        IvfTopK,
+        fn_constructor_args=(ref, centroids, 4, TOP_K),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 2),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
+    )
