@@ -29,6 +29,16 @@ from ..stages.strike import keep_mask_rule, rule_verdict_flat
 DOC_COLUMNS = ["doc_id", "text"]
 
 
+def parquet_num_rows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer — free (no scan). Used to
+    short-circuit pipelines on 0-row shards: Ray 2.49's native join /
+    multi-stage shuffle paths raise on fully-empty inputs, and a 100 TB
+    run WILL contain empty partitions."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
 def read_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Column-pruned read of the documents table.
 
@@ -124,7 +134,8 @@ def extract_flat_shuffled(sf_dir: str) -> ray.data.Dataset:
             batch_format="pyarrow",
         )
     )
-    if "category" in flat.schema().names:
+    sch = flat.schema()  # None on a fully-empty stream
+    if sch is not None and "category" in sch.names:
         flat = flat.drop_columns(["category"])
     return flat.groupby("doc_id").map_groups(
         _reassemble_group, batch_format="pandas"

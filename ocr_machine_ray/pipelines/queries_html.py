@@ -102,6 +102,16 @@ SELECT 'val', CAST(floor(c*0.85) AS BIGINT)
 
 @query("train_val_test_split", _SPLIT_SQL)
 def q_split(sf_dir: str):
+    from .extraction import parquet_num_rows
+
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        # split_proportionately refuses empty input; SQL yields 3 zero rows
+        return pa.table(
+            {
+                "split": pa.array(["train", "val", "test"]),
+                "n_docs": pa.array([0, 0, 0], type=pa.int64()),
+            }
+        )
     ds = read_documents(sf_dir, ["doc_id"]).random_shuffle(seed=42)
     train, val, test = ds.split_proportionately([0.7, 0.15])
     return pa.table(
@@ -146,8 +156,20 @@ def q_doc_length_stats(sf_dir: str):
                     batch_size=65536, batch_format="pyarrow"
                 )
             ]
+            or [np.empty(0, dtype=np.int64)]
         )
     )
+    if len(vals) == 0:
+        # SQL global aggregate over an empty table: one all-NULL row
+        null_i = pa.array([None], type=pa.int64())
+        null_f = pa.array([None], type=pa.float64())
+        return pa.table(
+            {
+                "min_chars": null_i, "max_chars": null_i,
+                "total_chars": null_i,
+                "p5": null_f, "p25": null_f, "p75": null_f, "p95": null_f,
+            }
+        )
     p5, p25, p75, p95 = np.percentile(vals, [5, 25, 75, 95])
     return pa.table(
         {

@@ -534,7 +534,7 @@ SELECT DISTINCT event_type FROM events
 @query("distinct_event_types", _DISTINCT_SQL)
 def q_distinct(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type"])
-    vals = ds.unique("event_type")
+    vals = ds.unique("event_type") or []  # None on a fully-empty stream
     return pa.table({"event_type": pa.array(sorted(vals), type=pa.string())})
 
 
@@ -680,6 +680,18 @@ def q_distinct_users(sf_dir: str):
 def q_native_join(sf_dir: str):
     from ray.data.aggregate import Sum
 
+    from .extraction import parquet_num_rows
+
+    # ray 2.49's hash-join aggregator raises on fully-empty inputs
+    if (parquet_num_rows(sf_dir, "orders") == 0
+            or parquet_num_rows(sf_dir, "lineitem") == 0):
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([], type=pa.string()),
+                "revenue_cents": pa.array([], type=pa.int64()),
+                "n_items": pa.array([], type=pa.int64()),
+            }
+        )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     items = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
     joined = items.join(

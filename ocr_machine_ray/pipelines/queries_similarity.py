@@ -10,6 +10,19 @@ from ..registry import query
 
 N_QUERIES = 32  # query set = vec_id < N_QUERIES
 TOP_K = 5
+EMB_DIM = 64
+
+
+def _empty_topk() -> "pa.Table":
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+            "rnk": pa.array([], type=pa.int64()),
+        }
+    )
 
 
 def _load_queries(sf_dir: str):
@@ -24,6 +37,10 @@ def _load_queries(sf_dir: str):
         filters=[("vec_id", "<", N_QUERIES)],
     )
     t = t.filter(pc.less(t["vec_id"], N_QUERIES))
+    if len(t) == 0:  # 0-row shard: no query vectors
+        return np.empty(0, dtype=np.int64), np.empty(
+            (0, EMB_DIM), dtype=np.float64
+        )
     q_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
         np.float64
@@ -61,6 +78,10 @@ def q_ann_topk(sf_dir: str):
     import ray
     import ray.data
 
+    from .extraction import parquet_num_rows
+
+    if parquet_num_rows(sf_dir, "embeddings") == 0:
+        return _empty_topk()
     ref = ray.put(_load_queries(sf_dir))
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     partials = emb.map_batches(
@@ -85,7 +106,10 @@ def q_ann_topk_lsh(sf_dir: str):
     import ray.data
 
     from ..functions.similarity import LshTopK
+    from .extraction import parquet_num_rows
 
+    if parquet_num_rows(sf_dir, "embeddings") == 0:
+        return _empty_topk()
     ref = ray.put(_load_queries(sf_dir))
     planes = hyperplanes(dim=64, n_bits=8, n_tables=4)
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -154,7 +178,17 @@ def q_knn_classify(sf_dir: str):
     against a pruned (vec_id, label) read, then a per-query vote — no
     driver-side label dictionary, no full-table read."""
     import ray.data
+    import pyarrow as pa
 
+    from .extraction import parquet_num_rows
+
+    if parquet_num_rows(sf_dir, "embeddings") == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "pred_label": pa.array([], type=pa.int64()),
+            }
+        )
     topk = q_ann_topk(sf_dir)
     labels = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
@@ -179,9 +213,18 @@ def q_knn_classify(sf_dir: str):
 @query("ivf_clusters")
 def q_ivf_clusters(sf_dir: str):
     import ray.data
+    import pyarrow as pa
 
     from ..functions.similarity import kmeans_assign, kmeans_fit
+    from .extraction import parquet_num_rows
 
+    if parquet_num_rows(sf_dir, "embeddings") == 0:
+        return pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "cluster": pa.array([], type=pa.int64()),
+            }
+        )
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -206,7 +249,10 @@ def q_ann_topk_ivf(sf_dir: str):
     import ray.data
 
     from ..functions.similarity import IvfTopK, kmeans_fit
+    from .extraction import parquet_num_rows
 
+    if parquet_num_rows(sf_dir, "embeddings") == 0:
+        return _empty_topk()
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )

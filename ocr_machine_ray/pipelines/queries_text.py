@@ -648,6 +648,20 @@ def q_keywords_per_doc(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
+    from .extraction import parquet_num_rows
+
+    # ray 2.49's hash-join aggregator raises on fully-empty inputs
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "rnk": pa.array([], type=pa.int64()),
+                "keyword": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+            }
+        )
+
     def tf_rows(batch: pa.Table) -> pa.Table:
         ft = _FlatTokens(batch)
         enc = pc.dictionary_encode(ft.tokens_arrow)

@@ -1,0 +1,54 @@
+"""Every registry query must survive fully-empty input tables.
+
+A 100 TB run will contain 0-row partitions; an operator that raises on an
+empty shard poisons the whole job. Found-and-fixed classes: np.stack on an
+empty query set, Ray 2.49's hash-join aggregator on empty inputs,
+ds.unique() returning None, split_proportionately refusing empty input,
+np.concatenate over zero batches, Dataset.schema() returning None.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        pq.write_table(tbl.slice(0, 0), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _all_queries():
+    from ocr_machine_ray import registry
+
+    return sorted(registry.queries())
+
+
+@pytest.mark.parametrize("name", _all_queries())
+def test_query_survives_empty_tables(name, ray_session, empty_sf_dir):
+    from ocr_machine_ray import registry
+
+    out = registry.queries()[name](empty_sf_dir)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    # a handful of global aggregates legitimately emit summary rows on
+    # empty input (SQL semantics); everything else must be empty
+    if name == "train_val_test_split":
+        assert df["n_docs"].tolist() == [0, 0, 0]
+    elif name in ("doc_length_stats", "doc_length_stats_sketch"):
+        assert len(df) <= 1
+    elif name == "lineage_records":
+        pass  # run metadata rows are expected
+    else:
+        assert len(df) == 0, f"{name} produced {len(df)} rows from nothing"
