@@ -189,7 +189,16 @@ def q_knn_classify(sf_dir: str):
                 "pred_label": pa.array([], type=pa.int64()),
             }
         )
-    topk = q_ann_topk(sf_dir)
+    # topk is tiny by construction (<= n_queries x k rows): materialize so
+    # the empty case can bail before ray 2.49's join (raises on empty side)
+    topk = q_ann_topk(sf_dir).materialize()
+    if topk.count() == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "pred_label": pa.array([], type=pa.int64()),
+            }
+        )
     labels = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
     )
@@ -233,6 +242,8 @@ def q_ivf_clusters(sf_dir: str):
     # alone would still be O(n); the iterative Lloyd rounds rescan only
     # the sample); assignment then streams once over the lazy full read
     fit_ds = emb.random_sample(0.5, seed=42).limit(100_000).materialize()
+    if fit_ds.count() == 0:  # tiny shard: the sample can come up empty
+        fit_ds = emb.limit(100_000).materialize()
     centroids = kmeans_fit(fit_ds, k=8, n_iter=5)
     return kmeans_assign(emb, centroids)
 
@@ -257,6 +268,8 @@ def q_ann_topk_ivf(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     fit_ds = emb.random_sample(0.5, seed=42).limit(100_000).materialize()
+    if fit_ds.count() == 0:  # tiny shard: the sample can come up empty
+        fit_ds = emb.limit(100_000).materialize()
     centroids = kmeans_fit(fit_ds, k=8, n_iter=5)
     ref = ray.put(_load_queries(sf_dir))
     partials = emb.map_batches(

@@ -52,3 +52,29 @@ def test_query_survives_empty_tables(name, ray_session, empty_sf_dir):
         pass  # run metadata rows are expected
     else:
         assert len(df) == 0, f"{name} produced {len(df)} rows from nothing"
+
+
+@pytest.fixture(scope="session")
+def one_row_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("one_row_sf")
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        pq.write_table(tbl.slice(0, 1), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def test_all_queries_survive_one_row_tables(ray_session, one_row_sf_dir):
+    """Boundary sweep in one test: 1-row tables hit a different failure
+    class than empty ones (self-excluded ANN leaves an empty JOIN input,
+    a 50% sample of 1 row comes up empty for the k-means fit, a 1-doc
+    split has empty train/val)."""
+    from ocr_machine_ray import registry
+
+    failures = []
+    for name, fn in registry.queries().items():
+        try:
+            out = fn(one_row_sf_dir)
+            out.to_pandas() if hasattr(out, "to_pandas") else out
+        except Exception as exc:  # noqa: BLE001 — cataloging
+            failures.append(f"{name}: {type(exc).__name__}")
+    assert not failures, failures
