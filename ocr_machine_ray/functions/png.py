@@ -191,6 +191,14 @@ def pnm_decode(data: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError("only maxval 255 supported")
+    if w <= 0 or h <= 0:
+        # np.frombuffer(count=negative) silently reads everything and
+        # reshape infers negative dims — reject the malformed header
+        raise ValueError(f"invalid dimensions {w}x{h}")
     n = w * h * (3 if rgb else 1)
+    if len(data) - pos < n:
+        raise ValueError(
+            f"truncated pixel data: need {n} bytes, have {len(data) - pos}"
+        )
     buf = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
     return buf.reshape((h, w, 3) if rgb else (h, w)).copy()

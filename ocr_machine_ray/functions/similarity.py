@@ -334,6 +334,20 @@ class IvfTopK:
         norms = np.linalg.norm(V, axis=1, keepdims=True)
         Vn = V / np.where(norms == 0, 1.0, norms)
         cos = np.einsum("ij,ij->i", self.Qn[qi], Vn[vi])
+        # per-batch partial top-k: with nprobe/k cells probed, the raw
+        # candidate set is a large fraction of the batch per query —
+        # uncapped emission would make the final merge groupby shuffle a
+        # multiple of the corpus. Cap at k+1 rows per query per batch
+        # (+1 because the self-match is dropped downstream), identical
+        # result, merge input bounded at (k+1) x n_queries x n_blocks.
+        order = np.lexsort((-cos, qi))
+        qi, vi, cos = qi[order], vi[order], cos[order]
+        starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+        pos = np.arange(len(qi)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(qi)])
+        )
+        keep = pos < self.k + 1
+        qi, vi, cos = qi[keep], vi[keep], cos[keep]
         return pa.table(
             {
                 "query_id": pa.array(self.q_ids[qi], type=pa.int64()),

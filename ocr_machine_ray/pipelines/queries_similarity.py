@@ -219,12 +219,25 @@ def q_knn_classify(sf_dir: str):
 # column (rows-only: learned clustering has no SQL oracle; convergence and
 # blob-separation are asserted in pytest).
 # ---------------------------------------------------------------------------
+def _fit_quantizer(emb):
+    """k-means coarse quantizer fit on a hard-capped materialized sample
+    (bounded object-store footprint at any corpus size); falls back to the
+    head of the table when the proportional sample of a tiny shard comes
+    up empty."""
+    from ..functions.similarity import kmeans_fit
+
+    fit_ds = emb.random_sample(0.5, seed=42).limit(100_000).materialize()
+    if fit_ds.count() == 0:
+        fit_ds = emb.limit(100_000).materialize()
+    return kmeans_fit(fit_ds, k=8, n_iter=5)
+
+
 @query("ivf_clusters")
 def q_ivf_clusters(sf_dir: str):
     import ray.data
     import pyarrow as pa
 
-    from ..functions.similarity import kmeans_assign, kmeans_fit
+    from ..functions.similarity import kmeans_assign
     from .extraction import parquet_num_rows
 
     if parquet_num_rows(sf_dir, "embeddings") == 0:
@@ -237,15 +250,9 @@ def q_ivf_clusters(sf_dir: str):
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    # fit on a materialized SAMPLE hard-capped by limit() (truly bounded
-    # object-store footprint at any corpus size — a proportional sample
-    # alone would still be O(n); the iterative Lloyd rounds rescan only
-    # the sample); assignment then streams once over the lazy full read
-    fit_ds = emb.random_sample(0.5, seed=42).limit(100_000).materialize()
-    if fit_ds.count() == 0:  # tiny shard: the sample can come up empty
-        fit_ds = emb.limit(100_000).materialize()
-    centroids = kmeans_fit(fit_ds, k=8, n_iter=5)
-    return kmeans_assign(emb, centroids)
+    # fit on the capped sample (see _fit_quantizer); assignment then
+    # streams once over the lazy full read
+    return kmeans_assign(emb, _fit_quantizer(emb))
 
 
 @query("ann_topk_ivf")
@@ -259,7 +266,7 @@ def q_ann_topk_ivf(sf_dir: str):
     import ray
     import ray.data
 
-    from ..functions.similarity import IvfTopK, kmeans_fit
+    from ..functions.similarity import IvfTopK
     from .extraction import parquet_num_rows
 
     if parquet_num_rows(sf_dir, "embeddings") == 0:
@@ -267,10 +274,7 @@ def q_ann_topk_ivf(sf_dir: str):
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    fit_ds = emb.random_sample(0.5, seed=42).limit(100_000).materialize()
-    if fit_ds.count() == 0:  # tiny shard: the sample can come up empty
-        fit_ds = emb.limit(100_000).materialize()
-    centroids = kmeans_fit(fit_ds, k=8, n_iter=5)
+    centroids = _fit_quantizer(emb)
     ref = ray.put(_load_queries(sf_dir))
     partials = emb.map_batches(
         IvfTopK,

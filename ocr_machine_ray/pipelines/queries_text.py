@@ -460,13 +460,18 @@ _MIX_KNUTH = 2654435761
 _MIX_RATES = {"en": 500, "fr": 300, "de": 300, "es": 150, "zh": 100}
 _MIX_DEFAULT = 150
 
+# mod-safe hash form: (a*b) % m == ((a%m) * (b%m)) % m, and the reduced
+# product maxes at 999*761 — no int64/BIGINT overflow at ANY doc_id
+# (the naive doc_id*KNUTH wraps numpy int64 past doc_id ~3.5e9 while
+# DuckDB raises, silently desyncing the two sides). CASE arms generated
+# from _MIX_RATES so the dict is the single source of truth.
 _STRAT_SQL = f"""
 SELECT doc_id, lang
 FROM documents
-WHERE (doc_id * {_MIX_KNUTH}) % 1000 <
+WHERE ((doc_id % 1000) * {_MIX_KNUTH % 1000}) % 1000 <
       CASE lang
-        WHEN 'en' THEN 500 WHEN 'fr' THEN 300 WHEN 'de' THEN 300
-        WHEN 'es' THEN 150 WHEN 'zh' THEN 100 ELSE {_MIX_DEFAULT}
+        {' '.join(f"WHEN '{lg}' THEN {r}" for lg, r in sorted(_MIX_RATES.items()))}
+        ELSE {_MIX_DEFAULT}
       END
 """
 
@@ -476,7 +481,7 @@ def q_stratified_sample(sf_dir: str):
     def pick(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         langs = batch["lang"].to_numpy(zero_copy_only=False)
-        bucket = (ids * _MIX_KNUTH) % 1000
+        bucket = ((ids % 1000) * (_MIX_KNUTH % 1000)) % 1000
         rates = np.full(len(ids), _MIX_DEFAULT, dtype=np.int64)
         for lg, r in _MIX_RATES.items():
             rates[langs == lg] = r
@@ -678,9 +683,13 @@ def q_keywords_per_doc(sf_dir: str):
             }
         )
 
+    # materialized: tf feeds BOTH the df derivation and the join probe —
+    # lazy it would re-read and re-tokenize the whole corpus twice (the
+    # most expensive stage); the tf table is corpus-sized, so this leans
+    # on object-store spill rather than recompute
     tf_ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         tf_rows, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
 
     def df_partial(batch: pa.Table) -> pa.Table:
         # tf rows are distinct per (doc, tok): counting rows per tok in a
