@@ -256,3 +256,66 @@ def q_doc_length_stats_sketch(sf_dir: str):
             "p95": pa.array([merged.quantile(0.95)], type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-GROUP sketch quantiles: the distributed form of the sketch pattern —
+# one histogram partial per (batch, lang), merged INSIDE groupby(lang)
+# rather than on the driver. Exact at bin_width=1, so the oracle is
+# value-exact; at 10^12 rows the same shape holds with a KLL/t-digest in
+# the partial slot and only (lang, sketch) rows ever shuffle.
+# ---------------------------------------------------------------------------
+_GRP_QUANT_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       quantile_cont(n_chars, 0.5) AS median_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars
+FROM documents GROUP BY lang
+"""
+
+
+@query("group_length_quantiles", _GRP_QUANT_SQL)
+def q_group_length_quantiles(sf_dir: str):
+    import pandas as pd
+
+    from ..functions.sketch import HistogramSketch
+
+    LO, HI = 0, 4096  # n_chars domain bound, as doc_length_stats_sketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        if int(chars.max(initial=0)) > HI:
+            raise ValueError(f"n_chars exceeds sketch domain [{LO},{HI}]")
+        uk, inv = np.unique(langs, return_inverse=True)
+        counts_rows, n_rows = [], []
+        for i in range(len(uk)):
+            v = chars[inv == i]
+            counts_rows.append(HistogramSketch(LO, HI).add(v).counts.tolist())
+            n_rows.append(len(v))
+        return pa.table(
+            {
+                "lang": pa.array(uk, type=pa.string()),
+                "counts": pa.array(counts_rows, type=pa.list_(pa.int64())),
+                "n_docs": pa.array(np.array(n_rows, dtype=np.int64)),
+            }
+        )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        sk = HistogramSketch(LO, HI)
+        for c in g["counts"]:
+            sk.merge(HistogramSketch.from_arrays(LO, 1, c))
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_docs": [int(g["n_docs"].sum())],
+                "median_chars": [sk.quantile(0.5)],
+                "p90_chars": [sk.quantile(0.9)],
+            }
+        )
+
+    partials = read_documents(sf_dir, ["lang", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("lang").map_groups(
+        merge_group, batch_format="pandas"
+    )
