@@ -295,3 +295,39 @@ def q_strike_model(sf_dir: str):
         lambda t: t.select(["doc_id", "offset", "struck_model"]),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling: synthetic multi-frame binaries -> every-2nd-frame
+# sampler (stages/media.py:FrameSampler). The oracle value-checks the
+# structural output (frame counts and byte sizes follow the corpus rule);
+# the byte-level slicing is pytest-checked.
+# ---------------------------------------------------------------------------
+from ..stages.media import FRAME_BYTES, VIDEO_MOD, VIDEO_RESIDUE
+
+_FRAME_SQL = f"""
+SELECT 'v-' || CAST(doc_id AS VARCHAR) AS video_ref,
+       doc_id,
+       CAST(2 + doc_id % 5 AS BIGINT) AS n_frames,
+       CAST((2 + doc_id % 5 + 1) // 2 AS BIGINT) AS n_sampled,
+       CAST(((2 + doc_id % 5 + 1) // 2) * {FRAME_BYTES} AS BIGINT)
+         AS sampled_bytes
+FROM documents
+WHERE doc_id % {VIDEO_MOD} = {VIDEO_RESIDUE} AND text IS NOT NULL
+"""
+
+
+@query("video_frame_sample", _FRAME_SQL)
+def q_video_frame_sample(sf_dir: str):
+    from ..stages.media import FrameSampler, synth_video_batch
+    from .extraction import read_documents
+
+    videos = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        synth_video_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return videos.map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=256,  # large binary payloads: small batches
+        concurrency=(1, 4),
+    )

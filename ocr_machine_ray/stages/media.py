@@ -322,3 +322,80 @@ def compression_report_batch(batch: pa.Table) -> pa.Table:
             "compressed_size": pa.array(comp, type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Video-shaped payloads: frame sampling over opaque multi-frame binaries.
+# Deterministic synthetic "videos" (doc_id % VIDEO_MOD == VIDEO_RESIDUE
+# carries one, with 2 + doc_id % 5 frames of MEDIA_H x MEDIA_W grayscale);
+# the SAMPLER is the real operator — stride slicing over a binary column
+# using only (frame_size, n_frames) metadata, the actor-pool shape a real
+# video pipeline uses with a codec in the slot (video decode itself stays
+# behind decode_external's documented stub: no AV libs in this container).
+# ---------------------------------------------------------------------------
+VIDEO_MOD = 11
+VIDEO_RESIDUE = 3
+FRAME_BYTES = MEDIA_H * MEDIA_W
+
+
+def synth_video_batch(batch: pa.Table) -> pa.Table:
+    """documents rows -> video payload rows for docs matching the rule."""
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = np.flatnonzero(doc % VIDEO_MOD == VIDEO_RESIDUE)
+    refs, payloads, n_frames = [], [], []
+    for d in doc[sel]:
+        f = int(2 + d % 5)
+        frames = [
+            synth_media_image(f"v-{d}-{i}", "blank") for i in range(f)
+        ]
+        refs.append(f"v-{d}")
+        payloads.append(b"".join(img.tobytes() for img in frames))
+        n_frames.append(f)
+    return pa.table(
+        {
+            "video_ref": pa.array(refs, type=pa.string()),
+            "doc_id": pa.array(doc[sel], type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "n_frames": pa.array(np.array(n_frames, dtype=np.int64)),
+        }
+    )
+
+
+class FrameSampler:
+    """Actor-pool frame sampler: every `stride`-th frame sliced out of the
+    opaque payload by (frame_size, n_frames) metadata — zero-copy slices,
+    no decode. Swap a codec into the slot for real containers."""
+
+    def __init__(self, stride: int = 2, frame_bytes: int = FRAME_BYTES):
+        self.stride = stride
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        nf = batch["n_frames"].to_numpy(zero_copy_only=False)
+        sampled, sampled_bytes = [], []
+        for buf, n in zip(payloads, nf):
+            if len(buf) != int(n) * self.frame_bytes:
+                raise ValueError(
+                    f"payload size {len(buf)} != {n} x {self.frame_bytes}"
+                )
+            picks = range(0, int(n), self.stride)
+            out = b"".join(
+                buf[i * self.frame_bytes:(i + 1) * self.frame_bytes]
+                for i in picks
+            )
+            sampled.append(len(list(picks)))
+            sampled_bytes.append(len(out))
+        return pa.table(
+            {
+                "video_ref": batch["video_ref"],
+                "doc_id": batch["doc_id"],
+                "n_frames": batch["n_frames"],
+                "n_sampled": pa.array(
+                    np.array(sampled, dtype=np.int64)
+                ),
+                "sampled_bytes": pa.array(
+                    np.array(sampled_bytes, dtype=np.int64)
+                ),
+            }
+        )

@@ -216,3 +216,59 @@ class TestDocArtifacts:
         }
         out = reassemble_doc_media(pd.DataFrame(pages))
         assert out["artifact"].iloc[0] == b"IJ"
+
+
+class TestFrameSampler:
+    def test_slices_every_other_frame_bytes(self):
+        import numpy as np
+        from ocr_machine_ray.stages import media as M
+
+        fb = M.FRAME_BYTES
+        frames = [
+            np.full((M.MEDIA_H, M.MEDIA_W), v, dtype=np.uint8)
+            for v in (10, 20, 30, 40, 50)
+        ]
+        batch = pa.table(
+            {
+                "video_ref": pa.array(["v-3"], type=pa.string()),
+                "doc_id": pa.array([3], type=pa.int64()),
+                "payload": pa.array(
+                    [b"".join(f.tobytes() for f in frames)],
+                    type=pa.binary(),
+                ),
+                "n_frames": pa.array([5], type=pa.int64()),
+            }
+        )
+        out = M.FrameSampler(stride=2)(batch)
+        assert out["n_sampled"].to_pylist() == [3]       # frames 0, 2, 4
+        assert out["sampled_bytes"].to_pylist() == [3 * fb]
+
+    def test_rejects_size_mismatch(self):
+        import pytest
+        from ocr_machine_ray.stages import media as M
+
+        batch = pa.table(
+            {
+                "video_ref": pa.array(["v-1"], type=pa.string()),
+                "doc_id": pa.array([1], type=pa.int64()),
+                "payload": pa.array([b"short"], type=pa.binary()),
+                "n_frames": pa.array([2], type=pa.int64()),
+            }
+        )
+        with pytest.raises(ValueError):
+            M.FrameSampler()(batch)
+
+    def test_synth_follows_rule(self):
+        from ocr_machine_ray.stages import media as M
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array(
+                    [3, 4, 14, 25], type=pa.int64()
+                ),  # 3 and 14 match doc_id % 11 == 3
+                "text": pa.array(["a", "b", "c", "d"]),
+            }
+        )
+        out = M.synth_video_batch(batch)
+        assert out["doc_id"].to_pylist() == [3, 14]
+        assert out["n_frames"].to_pylist() == [2 + 3 % 5, 2 + 14 % 5]
