@@ -264,8 +264,8 @@ class TestFrameSampler:
         batch = pa.table(
             {
                 "doc_id": pa.array(
-                    [3, 4, 14, 25], type=pa.int64()
-                ),  # 3 and 14 match doc_id % 11 == 3
+                    [3, 4, 14, 26], type=pa.int64()
+                ),  # 3 and 14 match doc_id % 11 == 3 (26 % 11 == 4)
                 "text": pa.array(["a", "b", "c", "d"]),
             }
         )
