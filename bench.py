@@ -40,6 +40,15 @@ BENCH_QUERIES = [
     "sessionize",
     "media_classify",
     "extract_spans_cv",
+    # round-2 additions
+    "page_orientation",
+    "decontaminate",
+    "repetition_stats",
+    "stratified_sample",
+    "chunk_examples",
+    "pack_examples",
+    "keywords_per_doc",
+    "video_frame_sample",
 ]
 
 

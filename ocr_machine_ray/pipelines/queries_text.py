@@ -720,6 +720,28 @@ def q_keywords_per_doc(sf_dir: str):
         right_on=("jtok",),
     )
 
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        # per-batch partial top-3 per doc BEFORE the groupby: the global
+        # top-3 is contained in the union of per-batch top-3s, so the
+        # shuffle carries <= 3 x n_blocks rows per doc instead of every
+        # (doc, token) row
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        dfv = batch["df"].to_numpy(zero_copy_only=False)
+        tok = batch["tok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, dfv, -tf, doc))
+        d = doc[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        pos = np.arange(len(d)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(d)])
+        )
+        keep = order[pos < 3]
+        return batch.take(pa.array(np.sort(keep)))
+
+    joined = joined.map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
             ["tf", "df", "tok"], ascending=[False, True, True], kind="mergesort"
