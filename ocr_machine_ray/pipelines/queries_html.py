@@ -196,11 +196,17 @@ def q_doc_length_stats(sf_dir: str):
 # the sketch is EXACT, so it shares doc_length_stats' value-exact oracle —
 # proving the mergeable-partial pattern without giving up the gate.
 # ---------------------------------------------------------------------------
+# n_chars sketch domain bound, shared by every sketch query in this file
+# (sf corpora max ~600; raise HERE if the corpus ceiling ever grows —
+# clipping would silently skew percentiles, so partials fail loudly)
+N_CHARS_LO, N_CHARS_HI = 0, 4096
+
+
 @query("doc_length_stats_sketch", _LEN_STATS_SQL)
 def q_doc_length_stats_sketch(sf_dir: str):
     from ..functions.sketch import HistogramSketch
 
-    LO, HI = 0, 4096  # n_chars domain bound (sf corpora max ~600)
+    LO, HI = N_CHARS_LO, N_CHARS_HI
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch["n_chars"].to_numpy(zero_copy_only=False)
@@ -279,7 +285,7 @@ def q_group_length_quantiles(sf_dir: str):
 
     from ..functions.sketch import HistogramSketch
 
-    LO, HI = 0, 4096  # n_chars domain bound, as doc_length_stats_sketch
+    LO, HI = N_CHARS_LO, N_CHARS_HI
 
     def partial(batch: pa.Table) -> pa.Table:
         langs = batch["lang"].to_numpy(zero_copy_only=False)
@@ -287,16 +293,18 @@ def q_group_length_quantiles(sf_dir: str):
         if int(chars.max(initial=0)) > HI:
             raise ValueError(f"n_chars exceeds sketch domain [{LO},{HI}]")
         uk, inv = np.unique(langs, return_inverse=True)
-        counts_rows, n_rows = [], []
-        for i in range(len(uk)):
-            v = chars[inv == i]
-            counts_rows.append(HistogramSketch(LO, HI).add(v).counts.tolist())
-            n_rows.append(len(v))
+        # every per-lang histogram in ONE vectorized sweep (an (L, bins)
+        # matrix) instead of a masked rescan per language
+        mat = np.zeros((len(uk), HI - LO + 1), dtype=np.int64)
+        if len(chars):
+            np.add.at(mat, (inv, (chars - LO).clip(0, HI - LO)), 1)
         return pa.table(
             {
                 "lang": pa.array(uk, type=pa.string()),
-                "counts": pa.array(counts_rows, type=pa.list_(pa.int64())),
-                "n_docs": pa.array(np.array(n_rows, dtype=np.int64)),
+                "counts": pa.array(
+                    list(mat), type=pa.list_(pa.int64())
+                ),
+                "n_docs": pa.array(np.bincount(inv, minlength=len(uk)).astype(np.int64)),
             }
         )
 

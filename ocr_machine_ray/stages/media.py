@@ -384,7 +384,7 @@ class FrameSampler:
                 buf[i * self.frame_bytes:(i + 1) * self.frame_bytes]
                 for i in picks
             )
-            sampled.append(len(list(picks)))
+            sampled.append(len(picks))  # range len is O(1)
             sampled_bytes.append(len(out))
         return pa.table(
             {
