@@ -104,3 +104,74 @@ class TestStrikeRuleProperties:
             a = corpus.struck_mask(np.full(len(i), d, dtype=np.int64), i)
             b = corpus.struck_mask(np.full(len(i), d, dtype=np.int64), i)
             assert (a == b).all()
+
+
+class TestCodecProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        rgb=st.booleans(),
+    )
+    def test_pnm_roundtrip_any_image(self, w, h, seed, rgb):
+        from ocr_machine_ray.functions.png import pnm_decode, pnm_encode
+
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(pnm_decode(pnm_encode(img)), img)
+
+    @settings(max_examples=15, deadline=None)
+    @given(w=st.integers(1, 24), h=st.integers(1, 24), seed=st.integers(0, 2**31 - 1))
+    def test_png_roundtrip_any_grayscale(self, w, h, seed):
+        from ocr_machine_ray.functions.png import png_decode, png_encode
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(img)), img)
+
+
+class TestChunkPackProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(1, 32), min_size=1, max_size=200),
+    )
+    def test_next_fit_capacity_and_conservation(self, sizes):
+        # mirror the pack loop's invariants on arbitrary chunk sizes
+        cap = 128
+        packs, fill = [], cap + 1
+        for n in sizes:
+            if fill + n > cap:
+                packs.append(0)
+                fill = 0
+            fill += n
+            packs[-1] += n
+        assert all(p <= cap for p in packs)
+        assert sum(p for p in packs) == sum(sizes)
+
+    @settings(max_examples=20, deadline=None)
+    @given(text=st.text(alphabet="ab \t", min_size=0, max_size=200))
+    def test_chunks_reconstruct_normalized_text(self, text, ray_session, tmp_path_factory):
+        import pyarrow.parquet as pq
+
+        from ocr_machine_ray.pipelines.queries_text import q_chunk_examples
+
+        d = tmp_path_factory.mktemp("chunkprop")
+        t = pa.table(
+            {
+                "doc_id": pa.array([0], type=pa.int64()),
+                "text": pa.array([text], type=pa.string()),
+            }
+        )
+        pq.write_table(t, str(d / "documents.parquet"))
+        out = (
+            q_chunk_examples(str(d))
+            .to_pandas()
+            .sort_values("chunk_id")
+        )
+        rebuilt = " ".join(out["chunk_text"])
+        expected = " ".join(
+            re.split(r"\s+", text.strip(" \t\n\r\v\f"), flags=re.ASCII)
+        )
+        assert rebuilt == expected
