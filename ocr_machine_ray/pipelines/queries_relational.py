@@ -757,3 +757,58 @@ def q_running_totals(sf_dir: str):
         .groupby("user_id")
         .map_groups(per_user, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join: for each purchase, the number of clicks by the same user in
+# the 30 minutes AFTER it — interval-predicate join via per-user-group
+# searchsorted over the sorted click timeline (the same hash-bucketed
+# map_groups shape as the as-of join; a sort-merge interval join is the
+# scale form, and the partitioning assumption — co-located user keys —
+# is identical).
+# ---------------------------------------------------------------------------
+_RANGE_JOIN_SQL = """
+SELECT p.event_id AS purchase_id,
+       CAST((SELECT count(*) FROM events c
+             WHERE c.user_id = p.user_id AND c.event_type = 'click'
+               AND c.ts > p.ts
+               AND c.ts <= p.ts + INTERVAL 30 MINUTE) AS BIGINT)
+         AS n_clicks_30m
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+@query("range_join_counts", _RANGE_JOIN_SQL)
+def q_range_join(sf_dir: str):
+    WINDOW_US = 30 * 60 * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"]
+        if p.empty:
+            return pd.DataFrame(
+                {"purchase_id": pd.Series(dtype="int64"),
+                 "n_clicks_30m": pd.Series(dtype="int64")}
+            )
+        c_ts = np.sort(
+            g.loc[g["event_type"] == "click", "ts"]
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        p_ts = p["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        # (p.ts, p.ts + W]: strict left edge -> side='right' at p_ts;
+        # inclusive right edge -> side='right' at p_ts + W
+        lo = np.searchsorted(c_ts, p_ts, side="right")
+        hi = np.searchsorted(c_ts, p_ts + WINDOW_US, side="right")
+        return pd.DataFrame(
+            {
+                "purchase_id": p["event_id"].to_numpy().astype(np.int64),
+                "n_clicks_30m": (hi - lo).astype(np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
