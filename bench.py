@@ -208,6 +208,8 @@ def main_single() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__  # noqa: F401  (registers pickle-by-value)
 
+    probe_pre = round(host_probe(), 3)
+
     # warm page cache, worker pool (spawn + imports), and allocator pools
     # with one UNTIMED full-scale pass — a reduced-scale warm leaves the
     # first timed run ~30% slower (measured)
@@ -228,7 +230,10 @@ def main_single() -> None:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "amplify": AMPLIFY,
+        # pre/post bracket: a burst INSIDE the run shows as pre/post skew
+        # (a single sample can miss it entirely)
         "host_probe_sec": round(host_probe(), 3),
+        "host_probe_pre_sec": probe_pre,
     }
     print(json.dumps(result))
     ray.shutdown()
