@@ -66,3 +66,38 @@ def read_binary_media(path: str):
     import ray.data
 
     return ray.data.read_binary_files(path, include_paths=True)
+
+
+def read_harmonized(paths: list[str], target_schema):
+    """Schema-evolution-tolerant multi-shard read: every shard is
+    normalized to ``target_schema`` (missing columns filled with nulls,
+    extra columns dropped, types cast) BEFORE the union, so shards written
+    by different pipeline versions stream through one Dataset. A 100 TB
+    corpus accumulated over months WILL contain schema drift; a reader
+    that crashes on the first old shard cannot backfill.
+
+    Normalization happens inside map_batches on the workers — the driver
+    never touches shard data."""
+    import pyarrow as pa
+    import ray.data
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        cols = []
+        for field in target_schema:
+            if field.name in batch.column_names:
+                col = batch[field.name]
+                if col.type != field.type:
+                    col = col.cast(field.type)
+            else:
+                col = pa.nulls(len(batch), type=field.type)
+            cols.append(col)
+        return pa.Table.from_arrays(cols, schema=target_schema)
+
+    parts = [
+        ray.data.read_parquet(p).map_batches(
+            normalize, batch_format="pyarrow", zero_copy_batch=True
+        )
+        for p in paths
+    ]
+    ds = parts[0]
+    return ds.union(*parts[1:]) if len(parts) > 1 else ds

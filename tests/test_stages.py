@@ -69,3 +69,49 @@ class TestReaders:
         )
         df = ds.to_pandas()
         assert (df["lang"] == "en").all() and len(df) > 0
+
+
+class TestHarmonizedReader:
+    def test_schema_drift_union(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_machine_ray.sources.readers import read_harmonized
+
+        target = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+            ]
+        )
+        # v1 shard: no lang column yet, doc_id was int32
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], type=pa.int32()),
+                    "text": pa.array(["a", "b"]),
+                }
+            ),
+            str(tmp_path / "v1.parquet"),
+        )
+        # v2 shard: full schema plus an extra column to drop
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([3], type=pa.int64()),
+                    "text": pa.array(["c"]),
+                    "lang": pa.array(["en"]),
+                    "debug_notes": pa.array(["x"]),
+                }
+            ),
+            str(tmp_path / "v2.parquet"),
+        )
+        ds = read_harmonized(
+            [str(tmp_path / "v1.parquet"), str(tmp_path / "v2.parquet")],
+            target,
+        )
+        df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(df.columns) == ["doc_id", "text", "lang"]
+        assert df["doc_id"].tolist() == [1, 2, 3]
+        assert df["lang"].isna().tolist() == [True, True, False]
