@@ -80,7 +80,6 @@ def amplified_documents(sf_dir: str, replicas: int, n_blocks: int):
     a union of single-block branches schedules one task per branch — both
     starve the CPU pool)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     import ray.data
 
     from ocr_machine_ray.pipelines.extraction import DOC_COLUMNS
