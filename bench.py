@@ -181,11 +181,15 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     qs = registry.queries()
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        if hasattr(res, "count"):
-            res.count()  # consume the Dataset without driver materialization
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # min-of-2: same burst defense as the headline
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            if hasattr(res, "count"):
+                res.count()  # consume without driver materialization
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        times[name] = round(best, 3)
     return times
 
 
