@@ -468,9 +468,12 @@ def connected_components(pair_ds, max_rounds: int = 50):
     """
     from ray.data.aggregate import Min, Sum
 
+    # repartition: pair_ds usually arrives as many tiny bucket blocks, and
+    # every round's join/groupby would pay per-partition fixed costs per
+    # block (same pathology fixed in _distinct_pairs)
     edges = pair_ds.map_batches(
         _edges_both_dirs, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    ).repartition(8).materialize()
     if edges.count() == 0:
         return pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"),
