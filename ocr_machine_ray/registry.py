@@ -53,6 +53,7 @@ def _load() -> None:
     from .pipelines import queries_relational  # noqa: F401
     from .pipelines import queries_media  # noqa: F401
     from .pipelines import queries_html  # noqa: F401
+    from .pipelines import queries_search  # noqa: F401
     _LOADED = True
 
 
