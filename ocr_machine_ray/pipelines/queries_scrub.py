@@ -1,0 +1,175 @@
+"""Driver-checked queries: web-corpus scrubbing family (PII redaction,
+URL/domain analysis).
+
+A 100 TB web crawl needs a PII scrub pass (emails, phone numbers) and
+per-domain accounting before training-data selection. TESTDATA's synthetic
+``documents`` contains no organic PII/URLs, so each query derives a
+PII/URL-bearing view of the corpus with ONE closed-form rule implemented on
+both sides (the corpus.py pattern — the derivation is shared, so the
+value-hash gate genuinely checks the regex/redaction engine, not a
+tautology on clean text).
+
+Scale notes: both ops are single-pass column-pruned `map_batches` with
+Arrow RE2 C kernels (replace_substring_regex / count_substring_regex /
+extract_regex) — no Python-per-row work, no shuffle except the tiny domain
+groupby whose key cardinality is the domain universe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..registry import query
+from .extraction import read_documents
+
+# RE2 on the Arrow side, and DuckDB also uses RE2 — identical dialect.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"555-[0-9]{4}"
+
+# One shared synthesis rule: doc k gains a contact line
+#   " contact user<k>@mail.example.com or 555-<k%10000 zero-padded>"
+_SQL_PII_TEXT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@mail.example.com or 555-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+_PII_SQL = (
+    "WITH pii AS (SELECT doc_id, " + _SQL_PII_TEXT + " AS t FROM documents "
+    "WHERE text IS NOT NULL)\n"
+    "SELECT doc_id,\n"
+    "       regexp_replace(regexp_replace(t, '" + EMAIL_RE + "', '[EMAIL]', 'g'),\n"
+    "                      '" + PHONE_RE + "', '[PHONE]', 'g') AS clean_text,\n"
+    "       CAST(len(regexp_extract_all(t, '" + EMAIL_RE + "')) AS BIGINT) AS n_emails,\n"
+    "       CAST(len(regexp_extract_all(t, '" + PHONE_RE + "')) AS BIGINT) AS n_phones\n"
+    "FROM pii"
+)
+
+
+def _pii_text(batch: pa.Table) -> pa.ChunkedArray:
+    doc_str = pc.cast(batch["doc_id"], pa.string())
+    phone = pc.utf8_lpad(
+        pc.cast(
+            pa.array(batch["doc_id"].to_numpy(zero_copy_only=False) % 10000),
+            pa.string(),
+        ),
+        4,
+        "0",
+    )
+    return pc.binary_join_element_wise(
+        batch["text"],
+        " contact user",
+        doc_str,
+        "@mail.example.com or 555-",
+        phone,
+        "",
+    )
+
+
+@query("pii_redact", _PII_SQL)
+def q_pii_redact(sf_dir: str):
+    def scrub(batch: pa.Table) -> pa.Table:
+        t = _pii_text(batch)
+        n_emails = pc.count_substring_regex(t, EMAIL_RE)
+        n_phones = pc.count_substring_regex(t, PHONE_RE)
+        clean = pc.replace_substring_regex(
+            pc.replace_substring_regex(t, EMAIL_RE, "[EMAIL]"),
+            PHONE_RE,
+            "[PHONE]",
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": clean,
+                "n_emails": pc.cast(n_emails, pa.int64()),
+                "n_phones": pc.cast(n_phones, pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL/domain accounting: synthesize a per-doc URL, parse the host back out
+# with a capture-group regex, aggregate per domain.
+# ---------------------------------------------------------------------------
+_URL_SQL = """
+WITH urls AS (
+  SELECT doc_id, source,
+         'https://' || lang || '.example.com/' || source || '/'
+            || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id, source,
+         regexp_extract(url, 'https://([a-z0-9.-]+)/', 1) AS domain
+  FROM urls
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM parsed GROUP BY domain
+"""
+
+_HOST_RE = r"https://(?P<host>[a-z0-9.-]+)/"
+
+
+@query("url_domains", _URL_SQL)
+def q_url_domains(sf_dir: str):
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            "https://",
+            batch["lang"],
+            ".example.com/",
+            batch["source"],
+            "/",
+            pc.cast(batch["doc_id"], pa.string()),
+            "",
+        )
+        host = pc.struct_field(pc.extract_regex(url, _HOST_RE), "host")
+        dom = host.to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        # distinct (domain, source) pairs + per-domain doc counts, one sweep
+        # over integer codes (no per-row Python string work)
+        doms, inv = np.unique(dom, return_inverse=True)
+        n_docs = np.bincount(inv, minlength=len(doms))
+        srcs, sinv = np.unique(src, return_inverse=True)
+        pair_codes = np.unique(inv.astype(np.int64) * max(len(srcs), 1) + sinv)
+        pd_dom = doms[pair_codes // max(len(srcs), 1)]
+        pd_src = srcs[pair_codes % max(len(srcs), 1)] if len(srcs) else srcs
+        counts = pa.table(
+            {
+                "domain": pa.array(doms, type=pa.string()),
+                "n_docs_part": pa.array(n_docs.astype(np.int64)),
+                "source": pa.array([None] * len(doms), type=pa.string()),
+            }
+        )
+        pairs = pa.table(
+            {
+                "domain": pa.array(pd_dom, type=pa.string()),
+                "n_docs_part": pa.array(np.zeros(len(pd_dom), dtype=np.int64)),
+                "source": pa.array(pd_src, type=pa.string()),
+            }
+        )
+        return pa.concat_tables([counts, pairs])
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "domain": [g["domain"].iloc[0]],
+                "n_docs": [int(g["n_docs_part"].sum())],
+                "n_sources": [int(g["source"].dropna().nunique())],
+            }
+        )
+
+    partials = read_documents(
+        sf_dir, ["doc_id", "lang", "source"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("domain").map_groups(
+        merge_group, batch_format="pandas"
+    )
