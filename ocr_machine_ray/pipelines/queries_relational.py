@@ -812,3 +812,139 @@ def q_range_join(sf_dir: str):
         .groupby("user_id")
         .map_groups(per_user, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user inter-arrival gaps (lag/lead window analog). Gaps are exact
+# int64 microseconds; users with a single event report NULL gaps, matching
+# the SQL lag() semantics. Ties in ts are ordered by event_id on both
+# sides — max_gap depends on adjacency, and total_gap telescopes to
+# (last - first) regardless, so the tie-break keeps both deterministic.
+# Scale: per-user groups are bounded (a user's event history), the same
+# partitioning contract as sessionize/asof above.
+# ---------------------------------------------------------------------------
+_GAP_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(date_diff('microsecond', prev, ts)) AS BIGINT) AS max_gap_us,
+       CAST(sum(date_diff('microsecond', prev, ts)) AS BIGINT) AS total_gap_us
+FROM lagged GROUP BY user_id
+"""
+
+
+@query("event_gap_stats", _GAP_SQL)
+def q_event_gap_stats(sf_dir: str):
+    def gaps(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = np.diff(ts_us)
+        has = len(d) > 0
+        # pyarrow output: int64 columns stay NULLABLE (pandas would coerce
+        # the single-event-user NULL gap to float NaN)
+        return pa.table(
+            {
+                "user_id": pa.array([int(g["user_id"].iloc[0])], type=pa.int64()),
+                "n_events": pa.array([len(g)], type=pa.int64()),
+                "max_gap_us": pa.array(
+                    [int(d.max()) if has else None], type=pa.int64()
+                ),
+                "total_gap_us": pa.array(
+                    [int(d.sum()) if has else None], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(gaps, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping-sets rollup over (event_type, hour): the finest level is a
+# distributed partial-agg + single-key groupby (keys PACKED into one
+# string — ray 2.49's multi-key hash aggregate is pathologically slow on
+# many small blocks); the coarser levels are re-aggregated from the finest
+# RESULT, which is output-sized (|event types| x 24), not data-sized — the
+# pre-agg-reuse pattern a warehouse rollup compiles to. Sentinel encoding
+# ('ALL', -1) instead of SQL's NULL grouping markers keeps the value-hash
+# comparison away from NULL-vs-NaN coercion.
+# ---------------------------------------------------------------------------
+_GSETS_SQL = """
+WITH finest AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+  FROM events GROUP BY event_type, hour(ts)
+)
+SELECT event_type, hr, CAST(n AS BIGINT) AS n FROM finest
+UNION ALL
+SELECT event_type, CAST(-1 AS BIGINT) AS hr, CAST(sum(n) AS BIGINT) AS n
+FROM finest GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type, CAST(-1 AS BIGINT) AS hr,
+       CAST(sum(n) AS BIGINT) AS n
+FROM finest HAVING count(*) > 0
+"""
+
+
+@query("grouping_sets_events", _GSETS_SQL)
+def q_grouping_sets_events(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        hr = (
+            batch["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[h]")
+            .astype(np.int64)
+            % 24
+        )
+        keys = np.char.add(
+            np.char.add(et.astype(str), "|"), hr.astype(str)
+        )
+        uk, inv = np.unique(keys, return_inverse=True)
+        return pa.table(
+            {
+                "key": pa.array(uk, type=pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    finest = (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # output-sized: |event types| x 24 rows
+    )
+    if finest.empty:
+        return pa.table(
+            {
+                "event_type": pa.array([], type=pa.string()),
+                "hr": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    split = finest["key"].str.rsplit("|", n=1, expand=True)
+    fin = pd.DataFrame(
+        {
+            "event_type": split[0],
+            "hr": split[1].astype(np.int64),
+            "n": finest["n"].astype(np.int64),
+        }
+    )
+    by_type = (
+        fin.groupby("event_type", as_index=False)["n"].sum().assign(hr=-1)
+    )
+    total = pd.DataFrame(
+        {"event_type": ["ALL"], "hr": [-1], "n": [int(fin["n"].sum())]}
+    )
+    return pd.concat([fin, by_type, total], ignore_index=True)[
+        ["event_type", "hr", "n"]
+    ]
