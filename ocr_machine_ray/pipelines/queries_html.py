@@ -327,3 +327,95 @@ def q_group_length_quantiles(sf_dir: str):
     return partials.groupby("lang").map_groups(
         merge_group, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-lang length-outlier filter: docs longer than their language's exact
+# discrete p95. Two passes: (1) per-(batch, lang) integer histograms merged
+# inside groupby(lang) into a 5-row threshold table (DuckDB quantile_disc
+# index rule ceil(0.95*n)-1, computed in exact integer arithmetic and
+# pinned by an empirical pytest vs DuckDB), (2) broadcast the thresholds
+# into a vectorized filter pass. At 10^12 rows pass 1's shuffle carries
+# only (lang, histogram) partials and pass 2 is an embarrassingly parallel
+# scan — nothing data-sized ever reaches the driver.
+# ---------------------------------------------------------------------------
+_OUTLIER_SQL = """
+WITH th AS (
+  SELECT lang, quantile_disc(n_chars, 0.95) AS p95
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d JOIN th USING (lang)
+WHERE d.n_chars > th.p95
+"""
+
+
+@query("length_outliers", _OUTLIER_SQL)
+def q_length_outliers(sf_dir: str):
+    import pandas as pd
+
+    LO, HI = N_CHARS_LO, N_CHARS_HI
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        if int(chars.max(initial=0)) > HI:
+            raise ValueError(f"n_chars exceeds histogram domain [{LO},{HI}]")
+        uk, inv = np.unique(langs, return_inverse=True)
+        mat = np.zeros((len(uk), HI - LO + 1), dtype=np.int64)
+        if len(chars):
+            np.add.at(mat, (inv, (chars - LO).clip(0, HI - LO)), 1)
+        return pa.table(
+            {
+                "lang": pa.array(uk, type=pa.string()),
+                "counts": pa.array(list(mat), type=pa.list_(pa.int64())),
+            }
+        )
+
+    def threshold_group(g: pd.DataFrame) -> pd.DataFrame:
+        hist = np.zeros(HI - LO + 1, dtype=np.int64)
+        for c in g["counts"]:
+            hist += np.asarray(c, dtype=np.int64)
+        n = int(hist.sum())
+        # DuckDB quantile_disc(x, 0.95): sorted[ceil(0.95*n) - 1], exact
+        # integer form (19n + 19) // 20 - 1
+        idx = (19 * n + 19) // 20 - 1
+        cum = np.cumsum(hist)
+        p95 = LO + int(np.searchsorted(cum, idx + 1, side="left"))
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]], "p95": [p95]})
+
+    th = (
+        read_documents(sf_dir, ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(threshold_group, batch_format="pandas")
+        .to_pandas()  # |langs| rows
+    )
+    if th.empty:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "lang": pa.array([], type=pa.string()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        )
+    langs_sorted = np.sort(th["lang"].to_numpy())
+    thr_sorted = th.set_index("lang").loc[langs_sorted, "p95"].to_numpy()
+
+    def flag(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(langs_sorted, langs)
+        keep = chars > thr_sorted[pos]
+        m = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(m),
+                "lang": batch["lang"].filter(m),
+                "n_chars": batch["n_chars"].filter(m),  # already int64
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True
+    )

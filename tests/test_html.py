@@ -141,3 +141,26 @@ class TestCVEdgeStrikes:
         img2 = np.full((WORD_H, WORD_W), 240, dtype=np.uint8)
         img2[12:14, 0:40] = 30  # line touching the left edge
         assert cv_strike_verdict(img2)
+
+
+class TestLengthOutliers:
+    """Pin the exact-integer discrete-p95 index rule to DuckDB.
+
+    q_length_outliers computes quantile_disc(n_chars, 0.95) from merged
+    integer histograms using idx = (19*n + 19)//20 - 1; DuckDB is the
+    authority for which sorted element quantile_disc picks.
+    """
+
+    @pytest.mark.parametrize("n", [1, 2, 3, 19, 20, 21, 39, 40, 100, 101])
+    def test_disc_p95_index_matches_duckdb(self, n):
+        import duckdb
+        import numpy as np
+
+        rng = np.random.default_rng(n)
+        vals = np.sort(rng.integers(0, 4096, size=n))
+        got = vals[(19 * n + 19) // 20 - 1]
+        want = duckdb.sql(
+            "SELECT quantile_disc(v, 0.95) FROM (SELECT unnest(?::BIGINT[]) v)",
+            params=[vals.tolist()],
+        ).fetchone()[0]
+        assert int(got) == int(want)
