@@ -102,3 +102,70 @@ class HLLSketch:
         if est <= 2.5 * m and zeros:
             est = m * np.log(m / zeros)  # small-range correction
         return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy-hitter summary (mergeable by plain addition).
+#
+# Per-batch: exact unique counts collapsed to <= cap surviving counters by
+# subtracting the (cap+1)-th largest count from every counter (the batch
+# form of the MG decrement). Guarantee per batch: c'_i >= c_i - N_b/(cap+1).
+# Summed across batches via a tiny groupby, any token with global frequency
+# f > N/(cap+1) keeps a positive merged weight — so with cap >= K the merged
+# table is a SUPERSET of every token with f > N/K. A second exact counting
+# pass restricted to these candidates makes the final answer exact (the
+# classic two-pass heavy-hitters shape: nothing token-stream-sized is ever
+# shuffled; pass 1 moves <= cap rows per block, pass 2 <= |candidates|).
+# ---------------------------------------------------------------------------
+def misra_gries_counts(
+    vals: np.ndarray, counts: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collapse exact (vals, counts) to <= cap MG counters."""
+    if len(vals) <= cap:
+        return vals, counts
+    # subtract the smallest t making <= cap counters positive
+    order = np.argsort(counts)
+    t = counts[order[len(counts) - cap - 1]]
+    keep = counts > t
+    return vals[keep], counts[keep] - t
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter over int64 keys (vectorized build + probe; mergeable by OR).
+#
+# Sideways information passing for joins: build on the (filtered) small
+# side — one bitmap per block, OR-reduced — then prune the big side inside
+# map_batches BEFORE the hash-join shuffle. False positives only, so a real
+# join on the survivors stays exact; the bitmap is the only thing broadcast.
+# Two multiplicative hashes (Knuth / splitmix-style odd constants); m must
+# be a power of two.
+# ---------------------------------------------------------------------------
+_BLOOM_H1 = np.uint64(0x9E3779B97F4A7C15)
+_BLOOM_H2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bloom_positions(keys: np.ndarray, log2_m: int) -> tuple[np.ndarray, np.ndarray]:
+    k = keys.astype(np.uint64)
+    shift = np.uint64(64 - log2_m)
+    return (k * _BLOOM_H1) >> shift, (k * _BLOOM_H2) >> shift
+
+
+def bloom_build(keys: np.ndarray, log2_m: int) -> np.ndarray:
+    """Bitmap (uint8[2**log2_m / 8]) with both hash positions of every key set."""
+    bits = np.zeros((1 << log2_m) // 8, dtype=np.uint8)
+    if len(keys):
+        p1, p2 = _bloom_positions(keys, log2_m)
+        pos = np.concatenate([p1, p2])
+        np.bitwise_or.at(bits, pos >> np.uint64(3),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    return bits
+
+
+def bloom_contains(bits: np.ndarray, keys: np.ndarray, log2_m: int) -> np.ndarray:
+    """Vectorized membership probe; True may be a false positive, False is exact."""
+    if not len(keys):
+        return np.zeros(0, dtype=bool)
+    p1, p2 = _bloom_positions(keys, log2_m)
+    hit1 = bits[p1 >> np.uint64(3)] & (np.uint8(1) << (p1 & np.uint64(7)).astype(np.uint8))
+    hit2 = bits[p2 >> np.uint64(3)] & (np.uint8(1) << (p2 & np.uint64(7)).astype(np.uint8))
+    return (hit1 != 0) & (hit2 != 0)

@@ -948,3 +948,119 @@ def q_grouping_sets_events(sf_dir: str):
     return pd.concat([fin, by_type, total], ignore_index=True)[
         ["event_type", "hr", "n"]
     ]
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pushdown join (sideways information passing): monthly
+# revenue of line items whose order is F-status / 1-URGENT. The filtered
+# small side (~1/15 of orders) builds a Bloom bitmap DISTRIBUTED — one
+# bitmap per block inside map_batches, OR-reduced driver-side (per-block
+# bitmaps are O(blocks * 2^log2_m/8) bytes, never rows) — and the bitmap
+# broadcasts once via ray.put to prune lineitem batches BEFORE the hash-
+# join shuffle. False positives only, so the join on the survivors keeps
+# the result exact while ~93% of the big side never enters the shuffle.
+# At 10^12 rows this is the difference between shuffling the full fact
+# table and shuffling the selectivity-sized slice; size log2_m to the
+# small side's key count (here 2^17 bits for ~1k keys => fp ~ 0).
+# ---------------------------------------------------------------------------
+_BLOOM_LOG2_M = 17
+
+_BLOOM_JOIN_SQL = """
+SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F' AND o.o_orderpriority = '1-URGENT'
+GROUP BY month
+"""
+
+
+@query("bloom_join_revenue", _BLOOM_JOIN_SQL)
+def q_bloom_join_revenue(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import bloom_build, bloom_contains
+
+    empty = pa.table(
+        {
+            "month": pa.array([], type=pa.string()),
+            "revenue_cents": pa.array([], type=pa.int64()),
+            "n_items": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def keep_small(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch["o_orderstatus"], "F"),
+            pc.equal(batch["o_orderpriority"], "1-URGENT"),
+        )
+        return batch.filter(m).select(["o_orderkey", "o_orderdate"])
+
+    small = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority"],
+    ).map_batches(keep_small, batch_format="pyarrow", zero_copy_batch=True)
+    # the small side is consumed twice (bitmap build + join probe) and is
+    # selectivity-sized by construction — pin it in the object store.
+    # repartition first: the strict filter leaves mostly-empty blocks, and
+    # empty schema-less blocks both bloat the bitmap pass and break the
+    # join's FieldRef resolution (ray 2.49 tiny-block trap)
+    small = small.repartition(4).materialize()
+    if small.count() == 0:
+        return empty
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        bits = bloom_build(keys, _BLOOM_LOG2_M)
+        return pa.table({"bloom": pa.array([bits.tobytes()], type=pa.binary())})
+
+    parts = small.map_batches(
+        bloom_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one fixed-size bitmap per block, not data rows
+    bits = np.zeros((1 << _BLOOM_LOG2_M) // 8, dtype=np.uint8)
+    for row in parts:
+        bits |= np.frombuffer(row["bloom"], dtype=np.uint8)
+    bits_ref = ray.put(bits)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.filter(
+            pa.array(bloom_contains(b, keys, _BLOOM_LOG2_M))
+        )
+
+    survivors = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]
+    ).map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = survivors.join(
+        small,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        month = pc.strftime(batch["o_orderdate"], format="%Y-%m")
+        cents = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        uk, inv = np.unique(
+            month.to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        return pa.table(
+            {
+                "month": pa.array(uk, type=pa.string()),
+                "revenue_cents": pa.array(_int_bincount(inv, cents, len(uk))),
+                "n_items": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    partials = joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("month").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_items", alias_name="n_items"),
+    )

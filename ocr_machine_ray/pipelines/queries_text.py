@@ -757,3 +757,198 @@ def q_keywords_per_doc(sf_dir: str):
         )
 
     return joined.groupby("doc_id").map_groups(topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: every token with global frequency > N/K, exact counts —
+# the two-pass Misra-Gries shape (reference analytics family A1/A4 writ
+# large). Pass 1 ships <= MG_CAP sketch rows per block (never the token
+# stream); the merged sketch is provably a superset of the heavy set
+# (cap=64 > K=30, see functions/sketch.py), and the top-96-by-weight cut
+# is safe because at most 56 tokens can hold merged weight >= N/56. Pass 2
+# exact-counts only those <= 96 candidates, so the answer is value-exact.
+# At 10^12 rows both shuffles carry O(blocks * cap) and O(candidates)
+# rows respectively — nothing data-sized moves or reaches the driver.
+# ---------------------------------------------------------------------------
+HEAVY_K = 30
+_MG_CAP = 64
+_CAND_LIMIT = 96
+
+_HEAVY_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS total_n FROM toks)
+SELECT tok, CAST(n AS BIGINT) AS n
+FROM cnt, tot WHERE n * {HEAVY_K} > total_n
+"""
+
+
+@query("heavy_hitters", _HEAVY_SQL)
+def q_heavy_hitters(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from ..corpus import FlatTokens
+    from ..functions.sketch import misra_gries_counts
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        nb = len(ft.tokens)
+        vals, counts = np.unique(ft.tokens, return_counts=True)
+        vals, w = misra_gries_counts(vals, counts.astype(np.int64), _MG_CAP)
+        if nb and len(vals) == 0:
+            # all counts tied at the decrement threshold: keep one zero-
+            # weight row so this batch's token total still reaches the sum
+            vals, w = np.array([ft.tokens[0]]), np.zeros(1, dtype=np.int64)
+        nb_col = np.zeros(len(vals), dtype=np.int64)
+        if len(vals):
+            nb_col[0] = nb
+        return pa.table(
+            {
+                "tok": pa.array(vals, type=pa.string()),
+                "w": pa.array(np.asarray(w, dtype=np.int64)),
+                "nb": pa.array(nb_col),
+            }
+        )
+
+    merged = (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("w", alias_name="w"), Sum("nb", alias_name="nb"))
+        .materialize()  # consumed twice (scalar N + top-candidates cut)
+    )
+    empty = pa.table(
+        {"tok": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64())}
+    )
+    if merged.count() == 0:
+        return empty
+    n_total = int(merged.sum("nb"))
+    cand = (
+        merged.sort(["w", "tok"], descending=[True, False])
+        .limit(_CAND_LIMIT)
+        .to_pandas()
+    )
+    cand = cand[cand["w"] > 0]  # heavy => strictly positive merged weight
+    if cand.empty:
+        return empty
+    vs = np.sort(cand["tok"].to_numpy(dtype=object).astype(str))
+
+    def count_cand(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        toks = ft.tokens.astype(str)
+        pos = np.searchsorted(vs, toks)
+        pos_c = np.minimum(pos, len(vs) - 1)
+        hit = vs[pos_c] == toks
+        n = np.bincount(pos_c[hit], minlength=len(vs)).astype(np.int64)
+        nz = n > 0
+        return pa.table(
+            {
+                "tok": pa.array(vs[nz], type=pa.string()),
+                "n": pa.array(n[nz]),
+            }
+        )
+
+    counts = (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(count_cand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= _CAND_LIMIT rows
+    )
+    heavy = counts[counts["n"] * HEAVY_K > n_total]
+    return pa.table(
+        {
+            "tok": pa.array(heavy["tok"].to_numpy(dtype=object), type=pa.string()),
+            "n": pa.array(heavy["n"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer apply: build the top-V vocabulary (freq desc, token asc) and
+# encode every token position to its vocab id (-1 = OOV) — the broadcast-
+# vocab encode stage every training-data pipeline runs before packing.
+# Vocab build is the token_frequencies partial-agg (only (tok, n) rows
+# shuffle); the V-row id table broadcasts in the encode closure and each
+# batch encodes via one searchsorted — the token stream itself never
+# shuffles. V=16 < |vocab| so the OOV path is exercised end to end.
+# ---------------------------------------------------------------------------
+VOCAB_V = 16
+
+_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'), 1) AS i
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT) AS tid
+  FROM cnt ORDER BY n DESC, tok LIMIT {VOCAB_V}
+)
+SELECT t.doc_id, CAST(t.i AS BIGINT) AS i,
+       COALESCE(v.tid, -1) AS token_id
+FROM toks t LEFT JOIN vocab v USING (tok)
+"""
+
+
+@query("vocab_encode", _VOCAB_SQL)
+def q_vocab_encode(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from ..corpus import FlatTokens
+
+    def freq_partial(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        vals, counts = np.unique(ft.tokens, return_counts=True)
+        return pa.table(
+            {
+                "tok": pa.array(vals, type=pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    vocab = (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(freq_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "tok"], descending=[True, False])
+        .limit(VOCAB_V)
+        .to_pandas()  # V rows
+    )
+    if "tok" not in vocab.columns:  # empty aggregate drops the schema
+        toks_sorted = np.array([], dtype=str)
+        tids_sorted = np.array([], dtype=np.int64)
+    else:
+        raw = vocab["tok"].to_numpy(dtype=object).astype(str)
+        order = np.argsort(raw)
+        toks_sorted = raw[order]
+        # tid = rank in (n desc, tok asc) order = the pandas row index
+        tids_sorted = vocab.index.to_numpy(dtype=np.int64)[order]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        toks = ft.tokens.astype(str)
+        tid = np.full(len(toks), -1, dtype=np.int64)
+        if len(toks_sorted):
+            pos = np.searchsorted(toks_sorted, toks)
+            pos_c = np.minimum(pos, len(toks_sorted) - 1)
+            hit = toks_sorted[pos_c] == toks
+            tid[hit] = tids_sorted[pos_c[hit]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ft.doc_ids),
+                "i": pa.array(ft.i.astype(np.int64)),
+                "token_id": pa.array(tid),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True
+    )

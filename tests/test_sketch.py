@@ -61,3 +61,107 @@ class TestHLL:
         sk = HLLSketch(p=10)
         sk.add([1, 2, 3] * 1000)
         assert sk.estimate() < 10
+
+
+class TestMisraGries:
+    def test_zipf_superset_guarantee(self):
+        """Summing per-partition MG summaries keeps every token with global
+        f > N/(cap+1) at strictly positive merged weight — the property
+        heavy_hitters' pass 1 relies on."""
+        from collections import Counter
+
+        from ocr_machine_ray.functions.sketch import misra_gries_counts
+
+        rng = np.random.default_rng(7)
+        stream = rng.zipf(1.3, size=60_000)
+        stream = stream[stream < 5000].astype(str)
+        parts = np.array_split(stream, 37)
+        cap = 64
+        merged: Counter = Counter()
+        for p in parts:
+            vals, counts = np.unique(p, return_counts=True)
+            v, w = misra_gries_counts(vals, counts.astype(np.int64), cap)
+            assert len(v) <= cap
+            for tok, wt in zip(v, w):
+                merged[tok] += int(wt)
+        true = Counter(stream.tolist())
+        n_total = len(stream)
+        for tok, f in true.items():
+            if f * (cap + 1) > n_total:
+                assert merged[tok] > 0, (tok, f)
+
+    def test_all_equal_counts_collapse_to_empty(self):
+        from ocr_machine_ray.functions.sketch import misra_gries_counts
+
+        vals = np.array([str(i) for i in range(100)])
+        counts = np.full(100, 5, dtype=np.int64)
+        v, w = misra_gries_counts(vals, counts, 8)
+        assert len(v) == 0  # uniform batch: nothing survives the decrement
+
+
+class TestBloom:
+    def test_no_false_negatives_and_low_fp(self):
+        from ocr_machine_ray.functions.sketch import bloom_build, bloom_contains
+
+        rng = np.random.default_rng(3)
+        keys = rng.integers(0, 2**62, size=4000, dtype=np.int64)
+        bits = bloom_build(keys, 17)
+        assert bloom_contains(bits, keys, 17).all()
+        probe = rng.integers(0, 2**62, size=20_000, dtype=np.int64)
+        fresh = probe[~np.isin(probe, keys)]
+        fp = bloom_contains(bits, fresh, 17).mean()
+        assert fp < 0.02, fp
+
+    def test_or_merge_is_union(self):
+        from ocr_machine_ray.functions.sketch import bloom_build, bloom_contains
+
+        a = np.arange(0, 1000, dtype=np.int64)
+        b = np.arange(1000, 2000, dtype=np.int64)
+        bits = bloom_build(a, 17) | bloom_build(b, 17)
+        assert bloom_contains(bits, np.concatenate([a, b]), 17).all()
+
+    def test_empty_build_rejects_everything_cheaply(self):
+        from ocr_machine_ray.functions.sketch import bloom_build, bloom_contains
+
+        bits = bloom_build(np.array([], dtype=np.int64), 17)
+        assert not bloom_contains(bits, np.arange(100, dtype=np.int64), 17).any()
+
+
+class TestHeavyHittersPathological:
+    def test_uniform_corpus_forced_rows_keep_total_exact(
+        self, ray_session, tmp_path
+    ):
+        """A perfectly uniform corpus makes every batch's MG summary empty
+        (all counts tie at the decrement threshold); the forced zero-weight
+        row must still carry the batch token totals so n_total stays exact
+        and the K-threshold verdict matches DuckDB."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_machine_ray.registry import queries, oracle_sql
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(64), type=pa.int64()),
+                "text": pa.array(
+                    ["aa bb cc dd" for _ in range(64)], type=pa.string()
+                ),
+                "lang": pa.array(["en"] * 64),
+                "source": pa.array(["s"] * 64),
+                "n_chars": pa.array([11] * 64, type=pa.int64()),
+            }
+        )
+        d = tmp_path / "uniform"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        out = queries()["heavy_hitters"](str(d))
+        got = out.to_pandas() if hasattr(out, "to_pandas") else out
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = con.sql(oracle_sql()["heavy_hitters"]).df()
+        assert sorted(got["tok"]) == sorted(want["tok"])
+        assert sorted(got["n"]) == sorted(want["n"])
