@@ -49,6 +49,13 @@ BENCH_QUERIES = [
     "pack_examples",
     "keywords_per_doc",
     "video_frame_sample",
+    # round-2 late additions (retrieval / scrub / sketch-join family)
+    "bm25_topk",
+    "pii_redact",
+    "heavy_hitters",
+    "vocab_encode",
+    "bloom_join_revenue",
+    "length_outliers",
 ]
 
 
