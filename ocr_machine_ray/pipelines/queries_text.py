@@ -952,3 +952,192 @@ def q_vocab_encode(sf_dir: str):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         encode, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (mT5/XLM-R-style alpha=0.5 resampling):
+# per-source keep rates derived FROM the data — rate_s proportional to
+# sqrt(char mass of source s), scaled so the heaviest source keeps 50%.
+# Unlike stratified_sample (fixed rates), the rates here come out of a
+# global aggregate; the whole op is two stages: a (source -> mass) partial
+# agg whose shuffle carries |sources| rows, then an embarrassingly parallel
+# hash-threshold filter with the ~20-row rate table broadcast in the
+# closure. All arithmetic is exact-integer on both sides: isqrt == floor
+# of IEEE correctly-rounded sqrt for m < 2^52, and the keep test reuses the
+# Knuth multiplicative hash — no RNG, no float thresholds.
+# ---------------------------------------------------------------------------
+_TEMP_SCALE = 500  # heaviest source keeps _TEMP_SCALE/1000 of its docs
+
+_TEMP_SQL = f"""
+WITH m AS (
+  SELECT source, CAST(floor(sqrt(sum(n_chars))) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+mx AS (SELECT max(w) AS mw FROM m),
+r AS (SELECT source, (w * {_TEMP_SCALE}) // mw AS rate FROM m, mx)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE ((d.doc_id % 1000) * {_MIX_KNUTH % 1000}) % 1000 < r.rate
+"""
+
+
+@query("temperature_sample", _TEMP_SQL)
+def q_temperature_sample(sf_dir: str):
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def mass_partial(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(src, return_inverse=True)
+        return pa.table(
+            {
+                "source": pa.array(uk, type=pa.string()),
+                "mass": pa.array(
+                    np.bincount(inv, weights=chars).astype(np.int64)
+                ),
+            }
+        )
+
+    masses = (
+        read_documents(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(mass_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("mass", alias_name="mass"))
+        .to_pandas()  # |sources| rows
+    )
+    if "source" not in masses.columns or masses.empty:
+        return pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "source": pa.array([], type=pa.string())}
+        )
+    w = np.array([math.isqrt(int(m)) for m in masses["mass"]], dtype=np.int64)
+    rates = (w * _TEMP_SCALE) // int(w.max())
+    src_sorted = masses["source"].to_numpy(dtype=object).astype(str)
+    order = np.argsort(src_sorted)
+    src_sorted, rates_sorted = src_sorted[order], rates[order]
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False).astype(str)
+        bucket = ((ids % 1000) * (_MIX_KNUTH % 1000)) % 1000
+        pos = np.searchsorted(src_sorted, src)
+        pos_c = np.minimum(pos, len(src_sorted) - 1)
+        rate = np.where(src_sorted[pos_c] == src, rates_sorted[pos_c], 0)
+        return batch.filter(pa.array(bucket < rate))
+
+    return read_documents(sf_dir, ["doc_id", "source"]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (C4/RefinedWeb-style composite): one fused
+# quality pass (token count, stopword ratio, immediate-repetition ratio —
+# all integer predicates, no floats), then head-dedup on the md5 of each
+# surviving doc's first 8 tokens (the cheap prefix fingerprint web
+# pipelines use to kill boilerplate-headed near-copies), keeping the
+# minimum doc_id per prefix. Stage 1 is embarrassingly parallel and emits
+# only survivor rows (doc_id, lang, n_tokens, fp); the only shuffle is the
+# groupby on the 128-bit prefix hash — uniformly distributed by
+# construction, so no hot keys at any scale. map_groups emits one block
+# per group (ray 2.49), so the output is repartitioned before returning.
+# Filters: n_tokens >= 20, stopwords <= 20% of tokens, immediate repeats
+# < 1/8 of tokens (reference analytics family A1/A4 as gates; thresholds
+# pinned by the shared SQL).
+# ---------------------------------------------------------------------------
+_CURATE_PREFIX = 8
+
+_CURATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'), 1) AS i
+  FROM documents WHERE text IS NOT NULL
+),
+lagged AS (
+  SELECT doc_id, tok, i,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM toks
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN tok IN ('the','a') THEN 1 ELSE 0 END) AS n_stop,
+         sum(CASE WHEN tok = prev THEN 1 ELSE 0 END) AS n_rep
+  FROM lagged GROUP BY doc_id
+),
+j AS (
+  SELECT d.doc_id, d.lang,
+         md5(array_to_string(
+             string_split_regex(trim(d.text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')[1:{_CURATE_PREFIX}],
+             ' ')) AS fp,
+         s.n_tokens, s.n_stop, s.n_rep
+  FROM documents d JOIN stats s USING (doc_id)
+),
+q AS (
+  SELECT * FROM j
+  WHERE n_tokens >= 20 AND n_stop * 5 <= n_tokens AND n_rep * 8 < n_tokens
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM q QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+"""
+
+
+@query("corpus_curate", _CURATE_SQL)
+def q_corpus_curate(sf_dir: str):
+    import hashlib
+
+    import pandas as pd
+
+    from ..corpus import FlatTokens
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        n = len(batch)
+        n_tokens = ft.counts.astype(np.int64)
+        stop_mask = np.isin(ft.tokens, np.array(["the", "a"]))
+        n_stop = np.bincount(ft.row_idx[stop_mask], minlength=n).astype(np.int64)
+        same = np.zeros(len(ft.tokens), dtype=bool)
+        if len(ft.tokens) > 1:
+            same[1:] = (ft.tokens[1:] == ft.tokens[:-1]) & (
+                ft.row_idx[1:] == ft.row_idx[:-1]
+            )
+        n_rep = np.bincount(ft.row_idx[same], minlength=n).astype(np.int64)
+        keep = (n_tokens >= 20) & (n_stop * 5 <= n_tokens) & (n_rep * 8 < n_tokens)
+
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ft.counts, out=starts[1:])
+        toks = ft.tokens
+        fps = []
+        for d in np.flatnonzero(keep):
+            head = toks[starts[d]: starts[d] + min(_CURATE_PREFIX, ft.counts[d])]
+            fps.append(hashlib.md5(" ".join(head).encode()).hexdigest())
+        keep_pa = pa.array(keep)
+        return pa.table(
+            {
+                "fp": pa.array(fps, type=pa.string()),
+                "doc_id": batch["doc_id"].filter(keep_pa),
+                "lang": batch["lang"].filter(keep_pa),
+                "n_tokens": pa.array(n_tokens[keep]),
+            }
+        )
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.loc[[g["doc_id"].idxmin()]]
+        return pd.DataFrame(
+            {
+                "doc_id": r["doc_id"].to_numpy(np.int64),
+                "lang": r["lang"].to_numpy(dtype=object),
+                "n_tokens": r["n_tokens"].to_numpy(np.int64),
+            }
+        )
+
+    ds = (
+        read_documents(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(survivors, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fp")
+        .map_groups(keep_min, batch_format="pandas")
+        .repartition(8)  # collapse one-block-per-group before returning
+    )
+    return ds

@@ -183,3 +183,52 @@ class TestKeywords:
         d1 = out[out.doc_id == 1]
         assert d1["keyword"].tolist() == ["zebra", "apple", "banana"]
         assert d1["df"].tolist() == [1, 2, 2]
+
+
+class TestCorpusCurate:
+    def test_filters_and_head_dedup_bite(self, ray_session, tmp_path):
+        """Corpus with a short doc, a stopword-stuffed doc, a stutterer,
+        and two docs sharing an 8-token head: exactly one survivor from
+        the dup pair, and each bad doc dropped for its own reason."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_machine_ray.registry import oracle_sql, queries
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        good_tail = " ".join(f"w{i}" for i in range(20))
+        docs = {
+            0: f"{base} {good_tail}",                      # keeper of dup pair
+            1: f"{base} completely different tail {good_tail}",  # same head
+            2: "too short",                                # fails n_tokens
+            3: "the a " * 20 + good_tail,                  # stopword-stuffed
+            4: ("rep rep " * 30 + good_tail),              # stutterer
+            5: "unique head tokens here all different now yes " + good_tail,
+        }
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), type=pa.int64()),
+                "text": pa.array([docs[k] for k in sorted(docs)]),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array(["s"] * len(docs)),
+                "n_chars": pa.array(
+                    [len(docs[k]) for k in sorted(docs)], type=pa.int64()
+                ),
+            }
+        )
+        d = tmp_path / "curate"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        got = queries()["corpus_curate"](str(d)).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = con.sql(oracle_sql()["corpus_curate"]).df()
+        assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+        kept = set(got["doc_id"])
+        assert 0 in kept and 1 not in kept      # head-dedup kept min doc_id
+        assert {2, 3, 4}.isdisjoint(kept)       # each filter fired
+        assert 5 in kept
