@@ -649,8 +649,8 @@ FROM ranked WHERE rnk <= 3
 
 @query("keywords_per_doc", _KEYWORDS_SQL)
 def q_keywords_per_doc(sf_dir: str):
-    import pandas as pd
     import pyarrow.compute as pc
+    import ray
     from ray.data.aggregate import Sum
 
     from .extraction import parquet_num_rows
@@ -667,96 +667,84 @@ def q_keywords_per_doc(sf_dir: str):
             }
         )
 
-    def tf_rows(batch: pa.Table) -> pa.Table:
+    # Pass 1 — document frequency: per-batch DISTINCT (doc, tok) counts are
+    # a mergeable df partial (docs never span batches), so the only shuffle
+    # carries vocab-sized (tok, partial) rows. The merged df table is the
+    # corpus vocabulary — sublinear in the corpus — and broadcasts once via
+    # ray.put. (If the vocabulary ever outgrew a broadcast, the df side
+    # hash-joins on tok instead — bm25_topk implements exactly that shape.)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        ft = _FlatTokens(batch)
+        enc = pc.dictionary_encode(ft.tokens_arrow)
+        tok_ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = max(len(enc.dictionary), 1)
+        pair = np.unique(ft.row_idx * n_dict + tok_ids)
+        tid, cnt = np.unique(pair % n_dict, return_counts=True)
+        return pa.table(
+            {
+                "tok": enc.dictionary.take(pa.array(tid)),
+                "df": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    df_tbl = (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()  # vocab-sized
+    )
+    if "tok" not in df_tbl.columns or df_tbl.empty:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "rnk": pa.array([], type=pa.int64()),
+                "keyword": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+            }
+        )
+    vocab_raw = df_tbl["tok"].to_numpy(dtype=object).astype(str)
+    order = np.argsort(vocab_raw)
+    df_ref = ray.put((vocab_raw[order], df_tbl["df"].to_numpy(np.int64)[order]))
+
+    # Pass 2 — tf + rank, fully batch-local: every doc's tokens live inside
+    # one batch of THIS operator (FlatTokens is per-batch; correctness does
+    # not depend on block boundaries surviving between operators), so the
+    # global top-3 per doc needs no join and no groupby — zero shuffle.
+    def topk_fused(batch: pa.Table) -> pa.Table:
+        vocab, dfv_tbl = ray.get(df_ref)
         ft = _FlatTokens(batch)
         enc = pc.dictionary_encode(ft.tokens_arrow)
         tok_ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         n_dict = max(len(enc.dictionary), 1)
         pair, tf = np.unique(ft.row_idx * n_dict + tok_ids, return_counts=True)
         row, tid = pair // n_dict, pair % n_dict
+        toks = enc.dictionary.take(pa.array(tid))
+        tnp = toks.to_numpy(zero_copy_only=False).astype(str)
+        dfv = dfv_tbl[np.searchsorted(vocab, tnp)]
+        order = np.lexsort((tnp, dfv, -tf, row))
+        r = row[order]
+        starts = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
+        pos = np.arange(len(r)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(r)])
+        )
+        keep = pos < 3
+        sel = order[keep]
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids[row], type=pa.int64()),
-                "tok": enc.dictionary.take(pa.array(tid)),
-                "tf": pa.array(tf.astype(np.int64)),
+                "doc_id": pa.array(doc_ids[row[sel]], type=pa.int64()),
+                "rnk": pa.array((pos[keep] + 1).astype(np.int64)),
+                "keyword": toks.take(pa.array(sel)),
+                "tf": pa.array(tf[sel].astype(np.int64)),
+                "df": pa.array(dfv[sel].astype(np.int64)),
             }
         )
 
-    # materialized: tf feeds BOTH the df derivation and the join probe —
-    # lazy it would re-read and re-tokenize the whole corpus twice (the
-    # most expensive stage); the tf table is corpus-sized, so this leans
-    # on object-store spill rather than recompute
-    tf_ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        tf_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-
-    def df_partial(batch: pa.Table) -> pa.Table:
-        # tf rows are distinct per (doc, tok): counting rows per tok in a
-        # batch is a mergeable df partial
-        vals, counts = np.unique(
-            batch["tok"].to_numpy(zero_copy_only=False), return_counts=True
-        )
-        return pa.table(
-            {
-                "jtok": pa.array(vals, type=pa.string()),
-                "df": pa.array(counts.astype(np.int64)),
-            }
-        )
-
-    # repartition after the aggregate: hash-agg emits empty schema-less
-    # blocks for idle partitions, which break FieldRef resolution on the
-    # probe side of the join (ray 2.49); the df table is vocab-sized
-    df_ds = (
-        tf_ds.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("jtok")
-        .aggregate(Sum("df", alias_name="df"))
-        .repartition(4)
-        .materialize()
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        topk_fused, batch_format="pyarrow", zero_copy_batch=True
     )
-
-    joined = tf_ds.join(
-        df_ds, join_type="inner", num_partitions=8, on=("tok",),
-        right_on=("jtok",),
-    )
-
-    def partial_topk(batch: pa.Table) -> pa.Table:
-        # per-batch partial top-3 per doc BEFORE the groupby: the global
-        # top-3 is contained in the union of per-batch top-3s, so the
-        # shuffle carries <= 3 x n_blocks rows per doc instead of every
-        # (doc, token) row
-        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-        tf = batch["tf"].to_numpy(zero_copy_only=False)
-        dfv = batch["df"].to_numpy(zero_copy_only=False)
-        tok = batch["tok"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((tok, dfv, -tf, doc))
-        d = doc[order]
-        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-        pos = np.arange(len(d)) - np.repeat(
-            starts, np.diff(np.r_[starts, len(d)])
-        )
-        keep = order[pos < 3]
-        return batch.take(pa.array(np.sort(keep)))
-
-    joined = joined.map_batches(
-        partial_topk, batch_format="pyarrow", zero_copy_batch=True
-    )
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["tf", "df", "tok"], ascending=[False, True, True], kind="mergesort"
-        ).head(3)
-        return pd.DataFrame(
-            {
-                "doc_id": g["doc_id"].to_numpy(),
-                "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
-                "keyword": g["tok"].to_numpy(),
-                "tf": g["tf"].to_numpy(),
-                "df": g["df"].to_numpy(),
-            }
-        )
-
-    return joined.groupby("doc_id").map_groups(topk, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
