@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.dedup import (
     BAND_SIZE,
@@ -572,3 +573,172 @@ def q_dedup_clusters(sf_dir: str):
         lambda t: pa.table({"doc_id": t["n"], "cluster": t["lbl"]}),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new docs (doc_id % 10 >= 8) checked against the
+# already-ingested partition's 8-token-prefix fingerprints — the "seen-set"
+# gate every incremental ingestion pipeline runs. The seen set is a Bloom
+# bitmap (built distributed, one fixed-size bitmap per block, OR-reduced);
+# a bloom MISS is definitely-new and short-circuits straight to the output
+# with no further work — only bloom HITS (true dups + the fp rate) need an
+# exact check. The exact check is a groupby-anti where BOTH sides are
+# bloom-pruned first: old fingerprints are filtered through a second bloom
+# built over the candidates, so the anti-join shuffle carries only the
+# collision neighborhood, never the corpus. At 10^12 docs the full seen
+# set never moves — two bitmaps and the (tiny) collision slice do.
+# ---------------------------------------------------------------------------
+_INC_PREFIX = 8
+_INC_LOG2_M = 20
+
+_INC_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')[1:{_INC_PREFIX}],
+             ' ')) AS fp
+  FROM documents WHERE text IS NOT NULL
+),
+old AS (SELECT DISTINCT fp FROM p WHERE doc_id % 10 < 8)
+SELECT n.doc_id, n.fp
+FROM p n
+WHERE n.doc_id % 10 >= 8
+  AND NOT EXISTS (SELECT 1 FROM old o WHERE o.fp = n.fp)
+"""
+
+
+@query("incremental_dedup", _INC_SQL)
+def q_incremental_dedup(sf_dir: str):
+    import hashlib
+
+    import ray
+
+    from ..corpus import FlatTokens
+    from ..functions.sketch import bloom_build, bloom_contains
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "fp": pa.array([], type=pa.string())}
+    )
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return empty
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        n = len(batch)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ft.counts, out=starts[1:])
+        toks = ft.tokens
+        fps, keys = [], np.empty(n, dtype=np.uint64)
+        for d in range(n):
+            head = toks[starts[d]: starts[d] + min(_INC_PREFIX, ft.counts[d])]
+            dig = hashlib.md5(" ".join(head).encode()).digest()
+            fps.append(dig.hex())
+            keys[d] = int.from_bytes(dig[:8], "big")
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fp": pa.array(fps, type=pa.string()),
+                "key": pa.array(keys.view(np.int64)),
+                "is_new": pa.array(ids % 10 >= 8),
+            }
+        )
+
+    # fp stream is a fixed few dozen bytes/doc — far smaller than the text
+    # it derives from; pin it once, consume it four times (at 10^12 scale
+    # the alternative is three cheap re-scans — both shapes stream)
+    fp_all = (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(fp_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def bloom_of(ds, mask_fn):
+        def partial(batch: pa.Table) -> pa.Table:
+            b = mask_fn(batch)
+            keys = b["key"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"bloom": pa.array([bloom_build(keys, _INC_LOG2_M).tobytes()],
+                                   type=pa.binary())}
+            )
+
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        bits = np.zeros((1 << _INC_LOG2_M) // 8, dtype=np.uint8)
+        for row in parts:
+            bits |= np.frombuffer(row["bloom"], dtype=np.uint8)
+        return bits
+
+    old_mask = lambda b: b.filter(pc.invert(b["is_new"]))  # noqa: E731
+    seen_ref = ray.put(bloom_of(fp_all, old_mask))
+
+    def probe(batch: pa.Table, want_hit: bool) -> pa.Table:
+        bits = ray.get(seen_ref)
+        new = batch.filter(batch["is_new"])
+        hit = bloom_contains(
+            bits, new["key"].to_numpy(zero_copy_only=False), _INC_LOG2_M
+        )
+        sel = new.filter(pa.array(hit if want_hit else ~hit))
+        return sel.select(["doc_id", "fp", "key"])
+
+    definite_new = fp_all.map_batches(
+        lambda b: probe(b, False).select(["doc_id", "fp"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    cand = fp_all.map_batches(
+        lambda b: probe(b, True), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # collision slice: true dups + bloom fp rate
+    if cand.count() == 0:
+        return definite_new
+
+    cand_ref = ray.put(bloom_of(cand, lambda b: b))
+
+    def old_pruned(batch: pa.Table) -> pa.Table:
+        bits = ray.get(cand_ref)
+        old = batch.filter(pc.invert(batch["is_new"]))
+        hit = bloom_contains(
+            bits, old["key"].to_numpy(zero_copy_only=False), _INC_LOG2_M
+        )
+        sel = old.filter(pa.array(hit))
+        return pa.table(
+            {
+                "doc_id": sel["doc_id"],
+                "fp": sel["fp"],
+                "side": pa.array(np.zeros(len(sel), dtype=np.int64)),
+            }
+        )
+
+    old_side = fp_all.map_batches(
+        old_pruned, batch_format="pyarrow", zero_copy_batch=True
+    )
+    new_side = cand.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "fp": b["fp"],
+             "side": pa.array(np.ones(len(b), dtype=np.int64))}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["side"] == 0).any():
+            # "string" dtype (not object) so Ray's block-size estimator
+            # doesn't warn on the empty column
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "fp": pd.Series([], dtype="string")}
+            )
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(np.int64),
+             "fp": g["fp"].to_numpy(dtype=object)}
+        )
+
+    survivors = (
+        new_side.union(old_side)
+        .groupby("fp")
+        .map_groups(anti, batch_format="pandas")
+        .repartition(4)  # collapse one-block-per-group before the union
+    )
+    return definite_new.union(survivors)

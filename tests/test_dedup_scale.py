@@ -156,3 +156,51 @@ class TestPrefixFilter:
         rows = dedup.prefix_rows_batch(batch, 0.95, "lang").to_pandas()
         # 20 distinct tokens at t=0.95 -> prefix of 20 - 19 + 1 = 2 tokens
         assert len(rows) == 2
+
+
+class TestIncrementalDedup:
+    def test_seen_gate_and_anti_join(self, ray_session, tmp_path):
+        """New docs: one sharing its 8-token head with an old doc (bloom
+        hit -> anti-join kills it), one genuinely fresh (bloom miss ->
+        definite-new fast path), plus two new docs sharing a head with
+        each other but not with any old doc (both kept — the gate only
+        checks the seen set)."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_machine_ray.registry import oracle_sql, queries
+
+        head_old = "one two three four five six seven eight"
+        head_new = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+        texts = {
+            3: f"{head_old} old tail content here",
+            5: "other old document with different head tokens entirely",
+            8: f"{head_old} brand new tail",         # dup of old head -> dropped
+            9: "completely fresh text never seen before now",  # kept
+            18: f"{head_new} first twin",            # kept (no old match)
+            28: f"{head_new} second twin",           # kept too
+        }
+        ids = sorted(texts)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array([len(texts[i]) for i in ids], type=pa.int64()),
+            }
+        )
+        d = tmp_path / "inc"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        got = queries()["incremental_dedup"](str(d)).to_pandas()
+        assert sorted(got["doc_id"]) == [9, 18, 28]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = con.sql(oracle_sql()["incremental_dedup"]).df()
+        assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+        assert sorted(got["fp"]) == sorted(want["fp"])
