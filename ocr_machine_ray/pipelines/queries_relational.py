@@ -1064,3 +1064,63 @@ def q_bloom_join_revenue(sf_dir: str):
         Sum("revenue_cents", alias_name="revenue_cents"),
         Sum("n_items", alias_name="n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Upsert compaction: the latest event per user (max (ts, event_id)) — the
+# lakehouse "keep newest version per key" shape. Two-level argmax: each
+# batch reduces to at most one row per user it contains (vectorized
+# lexsort + group-boundary pick, no Python loop), so the groupby shuffle
+# carries <= |users| x |blocks| pre-reduced rows instead of the event log;
+# the final per-user pick runs over those few rows. map_groups emits one
+# block per group (ray 2.49), hence the closing repartition.
+# ---------------------------------------------------------------------------
+_LATEST_SQL = """
+SELECT user_id, event_id, ts, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+) = 1
+"""
+
+
+@query("latest_event_per_user", _LATEST_SQL)
+def q_latest_event_per_user(sf_dir: str):
+    def argmax_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        # last row of each (user asc, ts asc, event_id asc) run = per-user
+        # argmax of (ts, event_id) in this batch
+        order = np.lexsort((eid, ts, user))
+        u = user[order]
+        last = np.r_[u[1:] != u[:-1], True]
+        return batch.take(pa.array(order[last]))
+
+    partials = _read(
+        sf_dir, "events",
+        ["user_id", "event_id", "ts", "event_type", "value"],
+    ).map_batches(argmax_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pick_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["ts", "event_id"], ascending=False, kind="mergesort"
+        ).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "ts": g["ts"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(dtype=object),
+                "value_cents": _cents(g["value"].to_numpy()),
+            }
+        )
+
+    return (
+        partials.groupby("user_id")
+        .map_groups(pick_latest, batch_format="pandas")
+        .repartition(4)
+    )
