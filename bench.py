@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "vocab_encode",
     "bloom_join_revenue",
     "length_outliers",
+    "segment_dedup",
 ]
 
 

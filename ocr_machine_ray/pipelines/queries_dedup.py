@@ -16,6 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..corpus import FlatTokens
 from ..functions.dedup import (
     BAND_SIZE,
     BUCKET_CAP,
@@ -742,3 +743,222 @@ def q_incremental_dedup(sf_dir: str):
         .repartition(4)  # collapse one-block-per-group before the union
     )
     return definite_new.union(survivors)
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (line-level) corpus dedup — the RefinedWeb / CCNet "remove
+# exactly-duplicated lines across documents" pass. The synthetic corpus has
+# no newlines, so a "line" is a fixed W-token segment (the repo's chunking
+# convention, reference analog: `fake_scan.py` page chunking). Any segment
+# occurring in >= _SEG_MIN_DOCS distinct documents is removed from every
+# document, and each document's text is rebuilt from its surviving
+# segments in order.
+#
+# Fully distributed shape (nothing corpus-sized on the driver):
+#   1. per-batch partial distinct-doc counts per segment  -> groupby(seg)
+#   2. dup set = segments with nd >= K   (small vs corpus, stays a Dataset)
+#   3. exploded (doc_id, seg_no, seg) LEFT-SEMI join dup  -> removed pairs
+#   4. removed pairs -> per-doc removed seg_no list (groupby, tiny groups)
+#   5. documents LEFT-OUTER hash join removed lists; batch-local vectorized
+#      rebuild (ListArray offsets + one binary_join) emits clean text.
+# The dup-segment set is joined, never broadcast: on a real web corpus
+# (boilerplate lines) it is proportional to the corpus, so a ray.put
+# broadcast would be the scale mistake.
+# ---------------------------------------------------------------------------
+_SEG_W = 4
+_SEG_MIN_DOCS = 2
+
+_SEG_TRIM = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+_SEG_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(text, {_SEG_TRIM}), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+seg AS (
+  SELECT doc_id, CAST(k AS BIGINT) AS seg_no,
+         array_to_string(w[k*{_SEG_W}+1 : (k+1)*{_SEG_W}], ' ') AS seg
+  FROM d, LATERAL (
+    SELECT unnest(range(CAST(ceil(len(w) / {_SEG_W}.0) AS BIGINT))) AS k
+  ) t
+),
+dup AS (
+  SELECT seg FROM seg GROUP BY seg
+  HAVING count(DISTINCT doc_id) >= {_SEG_MIN_DOCS}
+)
+SELECT s.doc_id,
+       COALESCE(
+         string_agg(s.seg, ' ' ORDER BY s.seg_no)
+           FILTER (WHERE dup.seg IS NULL),
+         '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(dup.seg) AS BIGINT) AS n_removed
+FROM seg s LEFT JOIN dup ON s.seg = dup.seg
+GROUP BY s.doc_id
+"""
+
+
+def _segment_table(batch: pa.Table) -> pa.Table:
+    """Explode a documents batch into (doc_id, seg_no, seg) rows.
+
+    One monotone offsets vector over the flat token array -> a single
+    C-level binary_join builds every segment string (no Python per row).
+    """
+    ft = FlatTokens(batch)
+    counts = ft.counts.astype(np.int64)
+    n_segs = -(-counts // _SEG_W)
+    doc_rep = np.repeat(np.arange(len(batch), dtype=np.int64), n_segs)
+    cum = np.concatenate([[0], np.cumsum(n_segs)])
+    k = np.arange(cum[-1], dtype=np.int64) - np.repeat(cum[:-1], n_segs)
+    tok_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    offsets = np.append(tok_start[doc_rep] + k * _SEG_W, counts.sum())
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), ft.tokens_arrow
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].take(pa.array(doc_rep)),
+            "seg_no": pa.array(k),
+            "seg": pc.binary_join(lists, " "),
+        }
+    )
+
+
+def _seg_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial distinct-doc counts per segment (combiner step:
+    only (seg, nd_part) rows reach the shuffle). Exact because one row is
+    one whole document, so a doc never spans batches."""
+    segs = _segment_table(batch)
+    pairs = segs.group_by(["doc_id", "seg"]).aggregate([])  # distinct pairs
+    out = pairs.group_by("seg").aggregate([("doc_id", "count")])
+    return pa.table(
+        {
+            "seg": out["seg"],
+            "nd_part": out["doc_id_count"].cast(pa.int64()),
+        }
+    )
+
+
+def _seg_rebuild(batch: pa.Table) -> pa.Table:
+    """Batch-local text rebuild: drop tokens of removed segments, one
+    binary_join per batch. ``removed`` is a comma-joined seg_no list (null
+    for untouched docs)."""
+    if len(batch) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "clean_text": pa.array([], type=pa.string()),
+                "n_segs": pa.array([], type=pa.int64()),
+                "n_removed": pa.array([], type=pa.int64()),
+            }
+        )
+    ft = FlatTokens(batch)
+    counts = ft.counts.astype(np.int64)
+    seg_idx = (ft.i - 1) // _SEG_W
+    row_off = np.concatenate([[0], np.cumsum(counts)])
+    keep = np.ones(int(counts.sum()), dtype=bool)
+    n_removed = np.zeros(len(batch), dtype=np.int64)
+    removed = (
+        batch["removed"].to_pylist()
+        if "removed" in batch.column_names
+        else [None] * len(batch)
+    )
+    for r, rem in enumerate(removed):
+        if rem is None or rem == "":
+            continue
+        nos = np.fromiter((int(x) for x in rem.split(",")), dtype=np.int64)
+        n_removed[r] = len(nos)
+        sl = slice(row_off[r], row_off[r + 1])
+        keep[sl] = ~np.isin(seg_idx[sl], nos)
+    kept_counts = np.bincount(
+        ft.row_idx[keep], minlength=len(batch)
+    ).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        ft.tokens_arrow.filter(pa.array(keep)),
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "clean_text": pc.binary_join(lists, " "),
+            "n_segs": pa.array(-(-counts // _SEG_W)),
+            "n_removed": pa.array(n_removed),
+        }
+    )
+
+
+@query("segment_dedup", _SEG_DEDUP_SQL)
+def q_segment_dedup(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .extraction import parquet_num_rows
+
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return _seg_rebuild(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            )
+        )
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    dup = (
+        docs.map_batches(
+            _seg_count_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("seg")
+        .aggregate(Sum("nd_part", alias_name="nd"))
+        .map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["nd"], _SEG_MIN_DOCS)
+            ).select(["seg"]),
+            batch_format="pyarrow",
+        )
+        # hash-aggregate emits empty schema-less blocks for idle partitions;
+        # collapse them before this table becomes a join side
+        .repartition(4)
+        .materialize()
+    )
+
+    if dup.count() == 0:
+        # no duplicated segment anywhere: rebuild is a pure normalization
+        return docs.map_batches(
+            _seg_rebuild, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    removed_pairs = docs.map_batches(
+        _segment_table, batch_format="pyarrow", zero_copy_batch=True
+    ).join(dup, join_type="left_semi", num_partitions=16, on=("seg",))
+
+    def _removed_list(g: pd.DataFrame) -> pd.DataFrame:
+        nos = np.sort(g["seg_no"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64)[:1],
+                "removed": [",".join(map(str, nos))],
+            }
+        )
+
+    # materialized: two hash joins in one streaming plan mis-resolve key
+    # columns on ray 2.49; this table is O(affected docs), not the corpus
+    removed_lists = (
+        removed_pairs.groupby("doc_id")
+        .map_groups(_removed_list, batch_format="pandas")
+        .repartition(4)
+        .materialize()
+    )
+
+    out = docs.join(
+        removed_lists,
+        join_type="left_outer",
+        num_partitions=16,
+        on=("doc_id",),
+    )
+    return out.map_batches(
+        _seg_rebuild, batch_format="pyarrow", zero_copy_batch=True
+    )

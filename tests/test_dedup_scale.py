@@ -204,3 +204,96 @@ class TestIncrementalDedup:
         want = con.sql(oracle_sql()["incremental_dedup"]).df()
         assert sorted(got["doc_id"]) == sorted(want["doc_id"])
         assert sorted(got["fp"]) == sorted(want["fp"])
+
+
+class TestSegmentDedup:
+    def test_crafted_corpus(self, ray_session, tmp_path):
+        """W=4 segments, dup threshold 2 docs: a shared head removed from
+        every holder, a fully-duplicated doc collapsing to '', a within-doc
+        triple repeat kept (one distinct doc), a partial tail segment."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_machine_ray.registry import oracle_sql, queries
+
+        texts = {
+            1: "a b c d e f g h w x y z",   # [abcd][efgh][wxyz]
+            2: "a b c d p q r s",           # [abcd] dup with 1,3
+            3: "a b c d e f g h",           # both segs dup -> ''
+            4: "m m m m m m m m m m m m",   # repeats only within itself
+            5: "u v",                       # short partial segment, unique
+        }
+        ids = sorted(texts)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array(
+                    [len(texts[i]) for i in ids], type=pa.int64()
+                ),
+            }
+        )
+        d = tmp_path / "segdup"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        got = (
+            queries()["segment_dedup"](str(d))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["clean_text"].tolist() == [
+            "w x y z", "p q r s", "", texts[4], "u v",
+        ]
+        assert got["n_segs"].tolist() == [3, 2, 2, 3, 1]
+        assert got["n_removed"].tolist() == [2, 1, 2, 0, 0]
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = (
+            con.execute(oracle_sql()["segment_dedup"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "clean_text", "n_segs", "n_removed"]],
+            want[["doc_id", "clean_text", "n_segs", "n_removed"]],
+        )
+
+    def test_no_duplicates_fast_path(self, ray_session, tmp_path):
+        """Disjoint corpus: the dup set is empty, the join stages are
+        skipped, and the rebuild is a pure whitespace normalization."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_machine_ray.registry import queries
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": pa.array(["alpha  beta gamma", "delta epsilon"]),
+                "lang": pa.array(["en"] * 2),
+                "source": pa.array(["s"] * 2),
+                "n_chars": pa.array([17, 13], type=pa.int64()),
+            }
+        )
+        d = tmp_path / "segnone"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        got = (
+            queries()["segment_dedup"](str(d))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["clean_text"].tolist() == [
+            "alpha beta gamma", "delta epsilon",
+        ]
+        assert got["n_removed"].tolist() == [0, 0]
