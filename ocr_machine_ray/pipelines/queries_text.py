@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.text import (
     md5_fingerprint_batch,
@@ -1129,3 +1130,211 @@ def q_corpus_curate(sf_dir: str):
         .repartition(8)  # collapse one-block-per-group before returning
     )
     return ds
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality score (CCNet-style perplexity filter): an
+# add-one-smoothed bigram LM is trained ON the corpus itself, then every
+# document is scored by its total/average per-bigram information content.
+# Log-probabilities are fixed-point INTEGER milli-bits — bits(b) =
+# floor(-log2((C(w1w2)+1)/(C(w1)+V))*1000 + 0.5) is a deterministic scalar
+# function of exact integer counts, so per-doc sums are order-independent
+# and the oracle compare is value-exact (the repo's no-floats-in-oracles
+# contract).
+#
+# Distributed shape (nothing corpus-sized leaves the cluster):
+#   1. per-batch per-doc bigram pre-agg -> (doc_id, packed bigram, cnt)
+#   2. bigram count table  cb = groupby(big).sum   (model "training")
+#   3. context count table cu = groupby(w1).sum over cb  (derived, small)
+#   4. vocabulary size V  = distinct-token count (scalar on the driver)
+#   5. bits table = cb x cu join (derived tables) + the closed-form above
+#   6. doc rows hash-join bits on the packed key -> groupby(doc_id) sums.
+# The bits table is joined, not broadcast: a web-scale bigram vocabulary is
+# corpus-proportional. Keys are packed single strings (w1\0w2) because ray
+# 2.49's multi-key aggregate path is pathologically slow on small blocks.
+# ---------------------------------------------------------------------------
+_LM_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, w[CAST(i AS BIGINT)] AS w1, w[CAST(i + 1 AS BIGINT)] AS w2
+  FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+),
+db AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM pos GROUP BY doc_id, w1, w2),
+cb AS (SELECT w1, w2, sum(cnt) AS cb FROM db GROUP BY w1, w2),
+cu AS (SELECT w1, sum(cb) AS cu FROM cb GROUP BY w1),
+v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM d)),
+bits AS (
+  SELECT cb.w1, cb.w2,
+         CAST(floor(-log2((cb.cb + 1.0) / (cu.cu + v.v)) * 1000 + 0.5)
+              AS BIGINT) AS bits
+  FROM cb JOIN cu USING (w1) CROSS JOIN v
+)
+SELECT db.doc_id,
+       CAST(sum(db.cnt) AS BIGINT) AS n_bigrams,
+       CAST(sum(db.cnt * bits.bits) AS BIGINT) AS total_bits_milli,
+       CAST(sum(db.cnt * bits.bits) // sum(db.cnt) AS BIGINT)
+           AS avg_bits_milli
+FROM db JOIN bits ON db.w1 = bits.w1 AND db.w2 = bits.w2
+GROUP BY db.doc_id
+"""
+
+
+def _doc_bigrams(batch: pa.Table) -> pa.Table:
+    """Per-doc bigram counts, batch-local (combiner): (doc_id, big, cnt)
+    where ``big`` is the NUL-packed pair key."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "big": pa.array([], type=pa.string()),
+            "cnt": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(batch) == 0:
+        return empty
+    ft = _FlatTokens(batch)
+    counts = ft.counts.astype(np.int64)
+    if counts.sum() == 0:
+        return empty
+    not_last = ft.i < np.repeat(counts, counts)
+    idx = np.flatnonzero(not_last)
+    if len(idx) == 0:
+        return empty
+    take1 = pa.array(idx)
+    take2 = pa.array(idx + 1)
+    big = pc.binary_join_element_wise(
+        ft.tokens_arrow.take(take1), ft.tokens_arrow.take(take2), "\x00"
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(ft.doc_ids[idx], type=pa.int64()),
+            "big": big,
+        }
+    )
+    g = t.group_by(["doc_id", "big"]).aggregate([("doc_id", "count")])
+    return pa.table(
+        {
+            "doc_id": g["doc_id"],
+            "big": g["big"],
+            "cnt": g["doc_id_count"].cast(pa.int64()),
+        }
+    )
+
+
+def _uniq_tokens(batch: pa.Table) -> pa.Table:
+    if len(batch) == 0:
+        return pa.table({"tok": pa.array([], type=pa.string())})
+    ft = _FlatTokens(batch)
+    return pa.table({"tok": pc.unique(ft.tokens_arrow)})
+
+
+@query("lm_score", _LM_SQL)
+def q_lm_score(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from .extraction import parquet_num_rows, read_documents
+
+    out_schema = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_bigrams": pa.array([], type=pa.int64()),
+            "total_bits_milli": pa.array([], type=pa.int64()),
+            "avg_bits_milli": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return out_schema
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    db = docs.map_batches(
+        _doc_bigrams, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # model training: global bigram counts (one shuffle of pre-agg rows)
+    cbt = (
+        db.groupby("big")
+        .aggregate(Sum("cnt", alias_name="cb"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "big": t["big"],
+                    "w1": pc.list_element(
+                        pc.split_pattern(t["big"], "\x00"), 0
+                    ),
+                    "cb": t["cb"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(4)
+        .materialize()
+    )
+    if cbt.count() == 0:  # corpus of sub-2-token docs only
+        return out_schema
+
+    cut = (
+        cbt.groupby("w1")
+        .aggregate(Sum("cb", alias_name="cu"))
+        .repartition(4)
+        .materialize()
+    )
+    vocab_n = (
+        docs.map_batches(
+            _uniq_tokens, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("tok")
+        .aggregate(Count(alias_name="n"))
+        .count()
+    )
+
+    def _bits(t: pa.Table) -> pa.Table:
+        cb = t["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cu = t["cu"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bits = np.floor(
+            -np.log2((cb + 1.0) / (cu + float(vocab_n))) * 1000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"big": t["big"], "bits": pa.array(bits)})
+
+    # materialized: two hash joins in one streaming plan mis-resolve key
+    # columns on ray 2.49; bits is model-sized, not corpus-sized
+    bits_tbl = (
+        cbt.join(cut, join_type="inner", num_partitions=4, on=("w1",))
+        .map_batches(_bits, batch_format="pyarrow")
+        .repartition(4)
+        .materialize()
+    )
+
+    scored = db.join(
+        bits_tbl, join_type="inner", num_partitions=16, on=("big",)
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cnt": t["cnt"],
+                "contrib": pc.multiply(
+                    t["cnt"].cast(pa.int64()), t["bits"].cast(pa.int64())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = scored.groupby("doc_id").aggregate(
+        Sum("cnt", alias_name="n_bigrams"),
+        Sum("contrib", alias_name="total_bits_milli"),
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": t["n_bigrams"],
+                "total_bits_milli": t["total_bits_milli"],
+                "avg_bits_milli": pc.divide(
+                    t["total_bits_milli"], t["n_bigrams"]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
