@@ -1338,3 +1338,317 @@ def q_lm_score(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes language classifier, trained ON the corpus (fastText-style
+# supervised lang-id, the classical multinomial-NB reduction): per-(lang,
+# token) add-one-smoothed counts are the model; every document is then
+# scored against all K languages and assigned the argmin total milli-bits
+# (= argmax log-likelihood), tie-broken lang-ascending. All log-probs are
+# fixed-point INTEGER milli-bits (same contract as lm_score above) so sums
+# are order-independent and the oracle compare is value-exact.
+#
+# Distributed shape (the model is vocabulary-sized, never corpus-sized):
+#   train  per-batch (tok x class) one-hot count pre-agg -> groupby(tok)
+#          summing K count columns -> WIDE model table (tok, c_0..c_K-1)
+#   derive per-class totals + vocab size V (dataset aggregates), per-class
+#          priors (tiny groupby) -> K-element driver arrays
+#   score  doc-token counts hash-join the K-wide delta table on tok -> one
+#          groupby(doc_id) summing K partial columns -> batch-local argmin.
+# Seen-token bits enter as DELTAS vs the unseen-token floor so a doc's
+# score needs only the tokens it contains: score(d,c) = prior_bits[c] +
+# ntoks(d)*unseen_bits[c] + sum_t cnt*(bits[c,t] - unseen_bits[c]).
+# ---------------------------------------------------------------------------
+_NB_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         string_split_regex({{trim}}, '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+tok AS (SELECT doc_id, lang, unnest(w) AS tok FROM d),
+dt AS (SELECT doc_id, lang, tok, count(*) AS cnt FROM tok GROUP BY ALL),
+clt AS (SELECT lang AS clang, tok, sum(cnt) AS c FROM dt GROUP BY clang, tok),
+cl AS (SELECT clang, sum(c) AS cl FROM clt GROUP BY clang),
+v AS (SELECT count(DISTINCT tok) AS v FROM tok),
+nd AS (SELECT lang AS clang, count(*) AS nd FROM d GROUP BY clang),
+ntot AS (SELECT count(*) AS n FROM d),
+langs AS (
+  SELECT clang, CAST(row_number() OVER (ORDER BY clang) - 1 AS BIGINT) AS code
+  FROM (SELECT DISTINCT clang FROM cl)
+),
+consts AS (
+  SELECT langs.clang, langs.code,
+         CAST(floor(-log2(nd.nd * 1.0 / ntot.n) * 1000 + 0.5) AS BIGINT)
+             AS prior_bits,
+         CAST(floor(-log2(1.0 / (cl.cl + v.v)) * 1000 + 0.5) AS BIGINT)
+             AS unseen_bits
+  FROM langs JOIN cl USING (clang) JOIN nd USING (clang)
+  CROSS JOIN v CROSS JOIN ntot
+),
+delta AS (
+  SELECT clt.tok, consts.code,
+         CAST(floor(-log2((clt.c + 1.0) / (cl.cl + v.v)) * 1000 + 0.5)
+              AS BIGINT) - consts.unseen_bits AS delta
+  FROM clt JOIN cl USING (clang) JOIN consts USING (clang) CROSS JOIN v
+),
+docs_n AS (SELECT doc_id, lang, sum(cnt) AS ntoks FROM dt GROUP BY doc_id, lang),
+dsum AS (
+  SELECT dt.doc_id, delta.code, sum(dt.cnt * delta.delta) AS ds
+  FROM dt JOIN delta USING (tok) GROUP BY dt.doc_id, delta.code
+),
+score AS (
+  SELECT docs_n.doc_id, docs_n.lang, consts.code,
+         consts.prior_bits + docs_n.ntoks * consts.unseen_bits
+             + coalesce(dsum.ds, 0) AS s
+  FROM docs_n CROSS JOIN consts
+  LEFT JOIN dsum ON dsum.doc_id = docs_n.doc_id AND dsum.code = consts.code
+),
+win AS (
+  SELECT doc_id, lang, min(s * 64 + code) AS packed
+  FROM score GROUP BY doc_id, lang
+)
+SELECT win.doc_id, win.lang, langs.clang AS pred_lang,
+       CAST(win.packed // 64 AS BIGINT) AS best_bits_milli,
+       CAST(win.lang = langs.clang AS BIGINT) AS correct
+FROM win JOIN langs ON langs.code = win.packed % 64
+"""
+
+
+def _nb_sql() -> str:
+    from ..corpus import SQL_TRIM
+
+    return _NB_SQL.format(trim=SQL_TRIM)
+
+
+def _lang_doc_counts(batch: pa.Table) -> pa.Table:
+    """Per-lang doc counts over non-null-text docs. Runs on the DOCS
+    dataset (one row per doc), so per-batch partials can never split a
+    doc across batches — distinct-doc counting stays exact."""
+    mask = pc.is_valid(batch["text"])
+    t = batch.filter(mask)
+    if len(t) == 0:
+        return pa.table(
+            {
+                "lang": pa.array([], type=pa.string()),
+                "nd_part": pa.array([], type=pa.int64()),
+            }
+        )
+    g = t.select(["lang"]).group_by("lang").aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "lang": g["lang"],
+            "nd_part": g["count_all"].cast(pa.int64()),
+        }
+    )
+
+
+def _nb_doc_tok_counts(batch: pa.Table) -> pa.Table:
+    """Per-(doc, token) counts with the doc's lang carried: the one
+    corpus-sized intermediate both the trainer and the scorer consume."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "lang": pa.array([], type=pa.string()),
+            "tok": pa.array([], type=pa.string()),
+            "cnt": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(batch) == 0:
+        return empty
+    ft = _FlatTokens(batch)
+    total = int(ft.counts.sum())
+    if total == 0:  # all-null text
+        return empty
+    uniq, inv = np.unique(ft.tokens, return_inverse=True)
+    pair = ft.row_idx * len(uniq) + inv
+    pair_ids, pair_inv = np.unique(pair, return_inverse=True)
+    cnt = np.bincount(pair_inv, minlength=len(pair_ids)).astype(np.int64)
+    rows = pair_ids // len(uniq)
+    toks = pair_ids % len(uniq)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    langs = batch["lang"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
+            "lang": pa.array(langs[rows], type=pa.string()),
+            "tok": pa.array(uniq[toks], type=pa.string()),
+            "cnt": pa.array(cnt),
+        }
+    )
+
+
+@query("nb_lang", _nb_sql())
+def q_nb_lang(sf_dir: str):
+    from ray.data.aggregate import Min, Sum
+
+    from .extraction import parquet_num_rows, read_documents
+
+    out_schema = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "lang": pa.array([], type=pa.string()),
+            "pred_lang": pa.array([], type=pa.string()),
+            "best_bits_milli": pa.array([], type=pa.int64()),
+            "correct": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return out_schema
+
+    docs = read_documents(sf_dir, ["doc_id", "text", "lang"])
+    dt = docs.map_batches(
+        _nb_doc_tok_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # priors: docs per lang over non-null-text docs (tiny driver table)
+    prior_df = (
+        docs.map_batches(
+            _lang_doc_counts, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("lang")
+        .aggregate(Sum("nd_part", alias_name="nd_part"))
+        .to_pandas()
+    )
+    if len(prior_df) == 0:  # every doc had null text
+        return out_schema
+    lang_list = sorted(prior_df["lang"].astype(str).tolist())
+    k = len(lang_list)
+    if k > 63:
+        raise ValueError("nb_lang packs lang codes into 6 bits (<=63 langs)")
+    code_of = {s: i for i, s in enumerate(lang_list)}
+    nd = np.array(
+        [int(prior_df.set_index("lang")["nd_part"][s]) for s in lang_list],
+        dtype=np.int64,
+    )
+    n_docs_total = int(nd.sum())
+
+    c_cols = [f"c_{i}" for i in range(k)]
+
+    def train_partial(t: pa.Table) -> pa.Table:
+        cols = {"tok": pa.array([], type=pa.string())}
+        cols.update(
+            {c: pa.array([], type=pa.int64()) for c in c_cols}
+        )
+        if len(t) == 0:
+            return pa.table(cols)
+        toks = t["tok"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        codes = np.array(
+            [code_of[s] for s in t["lang"].to_pylist()], dtype=np.int64
+        )
+        uniq, inv = np.unique(toks, return_inverse=True)
+        acc = np.zeros((len(uniq), k), dtype=np.int64)
+        np.add.at(acc, (inv, codes), cnt)
+        out = {"tok": pa.array(uniq, type=pa.string())}
+        for i, c in enumerate(c_cols):
+            out[c] = pa.array(acc[:, i])
+        return pa.table(out)
+
+    model = (
+        dt.map_batches(train_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(*[Sum(c, alias_name=c) for c in c_cols])
+        .repartition(4)
+        .materialize()
+    )
+    vocab_v = model.count()
+    if vocab_v == 0:
+        return out_schema
+    cl_row = model.aggregate(*[Sum(c, alias_name=c) for c in c_cols])
+    cl = np.array([int(cl_row[c]) for c in c_cols], dtype=np.int64)
+
+    prior_bits = np.floor(
+        -np.log2(nd.astype(np.float64) / float(n_docs_total)) * 1000.0 + 0.5
+    ).astype(np.int64)
+    unseen_bits = np.floor(
+        -np.log2(1.0 / (cl.astype(np.float64) + float(vocab_v))) * 1000.0
+        + 0.5
+    ).astype(np.int64)
+
+    d_cols = [f"d_{i}" for i in range(k)]
+
+    def to_delta(t: pa.Table) -> pa.Table:
+        out = {"tok": t["tok"]}
+        for i in range(k):
+            c = t[c_cols[i]].to_numpy(zero_copy_only=False).astype(np.float64)
+            bits = np.floor(
+                -np.log2((c + 1.0) / (float(cl[i]) + float(vocab_v)))
+                * 1000.0
+                + 0.5
+            ).astype(np.int64)
+            # unseen cells (c==0) carry delta 0: their bits ARE the floor
+            out[d_cols[i]] = pa.array(
+                np.where(c > 0, bits - unseen_bits[i], 0)
+            )
+        return pa.table(out)
+
+    delta_tbl = (
+        model.map_batches(to_delta, batch_format="pyarrow")
+        .repartition(4)
+        .materialize()
+    )
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.array(
+            [code_of[s] for s in t["lang"].to_pylist()], dtype=np.int64
+        )
+        out = {
+            "doc_id": t["doc_id"],
+            "true_code": pa.array(codes),
+            "cnt": pa.array(cnt),
+        }
+        for i in range(k):
+            d = t[d_cols[i]].to_numpy(zero_copy_only=False).astype(np.int64)
+            out[f"p_{i}"] = pa.array(cnt * d)
+        return pa.table(out)
+
+    scored = (
+        dt.join(delta_tbl, join_type="inner", num_partitions=16, on=("tok",))
+        .map_batches(score_partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Min("true_code", alias_name="true_code"),
+            Sum("cnt", alias_name="ntoks"),
+            *[Sum(f"p_{i}", alias_name=f"p_{i}") for i in range(k)],
+        )
+    )
+
+    lang_arr = np.array(lang_list, dtype=object)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "lang": pa.array([], type=pa.string()),
+                    "pred_lang": pa.array([], type=pa.string()),
+                    "best_bits_milli": pa.array([], type=pa.int64()),
+                    "correct": pa.array([], type=pa.int64()),
+                }
+            )
+        ntoks = t["ntoks"].to_numpy(zero_copy_only=False).astype(np.int64)
+        true_code = (
+            t["true_code"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        scores = np.empty((len(t), k), dtype=np.int64)
+        for i in range(k):
+            scores[:, i] = (
+                prior_bits[i]
+                + ntoks * unseen_bits[i]
+                + t[f"p_{i}"].to_numpy(zero_copy_only=False)
+            )
+        pred = np.argmin(scores, axis=1)  # first min = lang-asc tie-break
+        best = scores[np.arange(len(t)), pred]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": pa.array(lang_arr[true_code], type=pa.string()),
+                "pred_lang": pa.array(lang_arr[pred], type=pa.string()),
+                "best_bits_milli": pa.array(best),
+                "correct": pa.array((pred == true_code).astype(np.int64)),
+            }
+        )
+
+    return scored.map_batches(finalize, batch_format="pyarrow")
