@@ -1231,27 +1231,12 @@ def _uniq_tokens(batch: pa.Table) -> pa.Table:
     return pa.table({"tok": pc.unique(ft.tokens_arrow)})
 
 
-@query("lm_score", _LM_SQL)
-def q_lm_score(sf_dir: str):
+def _lm_agg(db, docs):
+    """Shared LM-scoring pipeline: bigram-count stream ``db`` (key, big,
+    cnt — ``key`` is doc_id, or doc_id*64+lang_code for the bucketing
+    variant) -> per-key (n_bigrams, total_bits_milli) Dataset, or None if
+    the corpus trains an empty model. ``docs`` supplies the vocabulary."""
     from ray.data.aggregate import Count, Sum
-
-    from .extraction import parquet_num_rows, read_documents
-
-    out_schema = pa.table(
-        {
-            "doc_id": pa.array([], type=pa.int64()),
-            "n_bigrams": pa.array([], type=pa.int64()),
-            "total_bits_milli": pa.array([], type=pa.int64()),
-            "avg_bits_milli": pa.array([], type=pa.int64()),
-        }
-    )
-    if parquet_num_rows(sf_dir, "documents") == 0:
-        return out_schema
-
-    docs = read_documents(sf_dir, ["doc_id", "text"])
-    db = docs.map_batches(
-        _doc_bigrams, batch_format="pyarrow", zero_copy_batch=True
-    )
 
     # model training: global bigram counts (one shuffle of pre-agg rows)
     cbt = (
@@ -1273,7 +1258,7 @@ def q_lm_score(sf_dir: str):
         .materialize()
     )
     if cbt.count() == 0:  # corpus of sub-2-token docs only
-        return out_schema
+        return None
 
     cut = (
         cbt.groupby("w1")
@@ -1321,10 +1306,34 @@ def q_lm_score(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    agg = scored.groupby("doc_id").aggregate(
+    return scored.groupby("doc_id").aggregate(
         Sum("cnt", alias_name="n_bigrams"),
         Sum("contrib", alias_name="total_bits_milli"),
     )
+
+
+@query("lm_score", _LM_SQL)
+def q_lm_score(sf_dir: str):
+    from .extraction import parquet_num_rows, read_documents
+
+    out_schema = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_bigrams": pa.array([], type=pa.int64()),
+            "total_bits_milli": pa.array([], type=pa.int64()),
+            "avg_bits_milli": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return out_schema
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    db = docs.map_batches(
+        _doc_bigrams, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = _lm_agg(db, docs)
+    if agg is None:
+        return out_schema
     return agg.map_batches(
         lambda t: pa.table(
             {
@@ -1337,6 +1346,203 @@ def q_lm_score(sf_dir: str):
             }
         ),
         batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets: every document is scored by the
+# corpus-trained bigram LM above, then assigned head / middle / tail by
+# its language's exact discrete avg-bits terciles (CCNet partitions Common
+# Crawl into exactly these three perplexity bands per language before
+# sampling). Thresholds use the DuckDB quantile_disc index rule
+# sorted[ceil(p*n)-1], computed in exact integer arithmetic from merged
+# per-language histograms — the same pinned rule as length_outliers.
+#
+# Scale shape: the doc's language rides INSIDE the scoring key
+# (doc_id*64 + lang_code) through the existing LM join+groupby — no extra
+# corpus-sized join, and no second hash join in one streaming plan (the
+# ray 2.49 key-resolution trap). The per-doc score table is materialized
+# once (1 row/doc; at 10^12 docs this is the intermediate you'd write to
+# the checkpoint table) and consumed by two cheap passes: per-lang
+# histogram partials -> tercile thresholds (K rows, broadcast), then a
+# vectorized assign scan.
+# ---------------------------------------------------------------------------
+_CCNET_SQL = (
+    "WITH core AS ("
+    + _LM_SQL
+    + """),
+lang_core AS (
+  SELECT core.doc_id, d2.lang, core.avg_bits_milli
+  FROM core JOIN documents d2 USING (doc_id)
+),
+th AS (
+  SELECT lang, quantile_disc(avg_bits_milli, 1.0/3) AS t1,
+         quantile_disc(avg_bits_milli, 2.0/3) AS t2
+  FROM lang_core GROUP BY lang
+)
+SELECT lc.doc_id, lc.lang, lc.avg_bits_milli,
+       CASE WHEN lc.avg_bits_milli <= th.t1 THEN 'head'
+            WHEN lc.avg_bits_milli <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lang_core lc JOIN th USING (lang)
+"""
+)
+
+# avg milli-bits domain cap: 65535 milli-bits = a 2^65 smoothed denominator
+_CCNET_BITS_HI = 65535
+
+
+@query("ccnet_buckets", _CCNET_SQL)
+def q_ccnet_buckets(sf_dir: str):
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .extraction import parquet_num_rows, read_documents
+
+    out_schema = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "lang": pa.array([], type=pa.string()),
+            "avg_bits_milli": pa.array([], type=pa.int64()),
+            "bucket": pa.array([], type=pa.string()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return out_schema
+
+    docs_l = read_documents(sf_dir, ["doc_id", "text", "lang"])
+    lang_df = (
+        docs_l.map_batches(
+            _lang_doc_counts, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("lang")
+        .aggregate(Sum("nd_part", alias_name="nd_part"))
+        .to_pandas()
+    )
+    if len(lang_df) == 0:
+        return out_schema
+    lang_list = sorted(lang_df["lang"].astype(str).tolist())
+    if len(lang_list) > 63:
+        raise ValueError("ccnet_buckets packs lang codes into 6 bits")
+    code_of = {s: i for i, s in enumerate(lang_list)}
+    lang_arr = np.array(lang_list, dtype=object)
+
+    def packed_bigrams(batch: pa.Table) -> pa.Table:
+        t = _doc_bigrams(batch)
+        if len(t) == 0:
+            return t
+        codes = np.array(
+            [code_of[s] for s in batch["lang"].to_pylist()], dtype=np.int64
+        )
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # _doc_bigrams emits rows grouped by source doc; recover each row's
+        # batch position by doc_id lookup (doc ids are unique per batch)
+        batch_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(
+            batch_ids, doc_ids, sorter=np.argsort(batch_ids)
+        )
+        order = np.argsort(batch_ids)
+        packed = doc_ids * 64 + codes[order[pos]]
+        return pa.table(
+            {"doc_id": pa.array(packed), "big": t["big"], "cnt": t["cnt"]}
+        )
+
+    db = docs_l.map_batches(
+        packed_bigrams, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = _lm_agg(db, docs_l)
+    if agg is None:
+        return out_schema
+
+    def decode(t: pa.Table) -> pa.Table:
+        key = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = (
+            t["total_bits_milli"].to_numpy(zero_copy_only=False)
+            // t["n_bigrams"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(key // 64),
+                "lang": pa.array(lang_arr[key % 64], type=pa.string()),
+                "avg_bits_milli": pa.array(avg),
+            }
+        )
+
+    scores = (
+        agg.map_batches(decode, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
+
+    LO, HI = 0, _CCNET_BITS_HI
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        avg = batch["avg_bits_milli"].to_numpy(zero_copy_only=False)
+        if len(avg) and int(avg.max()) > HI:
+            raise ValueError(
+                f"avg_bits_milli exceeds histogram domain [{LO},{HI}]"
+            )
+        uk, inv = np.unique(langs, return_inverse=True)
+        mat = np.zeros((len(uk), HI - LO + 1), dtype=np.int64)
+        if len(avg):
+            np.add.at(mat, (inv, avg - LO), 1)
+        return pa.table(
+            {
+                "lang": pa.array(uk, type=pa.string()),
+                "counts": pa.array(list(mat), type=pa.list_(pa.int64())),
+            }
+        )
+
+    def threshold_group(g: pd.DataFrame) -> pd.DataFrame:
+        hist = np.zeros(HI - LO + 1, dtype=np.int64)
+        for c in g["counts"]:
+            hist += np.asarray(c, dtype=np.int64)
+        n = int(hist.sum())
+        cum = np.cumsum(hist)
+        # DuckDB quantile_disc: sorted[ceil(p*n)-1], exact integer form
+        i1 = (n + 2) // 3 - 1
+        i2 = (2 * n + 2) // 3 - 1
+        t1 = LO + int(np.searchsorted(cum, i1 + 1, side="left"))
+        t2 = LO + int(np.searchsorted(cum, i2 + 1, side="left"))
+        return pd.DataFrame(
+            {"lang": [g["lang"].iloc[0]], "t1": [t1], "t2": [t2]}
+        )
+
+    th = (
+        scores.map_batches(
+            hist_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("lang")
+        .map_groups(threshold_group, batch_format="pandas")
+        .to_pandas()  # |langs| rows
+    )
+    t1_by_code = np.zeros(len(lang_list), dtype=np.int64)
+    t2_by_code = np.zeros(len(lang_list), dtype=np.int64)
+    for _, row in th.iterrows():
+        t1_by_code[code_of[str(row["lang"])]] = int(row["t1"])
+        t2_by_code[code_of[str(row["lang"])]] = int(row["t2"])
+
+    buckets = np.array(["head", "middle", "tail"], dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema
+        codes = np.array(
+            [code_of[s] for s in batch["lang"].to_pylist()], dtype=np.int64
+        )
+        avg = batch["avg_bits_milli"].to_numpy(zero_copy_only=False)
+        b = np.where(
+            avg <= t1_by_code[codes],
+            0,
+            np.where(avg <= t2_by_code[codes], 1, 2),
+        )
+        return batch.append_column(
+            "bucket", pa.array(buckets[b], type=pa.string())
+        )
+
+    return scores.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
