@@ -459,14 +459,18 @@ def _edges_both_dirs(t: pa.Table) -> pa.Table:
 def connected_components(pair_ds, max_rounds: int = 50):
     """Distributed connected components over a (doc_a, doc_b) pair Dataset.
 
-    Each round:
-      1. edge propagation — join labels onto edge sources, take
-         min(label) over each destination's incoming sources;
-      2. path compression — relabel every node by its label's label
-         (pointer jumping, halving chain depth each round).
-    Labels only decrease, so sum(label) is a strictly decreasing convergence
-    witness; the driver holds that single scalar and never sees the node
-    table. Rounds needed: O(log diameter) thanks to compression.
+    Min-label propagation with pointer jumping, ONE hash join per round:
+    the label table is re-emitted as synthetic edges (lbl(n) -> n) and
+    unioned with the real edges before a single join against the labels,
+    so one pass yields both the neighbor candidates (edge u->v gives
+    lbl(u) for v) and the path-compression candidates (synthetic edge
+    lbl(n)->n gives lbl(lbl(n)) for n). The candidate set is identical to
+    the classic propagate+compress pair of joins — it just rides one join
+    operator instead of two, which matters because each ray join carries a
+    fixed per-operator/per-partition cost that dominates on the (small)
+    dup-graph tables. Labels only decrease, so sum(label) is a strictly
+    decreasing convergence witness; the driver holds that single scalar
+    and never sees the node table. Rounds: O(log diameter).
     """
     from ray.data.aggregate import Min, Sum
 
@@ -476,11 +480,16 @@ def connected_components(pair_ds, max_rounds: int = 50):
     edges = pair_ds.map_batches(
         _edges_both_dirs, batch_format="pyarrow", zero_copy_batch=True
     ).repartition(8).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"),
              "cluster": pd.Series([], dtype="int64")}
         )
+    # shuffle width follows the data: tiny dup graphs shouldn't pay 8
+    # partitions of fixed join cost, 10^10-edge graphs shouldn't squeeze
+    # through 8 either
+    n_parts = int(max(2, min(64, n_edges // 200_000 + 2)))
 
     def _init_lbl(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -507,15 +516,19 @@ def connected_components(pair_ds, max_rounds: int = 50):
     )
     prev_total = None
     for _ in range(max_rounds):
-        # 1. propagate: candidate label for dst = lbl(src). Materialized
-        # separately — two hash-shuffle joins in ONE streaming plan
-        # mis-resolve key columns (ray 2.49), so each join runs its own
-        # plan over the (small, materialized) label table.
-        prop = (
-            edges.join(
+        # synthetic compression edges lbl(n) -> n: joining them below
+        # propagates lbl(lbl(n)) to n (pointer jumping) through the SAME
+        # join that propagates neighbor labels over real edges
+        lbl_edges = labels.map_batches(
+            lambda t: pa.table({"src": t["lbl"], "dst": t["n"]}),
+            batch_format="pyarrow",
+        )
+        cand = (
+            edges.union(lbl_edges)
+            .join(
                 labels,
                 join_type="inner",
-                num_partitions=8,
+                num_partitions=n_parts,
                 on=("src",),
                 right_on=("n",),
             )
@@ -523,37 +536,18 @@ def connected_components(pair_ds, max_rounds: int = 50):
                 lambda t: pa.table({"n": t["dst"], "cand": t["lbl"]}),
                 batch_format="pyarrow",
             )
-            .groupby("n")
-            .aggregate(Min("cand", alias_name="cand"))
-            .materialize()
-        )
-        # 2. compress: cand for n = lbl(lbl(n)) (pointer jumping)
-        jump = (
-            labels.join(
-                labels.map_batches(
-                    lambda t: pa.table({"jn": t["n"], "jl": t["lbl"]}),
-                    batch_format="pyarrow",
-                ),
-                join_type="inner",
-                num_partitions=8,
-                on=("lbl",),
-                right_on=("jn",),
-            )
-            .map_batches(
-                lambda t: pa.table({"n": t["n"], "cand": t["jl"]}),
-                batch_format="pyarrow",
-            )
-            .materialize()
         )
         current = labels.map_batches(
             lambda t: pa.table({"n": t["n"], "cand": t["lbl"]}),
             batch_format="pyarrow",
         )
+        # one plan per round: the single join keeps ray 2.49's
+        # two-hash-joins-per-plan key-resolution bug out of reach
         labels = (
-            current.union(prop, jump)
+            current.union(cand)
             .groupby("n")
             .aggregate(Min("cand", alias_name="lbl"))
-            .repartition(4)
+            .repartition(min(4, n_parts))
             .materialize()
         )
         total = labels.aggregate(Sum("lbl", alias_name="s"))["s"]
