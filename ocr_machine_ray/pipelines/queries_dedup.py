@@ -215,12 +215,23 @@ def q_dedup_minhash(sf_dir: str):
     """LSH candidates via groupby on (band, band_key), verified with exact
     shingle Jaccard INSIDE the bucket groups (sets carried on the band
     rows) — the full near-dedup pipeline with no driver-side state."""
+    def band_rows_packed(batch: pa.Table) -> pa.Table:
+        t = minhash_bands_shingles_batch(batch)
+        # single packed bucket key (see _jaccard_prefix_rows)
+        return pa.table(
+            {
+                "bkey": pc.binary_join_element_wise(
+                    pc.cast(t["band"], pa.string()), t["band_key"], "\x00"
+                ),
+                "doc_id": t["doc_id"],
+                "shingles": t["shingles"],
+            }
+        )
+
     bands = read_documents(sf_dir).map_batches(
-        minhash_bands_shingles_batch,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        band_rows_packed, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = bands.groupby(["band", "band_key"]).map_groups(
+    pairs = bands.groupby("bkey").map_groups(
         _verified_shingle_pairs, batch_format="pandas"
     )
     return _distinct_pairs(pairs)
@@ -286,7 +297,19 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 
 
 def _jaccard_prefix_rows(batch: pa.Table) -> pa.Table:
-    return prefix_rows_batch(batch, JACCARD_T, extra_key="lang")
+    t = prefix_rows_batch(batch, JACCARD_T, extra_key="lang")
+    # pack (lang, ptok) into ONE bucket key: ray 2.49's multi-key
+    # groupby/sort path is pathologically slower than single-key on many
+    # small blocks (same trap as _distinct_pairs' packed aggregate)
+    return pa.table(
+        {
+            "bkey": pc.binary_join_element_wise(
+                t["lang"], t["ptok"], "\x00"
+            ),
+            "doc_id": t["doc_id"],
+            "tokens": t["tokens"],
+        }
+    )
 
 
 def _verified_token_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -301,7 +324,7 @@ def q_dedup_jaccard(sf_dir: str):
     rows = read_documents(sf_dir, ["doc_id", "lang", "text"]).map_batches(
         _jaccard_prefix_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = rows.groupby(["lang", "ptok"]).map_groups(
+    pairs = rows.groupby("bkey").map_groups(
         _verified_token_pairs, batch_format="pandas"
     )
     return _distinct_pairs(pairs)
