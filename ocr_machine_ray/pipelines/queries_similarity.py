@@ -5,7 +5,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..functions.similarity import BruteForceTopK, hyperplanes, merge_topk_group
+from ..functions.similarity import (
+    BruteForceTopK,
+    _as_matrix,
+    hyperplanes,
+    merge_topk_group,
+)
 from ..registry import query
 
 N_QUERIES = 32  # query set = vec_id < N_QUERIES
@@ -286,3 +291,228 @@ def q_ann_topk_ivf(sf_dir: str):
     return partials.groupby("query_id").map_groups(
         lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (vector-database compaction: per-dimension
+# global min/max affine quantization to [0, 255], the standard scalar
+# quantizer). Two passes: (1) per-batch partial min/max vectors (64 floats)
+# reduced on the driver — nothing data-sized moves; (2) an embarrassingly
+# parallel quantize scan emitting flat (vec_id, j, q) rows. Quantized codes
+# are integers, so the oracle compare is value-exact; min/max are exact
+# (comparisons only) and the affine map is float64 with one closed-form
+# rounding, same contract as lm_score's milli-bits.
+# ---------------------------------------------------------------------------
+_QUANT_SQL = """
+WITH u AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+mm AS (SELECT j, min(x) AS mn, max(x) AS mx FROM u GROUP BY j)
+"""
+
+_EMB_QUANT_SQL = (
+    _QUANT_SQL
+    + """
+SELECT u.vec_id, u.j,
+       CAST(CASE WHEN mm.mx = mm.mn THEN 0
+                 ELSE floor((u.x - mm.mn) / (mm.mx - mm.mn) * 255 + 0.5)
+            END AS BIGINT) AS q
+FROM u JOIN mm USING (j)
+"""
+)
+
+
+def _dim_min_max(sf_dir: str, emb):
+    """Per-dimension (mn, mx) float64 vectors via partial reduce."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch["embedding"])
+        if m.shape[0] == 0:
+            return pa.table(
+                {
+                    "mn": pa.array([], type=pa.list_(pa.float64())),
+                    "mx": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        return pa.table(
+            {
+                "mn": pa.array([m.min(axis=0).tolist()]),
+                "mx": pa.array([m.max(axis=0).tolist()]),
+            }
+        )
+
+    parts = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one tiny row per batch
+    if not parts:
+        return None, None
+    mn = np.min([p["mn"] for p in parts], axis=0)
+    mx = np.max([p["mx"] for p in parts], axis=0)
+    return mn, mx
+
+
+@query("embedding_quantize", _EMB_QUANT_SQL)
+def q_embedding_quantize(sf_dir: str):
+    import pyarrow as pa
+    import ray
+
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "j": pa.array([], type=pa.int64()),
+            "q": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "embeddings") == 0:
+        return empty
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mn, mx = _dim_min_max(sf_dir, emb)
+    if mn is None:
+        return empty
+    span = mx - mn
+    ok = span > 0
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch["embedding"])
+        if m.shape[0] == 0:
+            return empty
+        q = np.where(
+            ok[None, :],
+            np.floor((m - mn[None, :]) / np.where(ok, span, 1.0)[None, :]
+                     * 255.0 + 0.5),
+            0.0,
+        ).astype(np.int64)
+        n, d = q.shape
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d)),
+                "j": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+                "q": pa.array(q.reshape(-1)),
+            }
+        )
+
+    return emb.map_batches(
+        quantize, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids of the quantized vectors, in integer milli-units:
+# cent_q_milli(label, j) = (1000 * sum(q)) // n. Integer sums are
+# order-independent (float centroid sums are not — that's why the oracle
+# contract quantizes FIRST). Distributed shape: the quantize scan emits
+# per-batch per-(label, dim) partial sums on a packed key — only
+# |labels| x 64 partial rows shuffle, never vectors.
+# ---------------------------------------------------------------------------
+_CENTROID_SQL = (
+    _QUANT_SQL
+    + """
+, qq AS (
+  SELECT u.label, u.j,
+         CAST(CASE WHEN mm.mx = mm.mn THEN 0
+                   ELSE floor((u.x - mm.mn) / (mm.mx - mm.mn) * 255 + 0.5)
+              END AS BIGINT) AS q
+  FROM u JOIN mm USING (j)
+)
+SELECT CAST(label AS BIGINT) AS label, j, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST((1000 * sum(q)) // count(*) AS BIGINT) AS cent_q_milli
+FROM qq GROUP BY label, j
+"""
+)
+
+
+@query("label_centroids", _CENTROID_SQL)
+def q_label_centroids(sf_dir: str):
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {
+            "label": pa.array([], type=pa.int64()),
+            "j": pa.array([], type=pa.int64()),
+            "n_vecs": pa.array([], type=pa.int64()),
+            "cent_q_milli": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "embeddings") == 0:
+        return empty
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"],
+    )
+    mn, mx = _dim_min_max(sf_dir, emb)
+    if mn is None:
+        return empty
+    span = mx - mn
+    ok = span > 0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch["embedding"])
+        if m.shape[0] == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        q = np.where(
+            ok[None, :],
+            np.floor((m - mn[None, :]) / np.where(ok, span, 1.0)[None, :]
+                     * 255.0 + 0.5),
+            0.0,
+        ).astype(np.int64)
+        n, d = q.shape
+        labels = (
+            batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        ul, inv = np.unique(labels, return_inverse=True)
+        s = np.zeros((len(ul), d), dtype=np.int64)
+        np.add.at(s, inv, q)
+        cnt = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        # packed (label, dim) key: label * 1024 + j (dims <= 1023)
+        k = (ul[:, None] * 1024 + np.arange(1, d + 1)[None, :]).reshape(-1)
+        return pa.table(
+            {
+                "k": pa.array(k),
+                "s": pa.array(s.reshape(-1)),
+                "n": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    agg = (
+        emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(k // 1024),
+                "j": pa.array(k % 1024),
+                "n_vecs": pa.array(n),
+                "cent_q_milli": pa.array((1000 * s) // n),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

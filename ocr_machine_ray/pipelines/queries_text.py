@@ -1858,3 +1858,217 @@ def q_nb_lang(sf_dir: str):
         )
 
     return scored.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016): R merge rounds learned
+# from corpus word frequencies. The classic distributed factorization: one
+# corpus pass builds the (word, count) table — BPE statistics depend ONLY
+# on it — then every merge round runs over that (much smaller) table:
+# per-batch weighted adjacent-pair partial counts -> groupby(pair).sum ->
+# distributed sort for the argmax (count desc, pair asc tie-break) ->
+# vectorless greedy left-to-right apply pass. The corpus is never touched
+# again after pass 1; the driver holds only the R winning merges.
+#
+# Merge application is inherently sequential per word (greedy non-
+# overlapping), so the semantics are not SQL-expressible — this is a
+# rows-only registry entry; exactness is pinned by a pytest against an
+# independent single-process BPE reference implementation.
+# ---------------------------------------------------------------------------
+BPE_ROUNDS = 8
+
+
+def _word_freq_ds(sf_dir: str):
+    """Distributed (word, count) table — the only corpus-sized pass."""
+    from ray.data.aggregate import Sum
+
+    from .extraction import read_documents
+
+    def freq_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        ft = _FlatTokens(batch)
+        vals, counts = np.unique(ft.tokens, return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(vals, type=pa.string()),
+                "cnt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(freq_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .repartition(2)
+        .materialize()
+    )
+
+
+def _apply_merge(syms: list, a: str, b: str) -> list:
+    """Greedy left-to-right non-overlapping merge of the pair (a, b)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train(sf_dir: str, rounds: int = BPE_ROUNDS) -> list[tuple]:
+    """Learn ``rounds`` merges; returns [(left, right, pair_count)]."""
+    from ray.data.aggregate import Sum
+
+    words = _word_freq_ds(sf_dir)
+    if words.count() == 0:
+        return []
+
+    def to_syms(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "syms": pa.array(
+                    [list(w) for w in t["word"].to_pylist()],
+                    type=pa.list_(pa.string()),
+                ),
+                "cnt": t["cnt"],
+            }
+        )
+
+    tbl = words.map_batches(to_syms, batch_format="pyarrow").materialize()
+    merges: list[tuple] = []
+    for _ in range(rounds):
+
+        def pair_partial(t: pa.Table) -> pa.Table:
+            pairs: dict = {}
+            for syms, c in zip(t["syms"].to_pylist(), t["cnt"].to_pylist()):
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    pairs[k] = pairs.get(k, 0) + c
+            if not pairs:
+                return pa.table(
+                    {
+                        "pair": pa.array([], type=pa.string()),
+                        "n": pa.array([], type=pa.int64()),
+                    }
+                )
+            ks, vs = zip(*pairs.items())
+            return pa.table(
+                {
+                    "pair": pa.array([a + "\x00" + b for a, b in ks]),
+                    "n": pa.array(list(vs), type=pa.int64()),
+                }
+            )
+
+        top = (
+            tbl.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby("pair")
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "pair"], descending=[True, False])
+            .limit(1)
+            .take_all()
+        )
+        if not top:
+            break
+        a, b = top[0]["pair"].split("\x00")
+        merges.append((a, b, int(top[0]["n"])))
+
+        def apply_round(t: pa.Table, a=a, b=b) -> pa.Table:
+            return pa.table(
+                {
+                    "syms": pa.array(
+                        [
+                            _apply_merge(s, a, b)
+                            for s in t["syms"].to_pylist()
+                        ],
+                        type=pa.list_(pa.string()),
+                    ),
+                    "cnt": t["cnt"],
+                }
+            )
+
+        tbl = tbl.map_batches(
+            apply_round, batch_format="pyarrow"
+        ).materialize()
+    return merges
+
+
+@query("bpe_merges")
+def q_bpe_merges(sf_dir: str):
+    merges = bpe_train(sf_dir)
+    return pa.table(
+        {
+            "rnk": pa.array(
+                np.arange(1, len(merges) + 1, dtype=np.int64)
+            ),
+            "left": pa.array([m[0] for m in merges], type=pa.string()),
+            "right": pa.array([m[1] for m in merges], type=pa.string()),
+            "merged": pa.array(
+                [m[0] + m[1] for m in merges], type=pa.string()
+            ),
+            "pair_count": pa.array(
+                [m[2] for m in merges], type=pa.int64()
+            ),
+        }
+    )
+
+
+@query("bpe_token_counts")
+def q_bpe_token_counts(sf_dir: str):
+    """Apply the learned merges to the corpus: subword count per doc.
+
+    The R merges are a driver-held list (bytes, not data) broadcast into
+    an embarrassingly parallel encode scan; per batch, each DISTINCT word
+    is encoded once and the per-doc subword count is a vectorized
+    gather-sum over word indices."""
+    from .extraction import parquet_num_rows, read_documents
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_words": pa.array([], type=pa.int64()),
+            "n_subwords": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return empty
+    merges = [(a, b) for a, b, _ in bpe_train(sf_dir)]
+
+    def encode_len(word: str) -> int:
+        syms = list(word)
+        for a, b in merges:
+            syms = _apply_merge(syms, a, b)
+        return len(syms)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        ft = _FlatTokens(batch)
+        if int(ft.counts.sum()) == 0:
+            return empty
+        uniq, inv = np.unique(ft.tokens, return_inverse=True)
+        lens = np.array([encode_len(w) for w in uniq], dtype=np.int64)
+        n_docs = len(batch)
+        n_words = np.zeros(n_docs, dtype=np.int64)
+        n_sub = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_words, ft.row_idx, 1)
+        np.add.at(n_sub, ft.row_idx, lens[inv])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_words": pa.array(n_words),
+                "n_subwords": pa.array(n_sub),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    )
