@@ -57,6 +57,14 @@ BENCH_QUERIES = [
     "bloom_join_revenue",
     "length_outliers",
     "segment_dedup",
+    # round-2 final additions (corpus-trained models / graph / quantization)
+    "lm_score",
+    "nb_lang",
+    "ccnet_buckets",
+    "pagerank",
+    "dedup_clusters",
+    "embedding_quantize",
+    "label_centroids",
 ]
 
 

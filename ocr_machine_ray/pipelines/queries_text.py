@@ -2072,3 +2072,87 @@ def q_bpe_token_counts(sf_dir: str):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         per_doc, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size deterministic per-stratum sample: exactly K docs per language,
+# chosen by a Knuth-multiplicative-hash rank (prime modulus, so the
+# multiply is a bijection — uniform, seedable, and SQL-exact with zero
+# RNG). Complements stratified_sample (rate-based): eval sets and
+# per-language probes want exact counts, not rates. Distributed shape:
+# per-batch partial top-K per language (only K x |langs| rows leave each
+# batch), one tiny groupby(lang) merge — the classic distributed top-k.
+# ---------------------------------------------------------------------------
+_SAMPLE_K = 20
+_SAMPLE_M = 1_000_003  # prime > any (doc_id % M): multiply stays a bijection
+
+_SAMPLE_K_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         ((doc_id % {_SAMPLE_M}) * ({_MIX_KNUTH} % {_SAMPLE_M}))
+             % {_SAMPLE_M} AS hk
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, hk,
+         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rnk
+  FROM h
+)
+SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {_SAMPLE_K}
+"""
+
+
+@query("sample_per_lang", _SAMPLE_K_SQL)
+def q_sample_per_lang(sf_dir: str):
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "lang": pa.array([], type=pa.string()),
+                "hk": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hk = ((ids % _SAMPLE_M) * (_MIX_KNUTH % _SAMPLE_M)) % _SAMPLE_M
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(langs, return_inverse=True)
+        keep = np.zeros(len(ids), dtype=bool)
+        order = np.lexsort((ids, hk, inv))  # by (lang, hk, doc_id)
+        pos_in_lang = (
+            np.arange(len(ids))
+            - np.searchsorted(inv[order], np.arange(len(uk)))[inv[order]]
+        )
+        keep[order] = pos_in_lang < _SAMPLE_K
+        m = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "lang": batch["lang"].filter(m),
+                "hk": pa.array(hk[keep]),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hk", "doc_id"]).head(_SAMPLE_K)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "lang": g["lang"],
+                "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    from .extraction import read_documents
+
+    return (
+        read_documents(sf_dir, ["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )
