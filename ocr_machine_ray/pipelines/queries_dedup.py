@@ -857,10 +857,36 @@ def _seg_count_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+def _max_nchars_stat(sf_dir: str) -> int | None:
+    """Corpus-wide n_chars max from parquet row-group statistics — a
+    metadata read, no data scan. None when stats are absent."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        md = pq.read_metadata(path)
+        idx = md.schema.to_arrow_schema().get_field_index("n_chars")
+        if idx < 0 or md.num_row_groups == 0:
+            return None
+        vals = []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            vals.append(int(st.max))
+        return max(vals)
+    except Exception:
+        return None
+
+
 def _seg_rebuild(batch: pa.Table) -> pa.Table:
     """Batch-local text rebuild: drop tokens of removed segments, one
-    binary_join per batch. ``removed`` is a comma-joined seg_no list (null
-    for untouched docs)."""
+    binary_join per batch. The removed-set arrives either as ``m_<w>``
+    int64 bitmask columns (63 seg bits per word; fully vectorized decode)
+    or as a comma-joined ``removed`` string list (fallback for corpora
+    whose docs exceed the mask budget); null for untouched docs."""
     if len(batch) == 0:
         return pa.table(
             {
@@ -876,18 +902,49 @@ def _seg_rebuild(batch: pa.Table) -> pa.Table:
     row_off = np.concatenate([[0], np.cumsum(counts)])
     keep = np.ones(int(counts.sum()), dtype=bool)
     n_removed = np.zeros(len(batch), dtype=np.int64)
-    removed = (
-        batch["removed"].to_pylist()
-        if "removed" in batch.column_names
-        else [None] * len(batch)
+    mask_cols = sorted(
+        (c for c in batch.column_names if c.startswith("m_")),
+        key=lambda c: int(c[2:]),
     )
-    for r, rem in enumerate(removed):
-        if rem is None or rem == "":
-            continue
-        nos = np.fromiter((int(x) for x in rem.split(",")), dtype=np.int64)
-        n_removed[r] = len(nos)
-        sl = slice(row_off[r], row_off[r + 1])
-        keep[sl] = ~np.isin(seg_idx[sl], nos)
+    if mask_cols:
+        # vectorized: token kept unless its segment's bit is set in the
+        # owning doc's mask word
+        masks = np.stack(
+            [
+                np.nan_to_num(
+                    batch[c].to_numpy(zero_copy_only=False).astype(
+                        np.float64
+                    )
+                ).astype(np.int64)
+                for c in mask_cols
+            ],
+            axis=1,
+        )  # (n_docs, n_words); nulls (untouched docs) -> 0
+        word = seg_idx // 63
+        bit = seg_idx - word * 63
+        tok_mask = masks[ft.row_idx, word]
+        keep = ((tok_mask >> bit) & 1) == 0
+        # popcount per doc for the removed-count accounting
+        for w in range(masks.shape[1]):
+            m = masks[:, w].copy()
+            while m.any():
+                n_removed += m & 1
+                m >>= 1
+    else:
+        removed = (
+            batch["removed"].to_pylist()
+            if "removed" in batch.column_names
+            else [None] * len(batch)
+        )
+        for r, rem in enumerate(removed):
+            if rem is None or rem == "":
+                continue
+            nos = np.fromiter(
+                (int(x) for x in rem.split(",")), dtype=np.int64
+            )
+            n_removed[r] = len(nos)
+            sl = slice(row_off[r], row_off[r + 1])
+            keep[sl] = ~np.isin(seg_idx[sl], nos)
     kept_counts = np.bincount(
         ft.row_idx[keep], minlength=len(batch)
     ).astype(np.int64)
@@ -952,23 +1009,60 @@ def q_segment_dedup(sf_dir: str):
         _segment_table, batch_format="pyarrow", zero_copy_batch=True
     ).join(dup, join_type="left_semi", num_partitions=16, on=("seg",))
 
-    def _removed_list(g: pd.DataFrame) -> pd.DataFrame:
-        nos = np.sort(g["seg_no"].to_numpy(np.int64))
-        return pd.DataFrame(
-            {
-                "doc_id": g["doc_id"].to_numpy(np.int64)[:1],
-                "removed": [",".join(map(str, nos))],
-            }
-        )
-
-    # materialized: two hash joins in one streaming plan mis-resolve key
-    # columns on ray 2.49; this table is O(affected docs), not the corpus
-    removed_lists = (
-        removed_pairs.groupby("doc_id")
-        .map_groups(_removed_list, batch_format="pandas")
-        .repartition(4)
-        .materialize()
+    # removed-set packing: multi-word int64 bitmask when the parquet
+    # n_chars stats bound the per-doc segment count (tokens <=
+    # (n_chars+1)/2), else the string-list map_groups fallback. The mask
+    # path replaces a per-doc map_groups (one block per group + pandas
+    # per group) with a plain Sum aggregate — segment rows are positional,
+    # hence distinct, so bit sums never double-set.
+    mx_chars = _max_nchars_stat(sf_dir)
+    n_words = (
+        ((((mx_chars + 1) // 2) + _SEG_W - 1) // _SEG_W) // 63 + 1
+        if mx_chars is not None
+        else None
     )
+    if n_words is not None and n_words <= 8:
+        m_cols = [f"m_{w}" for w in range(n_words)]
+
+        def to_bits(t: pa.Table) -> pa.Table:
+            seg_no = t["seg_no"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            word = seg_no // 63
+            bits = np.zeros((len(t), n_words), dtype=np.int64)
+            rows = np.arange(len(t))
+            bits[rows, word] = np.int64(1) << (seg_no - word * 63)
+            out = {"doc_id": t["doc_id"]}
+            for w, c in enumerate(m_cols):
+                out[c] = pa.array(bits[:, w])
+            return pa.table(out)
+
+        # materialized: two hash joins in one streaming plan mis-resolve
+        # key columns on ray 2.49; this table is O(affected docs)
+        removed_lists = (
+            removed_pairs.map_batches(to_bits, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(*[Sum(c, alias_name=c) for c in m_cols])
+            .repartition(4)
+            .materialize()
+        )
+    else:
+
+        def _removed_list(g: pd.DataFrame) -> pd.DataFrame:
+            nos = np.sort(g["seg_no"].to_numpy(np.int64))
+            return pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(np.int64)[:1],
+                    "removed": [",".join(map(str, nos))],
+                }
+            )
+
+        removed_lists = (
+            removed_pairs.groupby("doc_id")
+            .map_groups(_removed_list, batch_format="pandas")
+            .repartition(4)
+            .materialize()
+        )
 
     out = docs.join(
         removed_lists,

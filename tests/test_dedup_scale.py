@@ -297,3 +297,28 @@ class TestSegmentDedup:
             "alpha beta gamma", "delta epsilon",
         ]
         assert got["n_removed"].tolist() == [0, 0]
+
+
+def test_segment_dedup_fallback_matches_mask_path(
+    ray_session, monkeypatch
+):
+    """The string-list fallback (stats missing / doc too long for the mask
+    budget) must produce byte-identical output to the bitmask fast path."""
+    from ocr_machine_ray.pipelines import queries_dedup as qd
+    from ocr_machine_ray.registry import queries
+
+    sf = "/root/testdata/sf0.001"
+    fast = (
+        queries()["segment_dedup"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(qd, "_max_nchars_stat", lambda _: None)
+    slow = (
+        queries()["segment_dedup"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert fast.equals(slow)
