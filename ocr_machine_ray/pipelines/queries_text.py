@@ -2156,3 +2156,127 @@ def q_sample_per_lang(sf_dir: str):
         .groupby("lang")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination audit: how many distinct document
+# fingerprints each pair of sources shares (diagonal = distinct docs per
+# source). The standard pre-training leakage check between crawls /
+# snapshots / curated subsets. Distributed shape: distinct (fp, source)
+# pairs via a packed-key count aggregate (strictly smaller than the
+# corpus), then ONE self-hash-join on fp — per-fp fanout is bounded by
+# |sources|, and only |sources|^2 packed pair counts leave the final
+# aggregate.
+# ---------------------------------------------------------------------------
+_SRC_OVERLAP_SQL = """
+WITH p AS (
+  SELECT DISTINCT md5(text) AS fp, source
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM p a JOIN p b ON a.fp = b.fp AND a.source <= b.source
+GROUP BY source_a, source_b
+"""
+
+
+@query("source_overlap", _SRC_OVERLAP_SQL)
+def q_source_overlap(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from .extraction import parquet_num_rows, read_documents
+
+    empty = pa.table(
+        {
+            "source_a": pa.array([], type=pa.string()),
+            "source_b": pa.array([], type=pa.string()),
+            "n_shared": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return empty
+
+    def fp_src(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        if len(batch) == 0:
+            return pa.table({"k": pa.array([], type=pa.string())})
+        t = md5_fingerprint_batch(batch)
+        return pa.table(
+            {
+                "k": pc.binary_join_element_wise(
+                    t["fingerprint"], batch["source"], "\x00"
+                )
+            }
+        )
+
+    dp = (
+        read_documents(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(fp_src, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "fp": pc.list_element(
+                        pc.split_pattern(t["k"], "\x00"), 0
+                    ),
+                    "source": pc.list_element(
+                        pc.split_pattern(t["k"], "\x00"), 1
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # collapse hash-aggregate's empty schema-less blocks before the
+        # self-join; materialized so both join sides share one execution
+        .repartition(8)
+        .materialize()
+    )
+
+    joined = dp.join(
+        dp.map_batches(
+            lambda t: pa.table({"fp": t["fp"], "source_b": t["source"]}),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=8,
+        on=("fp",),
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        m = pc.less_equal(t["source"], t["source_b"])
+        t = t.filter(m)
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "pk": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        pk = pc.binary_join_element_wise(
+            t["source"], t["source_b"], "\x00"
+        )
+        g = pa.table({"pk": pk}).group_by("pk").aggregate([([], "count_all")])
+        return pa.table(
+            {"pk": g["pk"], "n": g["count_all"].cast(pa.int64())}
+        )
+
+    agg = (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("n", alias_name="n_shared"))
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        parts = pc.split_pattern(t["pk"], "\x00")
+        return pa.table(
+            {
+                "source_a": pc.list_element(parts, 0),
+                "source_b": pc.list_element(parts, 1),
+                "n_shared": t["n_shared"],
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
