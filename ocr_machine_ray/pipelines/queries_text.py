@@ -2280,3 +2280,151 @@ def q_source_overlap(sf_dir: str):
         )
 
     return agg.map_batches(decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (classic corpus-linguistics phrase mining; the phrase
+# detector behind word2vec-style "new_york" merging): pointwise mutual
+# information over the corpus bigram distribution with slot marginals,
+# pmi(a,b) = log2(c(ab) * N / (c(a·) * c(·b))), reported as fixed-point
+# integer milli-bits (same contract as lm_score) and top-K'd with a fully
+# deterministic (pmi desc, w1, w2) order. Reuses the lm_score bigram
+# stream: global counts via one shuffle, marginals as two derived
+# model-sized tables joined back (materialized between — the ray 2.49
+# two-joins-per-plan trap), a scalar N, then a tiny sort+limit.
+# ---------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+
+_PMI_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+pos AS (
+  SELECT w[CAST(i AS BIGINT)] AS w1, w[CAST(i + 1 AS BIGINT)] AS w2
+  FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+),
+cb AS (SELECT w1, w2, count(*) AS cab FROM pos GROUP BY w1, w2),
+cu AS (SELECT w1, sum(cab) AS ca FROM cb GROUP BY w1),
+cv AS (SELECT w2, sum(cab) AS cbm FROM cb GROUP BY w2),
+n AS (SELECT sum(cab) AS n FROM cb),
+pmi AS (
+  SELECT cb.w1, cb.w2, cb.cab,
+         CAST(floor(log2((cb.cab * 1.0 * n.n) / (cu.ca * 1.0 * cv.cbm))
+                    * 1000 + 0.5) AS BIGINT) AS pmi_milli
+  FROM cb JOIN cu USING (w1) JOIN cv USING (w2) CROSS JOIN n
+  WHERE cb.cab >= {mc}
+)
+SELECT w1, w2, CAST(cab AS BIGINT) AS cab, pmi_milli
+FROM pmi ORDER BY pmi_milli DESC, w1, w2 LIMIT {k}
+""".format(mc=_PMI_MIN_COUNT, k=_PMI_TOP_K)
+
+
+@query("pmi_collocations", _PMI_SQL)
+def q_pmi_collocations(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .extraction import parquet_num_rows, read_documents
+
+    empty = pa.table(
+        {
+            "w1": pa.array([], type=pa.string()),
+            "w2": pa.array([], type=pa.string()),
+            "cab": pa.array([], type=pa.int64()),
+            "pmi_milli": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return empty
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    db = docs.map_batches(
+        _doc_bigrams, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cbt = (
+        db.map_batches(
+            lambda t: pa.table({"big": t["big"], "cnt": t["cnt"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("big")
+        .aggregate(Sum("cnt", alias_name="cab"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "big": t["big"],
+                    "w1": pc.list_element(
+                        pc.split_pattern(t["big"], "\x00"), 0
+                    ),
+                    "w2": pc.list_element(
+                        pc.split_pattern(t["big"], "\x00"), 1
+                    ),
+                    "cab": t["cab"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(4)
+        .materialize()
+    )
+    if cbt.count() == 0:
+        return empty
+    n_total = int(cbt.aggregate(Sum("cab", alias_name="s"))["s"])
+
+    # marginals and the min-count pre-filter all derive lazily from the
+    # one materialized count table; each join still runs in its own plan
+    # (materialized between) for the ray 2.49 two-joins-per-plan trap
+    # repartition collapses the hash-aggregate's empty schema-less blocks
+    # before each table becomes a join side (FieldRef trap)
+    cu = (
+        cbt.groupby("w1")
+        .aggregate(Sum("cab", alias_name="ca"))
+        .repartition(4)
+    )
+    cv = (
+        cbt.groupby("w2")
+        .aggregate(Sum("cab", alias_name="cbm"))
+        .repartition(4)
+    )
+
+    # pre-filter on min count BEFORE joining marginals: the joined table
+    # shrinks from |bigram vocab| to |candidate collocations|
+    cand = (
+        cbt.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["cab"], _PMI_MIN_COUNT)),
+            batch_format="pyarrow",
+        )
+        .repartition(4)
+        .materialize()
+    )
+    if cand.count() == 0:  # no bigram reaches the support floor
+        return empty
+    j1 = (
+        cand.join(cu, join_type="inner", num_partitions=4, on=("w1",))
+        .repartition(4)
+        .materialize()
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        cab = t["cab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = t["ca"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cbm = t["cbm"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.floor(
+            np.log2((cab * float(n_total)) / (ca * cbm)) * 1000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "w1": t["w1"],
+                "w2": t["w2"],
+                "cab": t["cab"].cast(pa.int64()),
+                "pmi_milli": pa.array(pmi),
+            }
+        )
+
+    return (
+        j1.join(cv, join_type="inner", num_partitions=4, on=("w2",))
+        .map_batches(score, batch_format="pyarrow")
+        .sort(["pmi_milli", "w1", "w2"], descending=[True, False, False])
+        .limit(_PMI_TOP_K)
+    )
