@@ -2428,3 +2428,155 @@ def q_pmi_collocations(sf_dir: str):
         .sort(["pmi_milli", "w1", "w2"], descending=[True, False, False])
         .limit(_PMI_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC for corpus refreshes): classify every doc as added /
+# removed / changed / same between two deterministic corpus views (old =
+# doc_id%10 < 8, new = doc_id%10 >= 2, with text revised in the new
+# snapshot for doc_id%10 == 5) by comparing content fingerprints through
+# ONE full-outer hash join on doc_id. The incremental-ingestion audit
+# every recurring crawl pipeline runs; at 10^12 docs the join is the only
+# all-to-all and both inputs are (id, fp) projections, never the text.
+# ---------------------------------------------------------------------------
+_SNAP_SQL = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+  WHERE text IS NOT NULL AND doc_id % 10 < 8
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 10 = 5 THEN text || ' v2' ELSE text END)
+             AS fp
+  FROM documents WHERE text IS NOT NULL AND doc_id % 10 >= 2
+)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN old.fp = new.fp THEN 'same'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
+
+@query("snapshot_diff", _SNAP_SQL)
+def q_snapshot_diff(sf_dir: str):
+    import hashlib
+
+    from .extraction import parquet_num_rows, read_documents
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "status": pa.array([], type=pa.string()),
+        }
+    )
+    n_docs = parquet_num_rows(sf_dir, "documents")
+    if n_docs == 0:
+        return empty
+
+    def snap(batch: pa.Table, which: str) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if which == "old":
+            m = ids % 10 < 8
+        else:
+            m = ids % 10 >= 2
+        batch = batch.filter(pa.array(m))
+        ids = ids[m]
+        texts = batch["text"].to_pylist()
+        if which == "new":
+            texts = [
+                t + " v2" if i % 10 == 5 else t
+                for i, t in zip(ids, texts)
+            ]
+        fps = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "fp": pa.array(fps, type=pa.string()),
+            }
+        )
+
+    def snap_new(b: pa.Table) -> pa.Table:
+        t = snap(b, "new")
+        return pa.table({"doc_id_n": t["doc_id"], "fp_n": t["fp"]})
+
+    if n_docs < 32:
+        # degenerate-corpus fast path: a snapshot side that comes out
+        # fully empty reaches ray's full_outer hash shuffle as
+        # schema-less blocks and the acero join loses its key column
+        # (1-row sweep). Tiny corpora diff on the driver instead; at
+        # real scale neither side is ever empty.
+        import pyarrow.parquet as pq_mod
+
+        tbl = pq_mod.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        o = snap(tbl, "old").to_pandas().set_index("doc_id")["fp"]
+        n = snap(tbl, "new").to_pandas().set_index("doc_id")["fp"]
+        ids = sorted(set(o.index) | set(n.index))
+        status = [
+            "added" if i not in o.index
+            else "removed" if i not in n.index
+            else "same" if o[i] == n[i]
+            else "changed"
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "status": pa.array(status, type=pa.string()),
+            }
+        )
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    old = docs.map_batches(
+        lambda b: snap(b, "old"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    new = docs.map_batches(
+        snap_new, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    joined = old.join(
+        new,
+        join_type="full_outer",
+        num_partitions=8,
+        on=("doc_id",),
+        right_on=("doc_id_n",),
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        # ray's full_outer join coalesces the key: doc_id is never null;
+        # side presence is carried by each side's fingerprint nullity.
+        # A fully-empty side can drop its column from the joined schema
+        # (observed on 1-row corpora) — treat a missing column as absent.
+        nulls = pa.nulls(len(t), type=pa.string())
+        fp_col = t["fp"] if "fp" in t.column_names else nulls
+        fpn_col = t["fp_n"] if "fp_n" in t.column_names else nulls
+        has_old = pc.is_valid(fp_col).to_numpy(zero_copy_only=False)
+        has_new = pc.is_valid(fpn_col).to_numpy(zero_copy_only=False)
+        fp_o = fp_col.to_numpy(zero_copy_only=False)
+        fp_n = fpn_col.to_numpy(zero_copy_only=False)
+        status = np.where(
+            ~has_old,
+            "added",
+            np.where(
+                ~has_new,
+                "removed",
+                np.where(fp_o == fp_n, "same", "changed"),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "status": pa.array(status.astype(object), type=pa.string()),
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")
