@@ -1,0 +1,282 @@
+"""Event-log analytics: ordered funnels, cohort retention, per-key rolling
+windows — the window-function family a training-data/telemetry pipeline
+runs over its ingestion event stream (reference analog: the run-report
+aggregations of SURVEY.md §2.5 A5/A6 generalized to ordered per-key
+analytics; the reference's pipeline_metrics.py only ever needed unordered
+counters because its engine could not express per-key ordering).
+
+Scale notes common to the family:
+- Events are consumed once with column pruning; every per-user computation
+  rides ONE hash shuffle on user_id (``groupby(user_id).map_groups``), the
+  same partitioning key reused across this family. Group size is bounded by
+  per-user activity, never by corpus size.
+- map_groups emits one tiny block per group; any stage feeding a later
+  all-to-all repartitions first (tiny-block shuffle tax, BASELINE.md).
+- Aggregate keys are packed into a single int64 (multi-key groupby is
+  pathologically slow on many small blocks in ray 2.49 — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..registry import query
+from .extraction import parquet_num_rows
+
+
+def _read(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _cents(arr: np.ndarray) -> np.ndarray:
+    scaled = np.asarray(arr, dtype=np.float64) * 100.0
+    return np.where(
+        scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+    ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase with strict min-ts-after
+# semantics (stage k+1 counts only events strictly after the user's
+# earliest stage-k completion). The event stream is filtered to the three
+# funnel types AT THE SCAN, so the one user_id shuffle moves only funnel
+# events; per-user stage resolution is a vectorized three-min scan.
+# ---------------------------------------------------------------------------
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+       CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
+"""
+
+
+@query("funnel_counts", _FUNNEL_SQL)
+def q_funnel_counts(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def keep_funnel(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch["event_type"], value_set=pa.array(_FUNNEL_STAGES)
+        )
+        return batch.filter(mask)
+
+    def user_stage(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy()
+        et = g["event_type"].to_numpy()
+        stage = 0
+        t = None
+        for name in _FUNNEL_STAGES:
+            m = et == name if t is None else (et == name) & (ts > t)
+            if not m.any():
+                break
+            t = ts[m].min()
+            stage += 1
+        return pd.DataFrame({"stage_reached": [np.int64(stage)]})
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        reached = batch["stage_reached"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "stage": pa.array([1, 2, 3], type=pa.int64()),
+                "n": pa.array(
+                    [int((reached >= s).sum()) for s in (1, 2, 3)],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    counts: dict[int, int] = {1: 0, 2: 0, 3: 0}
+    if parquet_num_rows(sf_dir, "events") > 0:
+        per_user = (
+            _read(sf_dir, ["user_id", "ts", "event_type"])
+            .map_batches(
+                keep_funnel, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("user_id")
+            .map_groups(user_stage, batch_format="pandas")
+        )
+        partials = per_user.map_batches(partial_counts, batch_format="pyarrow")
+        # final reduce output is <= 3 rows; merging it on the driver is
+        # output-sized, not input-sized (empty-after-filter streams come
+        # back schema-less in ray 2.49 — the dict fill handles that too)
+        agg = partials.groupby("stage").aggregate(Sum("n", alias_name="n"))
+        for row in agg.take_all():
+            counts[int(row["stage"])] = int(row["n"])
+    return pa.table(
+        {
+            "stage": pa.array([1, 2, 3], type=pa.int64()),
+            "event_type": pa.array(list(_FUNNEL_STAGES), type=pa.string()),
+            "n_users": pa.array(
+                [counts[1], counts[2], counts[3]], type=pa.int64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users bucketed by first-active week (epoch-day/7 from
+# the corpus anchor — closed-form on both sides, no date_trunc semantics to
+# mirror); n distinct users active per (cohort_week, week_index).
+# Batch-local (user, week) pre-distinct shrinks the stream before the ONE
+# user_id shuffle; per-user cohort/week_index resolution is group-local;
+# the final count rides a packed single-int64-key aggregate.
+# ---------------------------------------------------------------------------
+_COHORT_ANCHOR = "2024-01-01"
+_COHORT_SQL = f"""
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', TIMESTAMP '{_COHORT_ANCHOR}', ts) // 7
+              AS BIGINT) AS week
+  FROM events
+),
+first_wk AS (
+  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+)
+SELECT f.cohort_week, w.week - f.cohort_week AS week_index,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM wk w JOIN first_wk f ON w.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+_WEEK_BITS = 20  # weeks << 2^20; packed key = cohort_week << 20 | week_index
+
+
+@query("cohort_retention", _COHORT_SQL)
+def q_cohort_retention(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    anchor = np.datetime64(_COHORT_ANCHOR, "D")
+
+    empty = pa.table(
+        {
+            "cohort_week": pa.array([], type=pa.int64()),
+            "week_index": pa.array([], type=pa.int64()),
+            "n_users": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "events") == 0:
+        return empty
+
+    def user_weeks(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        days = (ts.astype("datetime64[D]") - anchor).astype(np.int64)
+        week = days // 7
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = np.unique((uid << _WEEK_BITS) | week)
+        return pa.table(
+            {
+                "user_id": pa.array(packed >> _WEEK_BITS),
+                "week": pa.array(packed & ((1 << _WEEK_BITS) - 1)),
+            }
+        )
+
+    def cohortize(g: pd.DataFrame) -> pd.DataFrame:
+        # batch-local pre-distinct leaves cross-batch repeats; the group
+        # holds every pair for this user, so a group-local unique is exact
+        weeks = np.unique(g["week"].to_numpy())
+        cohort = weeks.min()
+        return pd.DataFrame(
+            {
+                "key": (np.int64(cohort) << _WEEK_BITS)
+                | (weeks - cohort).astype(np.int64)
+            }
+        )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cohort_week": pa.array(key >> _WEEK_BITS),
+                "week_index": pa.array(key & ((1 << _WEEK_BITS) - 1)),
+                "n_users": batch["n_users"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, ["user_id", "ts"])
+        .map_batches(user_weeks, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(cohortize, batch_format="pandas")
+        .repartition(8)  # collapse one-block-per-group before the shuffle
+        .groupby("key")
+        .aggregate(Count(alias_name="n_users"))
+        .map_batches(unpack, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user rolling window (ROWS 2 PRECEDING .. CURRENT ROW over ts,
+# event_id order): integer-cent rolling sum + window row count per event.
+# The cumsum-difference trick makes the window O(group); scores stay exact
+# int64 so the value gate is order-independent.
+# ---------------------------------------------------------------------------
+_ROLL_W = 3  # current row + 2 preceding
+
+_ROLLING_SQL = f"""
+SELECT event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS roll_sum_cents,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("rolling_event_sum", _ROLLING_SQL)
+def q_rolling_event_sum(sf_dir: str):
+    empty = pa.table(
+        {
+            "event_id": pa.array([], type=pa.int64()),
+            "roll_sum_cents": pa.array([], type=pa.int64()),
+            "roll_n": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "events") == 0:
+        return empty
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = _cents(g["value"].to_numpy())
+        csum = np.cumsum(cents)
+        out = csum.copy()
+        out[_ROLL_W:] = csum[_ROLL_W:] - csum[:-_ROLL_W]
+        n = np.minimum(np.arange(1, len(g) + 1), _ROLL_W)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "roll_sum_cents": out,
+                "roll_n": n.astype(np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, ["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(roll, batch_format="pandas")
+    )

@@ -56,6 +56,7 @@ def _load() -> None:
     from .pipelines import queries_search  # noqa: F401
     from .pipelines import queries_scrub  # noqa: F401
     from .pipelines import queries_graph  # noqa: F401
+    from .pipelines import queries_events  # noqa: F401
     _LOADED = True
 
 

@@ -46,6 +46,9 @@ def test_query_survives_empty_tables(name, ray_session, empty_sf_dir):
     # empty input (SQL semantics); everything else must be empty
     if name == "train_val_test_split":
         assert df["n_docs"].tolist() == [0, 0, 0]
+    elif name == "funnel_counts":
+        # SQL emits one row per stage even over an empty log (count(*)=0)
+        assert df["n_users"].tolist() == [0, 0, 0]
     elif name in ("doc_length_stats", "doc_length_stats_sketch"):
         assert len(df) <= 1
     elif name == "lineage_records":
