@@ -463,3 +463,56 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         for t in batch[text_col].to_pylist()
     ]
     return batch.append_column("content_hash", pa.array(h, type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (unit-cost Levenshtein) verification kernel.
+# ---------------------------------------------------------------------------
+def levenshtein_many(
+    a_list: list[str], b_list: list[str]
+) -> np.ndarray:
+    """Unit-cost Levenshtein for P string pairs AT ONCE.
+
+    All pairs' DP rows advance in lockstep: each of the max(len(a)) steps
+    is a handful of numpy ops over a (P, maxB+1) matrix instead of a
+    per-pair Python DP. The in-row insertion chain (dp[j] needs dp[j-1]
+    of the SAME row) is closed without a scalar scan via the running-min
+    identity dp[j] = min(dp*[j], j + min_{k<=j}(dp*[k] - k)), one
+    ``np.minimum.accumulate`` per row.
+
+    Operates on Unicode code points (utf-32 view), matching DuckDB's
+    character-level ``levenshtein``.
+    """
+    P = len(a_list)
+    if P == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.array([len(s) for s in a_list], dtype=np.int64)
+    lb = np.array([len(s) for s in b_list], dtype=np.int64)
+    A, B = int(la.max()), int(lb.max())
+    a_pad = np.zeros((P, max(A, 1)), dtype=np.uint32)
+    b_pad = np.full((P, max(B, 1)), 0xFFFFFFFF, dtype=np.uint32)
+    for p, s in enumerate(a_list):
+        if s:
+            a_pad[p, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    for p, s in enumerate(b_list):
+        if s:
+            b_pad[p, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    cols = np.arange(B + 1, dtype=np.int64)
+    dp = np.broadcast_to(cols, (P, B + 1)).copy()
+    ans = lb.copy()  # answer for pairs with empty a
+    rng = np.arange(P)
+    for i in range(1, A + 1):
+        cost = (a_pad[:, i - 1 : i] != b_pad[:, :B]).astype(np.int64)
+        star = np.empty_like(dp)
+        star[:, 0] = dp[:, 0] + 1
+        star[:, 1:] = np.minimum(dp[:, :B] + cost, dp[:, 1:] + 1)
+        run = np.minimum.accumulate(star - cols, axis=1)
+        dp = np.minimum(star, run + cols)
+        done = la == i
+        if done.any():
+            ans[done] = dp[rng[done], lb[done]]
+    return ans

@@ -1073,3 +1073,97 @@ def q_segment_dedup(sf_dir: str):
     return out.map_batches(
         _seg_rebuild, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup (record-linkage style): block on the 8-char text
+# prefix, length-band inside the block, verify candidates with a unit-cost
+# Levenshtein over the 64-char head. Blocking + banding keep the pair set
+# linear-ish in corpus size; verification is the all-pairs-in-lockstep
+# numpy DP (functions/dedup.py:levenshtein_many). At web scale a hot
+# prefix block degrades via the same BUCKET_CAP star-pairing defense the
+# MinHash path uses; this query keeps every pair so the SQL oracle (same
+# blocking predicates, DuckDB levenshtein) is value-exact.
+# ---------------------------------------------------------------------------
+_EDIT_PREFIX = 8
+_EDIT_HEAD = 64
+_EDIT_MAX_DIST = 16
+_EDIT_LEN_BAND = 16
+
+_EDIT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {_EDIT_HEAD}) AS t64,
+         substr(text, 1, {_EDIT_PREFIX}) AS p8, length(text) AS n
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.t64, b.t64) AS BIGINT) AS dist
+FROM d a JOIN d b
+  ON a.p8 = b.p8 AND a.doc_id < b.doc_id
+ AND abs(a.n - b.n) <= {_EDIT_LEN_BAND}
+WHERE levenshtein(a.t64, b.t64) <= {_EDIT_MAX_DIST}
+"""
+
+
+@query("dedup_edit_distance", _EDIT_SQL)
+def q_dedup_edit_distance(sf_dir: str):
+    from ..functions.dedup import levenshtein_many
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "dist": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        # corpus contract: ASCII text, so codeunit slices == char slices
+        # == DuckDB substr; utf8_length is char length == len(text)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "p8": pc.utf8_slice_codeunits(text, 0, _EDIT_PREFIX),
+                "n": pc.utf8_length(text).cast(pa.int64()),
+                "t64": pc.utf8_slice_codeunits(text, 0, _EDIT_HEAD),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        n = g["n"].to_numpy()
+        heads = g["t64"].tolist()
+        ii, jj = np.triu_indices(len(g), k=1)
+        keep = np.abs(n[ii] - n[jj]) <= _EDIT_LEN_BAND
+        ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.zeros(0, dtype=np.int64),
+                    "doc_b": np.zeros(0, dtype=np.int64),
+                    "dist": np.zeros(0, dtype=np.int64),
+                }
+            )
+        d = levenshtein_many(
+            [heads[i] for i in ii], [heads[j] for j in jj]
+        )
+        m = d <= _EDIT_MAX_DIST
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ii[m]],
+                "doc_b": ids[jj[m]],
+                "dist": d[m].astype(np.int64),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p8")
+        .map_groups(pairs, batch_format="pandas")
+    )

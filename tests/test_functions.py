@@ -272,3 +272,59 @@ class TestIvfTopK:
         vs = set(zip(ivf.query_id, ivf.neighbor_id))
         # half the cells probed on a weakly-clustered space: measured 0.74
         assert len(bs & vs) / len(bs) >= 0.6
+
+
+class TestLevenshteinMany:
+    @staticmethod
+    def _ref(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[len(b)]
+
+    def test_matches_reference_on_random_pairs(self):
+        import random
+
+        from ocr_machine_ray.functions.dedup import levenshtein_many
+
+        rng = random.Random(7)
+        alphabet = "abcde "
+        pairs = [
+            (
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 20))),
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 20))),
+            )
+            for _ in range(200)
+        ]
+        pairs += [("", ""), ("", "abc"), ("abc", ""), ("same", "same")]
+        got = levenshtein_many([a for a, _ in pairs], [b for _, b in pairs])
+        want = [self._ref(a, b) for a, b in pairs]
+        assert got.tolist() == want
+
+    def test_matches_duckdb(self):
+        import random
+
+        import duckdb
+
+        from ocr_machine_ray.functions.dedup import levenshtein_many
+
+        rng = random.Random(11)
+        pairs = [
+            (
+                "".join(rng.choice("xyz12") for _ in range(rng.randint(1, 30))),
+                "".join(rng.choice("xyz12") for _ in range(rng.randint(1, 30))),
+            )
+            for _ in range(50)
+        ]
+        got = levenshtein_many([a for a, _ in pairs], [b for _, b in pairs])
+        want = [
+            duckdb.sql(f"SELECT levenshtein('{a}', '{b}')").fetchone()[0]
+            for a, b in pairs
+        ]
+        assert got.tolist() == want
