@@ -355,3 +355,95 @@ class IvfTopK:
                 "cos": pa.array(cos, type=pa.float64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: one pass of mergeable (n, sum, gram) partials, a d x d
+# driver-side eigendecomposition (d is the embedding width, never the
+# corpus), then a second streaming pass projecting every vector. The only
+# driver-materialized object is block-count x (d + d^2) floats.
+# ---------------------------------------------------------------------------
+def pca_partials_batch(batch, vec_col: str = "embedding"):
+    import pyarrow as pa
+
+    V = _as_matrix(batch[vec_col])
+    if V.size == 0:
+        return pa.table(
+            {
+                "n": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.list_(pa.float64())),
+                "g": pa.array([], type=pa.list_(pa.float64())),
+            }
+        )
+    V = V.astype(np.float64)
+    return pa.table(
+        {
+            "n": pa.array([len(V)], type=pa.int64()),
+            "s": pa.array([V.sum(axis=0).tolist()],
+                          type=pa.list_(pa.float64())),
+            "g": pa.array([(V.T @ V).ravel().tolist()],
+                          type=pa.list_(pa.float64())),
+        }
+    )
+
+
+def pca_fit(ds, n_components: int, vec_col: str = "embedding"):
+    """Fit PCA over a Dataset of vectors.
+
+    Returns (mean, components[k, d], explained_var[k]). Component signs are
+    fixed deterministically (largest-|coefficient| entry positive); the
+    driver-side partial reduce sums in a content-sorted order so the
+    covariance matrix is bit-stable regardless of block arrival order.
+    """
+    rows = ds.map_batches(
+        lambda b: pca_partials_batch(b, vec_col), batch_format="pyarrow"
+    ).take_all()
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    parts = sorted(
+        ((int(r["n"]), np.asarray(r["s"]), np.asarray(r["g"])) for r in rows),
+        key=lambda t: (t[0], t[1].tobytes()),
+    )
+    n = sum(p[0] for p in parts)
+    d = parts[0][1].shape[0]
+    s = np.zeros(d)
+    g = np.zeros(d * d)
+    for pn, ps, pg in parts:
+        s += ps
+        g += pg
+    mu = s / n
+    G = g.reshape(d, d)
+    denom = max(n - 1, 1)
+    cov = (G - n * np.outer(mu, mu)) / denom
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T  # (k, d)
+    var = w[order]
+    for i in range(comps.shape[0]):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mu, comps, var
+
+
+def pca_project_batch(batch, mean, comps, vec_col: str = "embedding"):
+    import pyarrow as pa
+
+    V = _as_matrix(batch[vec_col])
+    if V.size == 0:
+        k = comps.shape[0]
+        return pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "proj": pa.array([], type=pa.list_(pa.float64(), k)),
+            }
+        )
+    P = (V.astype(np.float64) - mean) @ comps.T
+    return pa.table(
+        {
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "proj": pa.FixedSizeListArray.from_arrays(
+                pa.array(P.ravel(), type=pa.float64()), P.shape[1]
+            ),
+        }
+    )

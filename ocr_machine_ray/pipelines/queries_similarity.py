@@ -516,3 +516,42 @@ def q_label_centroids(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+PCA_K = 8
+
+
+@query("pca_project")
+def q_pca_project(sf_dir: str):
+    """Distributed PCA to PCA_K dims (rows-only: eigendecomposition is not
+    SQL-expressible; exactness vs a direct numpy PCA and orthonormality /
+    variance-ordering invariants are pinned in tests/test_search.py).
+
+    Pass 1 reduces mergeable (n, sum, gram) partials — driver work is
+    O(blocks * d^2) floats and one d x d eigh, independent of corpus size.
+    Pass 2 streams the projection with the (d x k) basis closed over (sent
+    once per task, small)."""
+    import ray.data
+
+    from ..functions.similarity import pca_fit, pca_project_batch
+    from .extraction import parquet_num_rows
+
+    import pyarrow as pa
+
+    if parquet_num_rows(sf_dir, "embeddings") == 0:
+        return pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "proj": pa.array([], type=pa.list_(pa.float64(), PCA_K)),
+            }
+        )
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    k = min(PCA_K, EMB_DIM, parquet_num_rows(sf_dir, "embeddings"))
+    mean, comps, _var = pca_fit(emb, k)
+    return emb.map_batches(
+        lambda b: pca_project_batch(b, mean, comps),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -79,3 +79,65 @@ class TestBm25TopK:
         out = qs.q_bm25_topk(d)
         df = out.to_pandas() if hasattr(out, "to_pandas") else out
         assert len(df) == 0
+
+
+class TestPca:
+    @staticmethod
+    def _write_emb(tmp_path, V, dim):
+        import numpy as np
+
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(len(V)), type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.asarray(V, dtype=np.float32).ravel()), dim
+                ).cast(pa.list_(pa.float32())),
+                "label": pa.array([0] * len(V), type=pa.int32()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        return str(tmp_path)
+
+    def test_matches_direct_numpy_pca(self, ray_session, tmp_path):
+        import numpy as np
+        import ray.data
+
+        from ocr_machine_ray.functions.similarity import pca_fit
+
+        rng = np.random.default_rng(3)
+        # anisotropic cloud so the spectrum is well separated
+        base = rng.normal(size=(200, 6)) * np.array([5, 3, 2, 1, 0.5, 0.1])
+        V = base @ rng.normal(size=(6, 6))
+        d = self._write_emb(tmp_path, V, 6)
+        ds = ray.data.read_parquet(f"{d}/embeddings.parquet")
+        mean, comps, var = pca_fit(ds, 3)
+
+        Vf = V.astype(np.float32).astype(np.float64)  # storage roundtrip
+        assert np.allclose(mean, Vf.mean(axis=0), atol=1e-9)
+        cov = np.cov(Vf, rowvar=False)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:3]
+        want = v[:, order].T
+        for i in range(3):
+            j = int(np.abs(want[i]).argmax())
+            if want[i, j] < 0:
+                want[i] = -want[i]
+        assert np.allclose(comps, want, atol=1e-7)
+        assert np.allclose(var, w[order], atol=1e-7)
+        # invariants: orthonormal basis, descending explained variance
+        assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+        assert (np.diff(var) <= 1e-12).all()
+
+    def test_projection_shape_and_centering(self, ray_session, tmp_path):
+        import numpy as np
+
+        from ocr_machine_ray.pipelines.queries_similarity import q_pca_project
+
+        rng = np.random.default_rng(4)
+        V = rng.normal(size=(64, 64))
+        d = self._write_emb(tmp_path, V, 64)
+        out = q_pca_project(d).to_pandas().sort_values("vec_id")
+        P = np.stack(out["proj"].to_numpy())
+        assert P.shape == (64, 8)
+        # projections of centered data are centered
+        assert np.allclose(P.mean(axis=0), 0, atol=1e-9)
