@@ -8,6 +8,7 @@ import pandas as pd
 from ..functions.similarity import (
     BruteForceTopK,
     _as_matrix,
+    _sq_dists,
     hyperplanes,
     merge_topk_group,
 )
@@ -554,4 +555,101 @@ def q_pca_project(sf_dir: str):
         lambda b: pca_project_batch(b, mean, comps),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.5  # synthetic embeddings are near-orthogonal (max
+# off-diagonal cosine ~0.51 at sf0.01); real deployments run 0.9+
+
+
+@query("semdedup")
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    embedding space with k-means, then prune within each cluster every
+    vector that has a cosine-similar neighbor with a smaller vec_id (the
+    deterministic keeper rule). Rows-only: the k-means partition is
+    iterative, not SQL-expressible; the pruning semantics are pinned in
+    tests/test_search.py on hand-built clusters.
+
+    Scale shape: centroid fit moves k*d floats per batch per round, the
+    single vector shuffle is groupby(cluster), and the quadratic verify is
+    cluster-local (k grows with the corpus to bound cluster size; a hot
+    cluster degrades via the BUCKET_CAP star-pairing rule of the MinHash
+    path if needed)."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..functions.similarity import _as_matrix, kmeans_fit
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "cluster": pa.array([], type=pa.int64()),
+            "removed": pa.array([], type=pa.bool_()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "embeddings") == 0:
+        return empty
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    # cluster count scales with the corpus (bounded mean cluster size);
+    # k close to n degenerates into singleton clusters and prunes nothing
+    n = parquet_num_rows(sf_dir, "embeddings")
+    k = max(1, min(SEMDEDUP_K, n // 8))
+    centroids = kmeans_fit(emb, k)
+    import ray as _ray
+
+    ref = _ray.put(centroids)
+
+    def assign_keep(batch: pa.Table) -> pa.Table:
+        # NOTE: no package imports in the body — pickle-by-value ships the
+        # code, not the module, and workers have no repo on sys.path
+        import ray
+
+        C = ray.get(ref)
+        V = _as_matrix(batch["embedding"])
+        if V.shape[0] == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                    "embedding": batch["embedding"],
+                }
+            )
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "cluster": pa.array(
+                    _sq_dists(V, C).argmin(axis=1).astype(np.int64)
+                ),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["vec_id"].to_numpy(), kind="stable")
+        ids = g["vec_id"].to_numpy()[order]
+        V = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        Vn = V / norms
+        sim = Vn @ Vn.T
+        removed = np.tril(sim >= SEMDEDUP_TAU, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": g["cluster"].to_numpy()[order],
+                "removed": removed,
+            }
+        )
+
+    return (
+        emb.map_batches(assign_keep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
     )

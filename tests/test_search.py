@@ -141,3 +141,44 @@ class TestPca:
         assert P.shape == (64, 8)
         # projections of centered data are centered
         assert np.allclose(P.mean(axis=0), 0, atol=1e-9)
+
+
+class TestSemDedup:
+    def test_pruning_semantics(self, ray_session, tmp_path):
+        import numpy as np
+
+        from ocr_machine_ray.pipelines.queries_similarity import q_semdedup
+
+        rng = np.random.default_rng(9)
+        # two far-apart blobs; inside each, exact triplicates + one loner
+        a = rng.normal(size=64)
+        b = rng.normal(size=64) + 40.0
+        V = np.stack(
+            [a, a * 1.0001, a * 0.9999, a + rng.normal(size=64) * 20,
+             b, b * 1.0002, b + rng.normal(size=64) * 20]
+        )
+        d = TestPca._write_emb(tmp_path, V, 64)
+        out = q_semdedup(d).to_pandas().sort_values("vec_id")
+        assert len(out) == 7
+        removed = dict(zip(out["vec_id"], out["removed"]))
+        # scaled copies of a keep only vec 0; scaled copy of b keeps vec 4
+        assert not removed[0] and removed[1] and removed[2]
+        assert not removed[4] and removed[5]
+        # every removed vec has a cosine witness with a smaller id
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        for vid, r in removed.items():
+            if r:
+                assert (S[vid, :vid] >= 0.5).any()
+
+    def test_determinism(self, ray_session, tmp_path):
+        import numpy as np
+
+        from ocr_machine_ray.pipelines.queries_similarity import q_semdedup
+
+        rng = np.random.default_rng(10)
+        V = rng.normal(size=(50, 16))
+        d = TestPca._write_emb(tmp_path, V, 16)
+        one = q_semdedup(d).to_pandas().sort_values("vec_id").reset_index(drop=True)
+        two = q_semdedup(d).to_pandas().sort_values("vec_id").reset_index(drop=True)
+        assert one.equals(two)
