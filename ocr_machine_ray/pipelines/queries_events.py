@@ -280,3 +280,198 @@ def q_rolling_event_sum(sf_dir: str):
         .groupby("user_id")
         .map_groups(roll, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wide pivot: per-user event-type count matrix (the reference's A4-style
+# class-balance counters widened to a feature row — SURVEY §2.5). Per-batch
+# vectorized partials, then one Sum-aggregate shuffle on user_id.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_SQL = "SELECT user_id,\n" + ",\n".join(
+    f"  CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_{t}"
+    for t in _EVENT_TYPES
+) + "\nFROM events GROUP BY user_id"
+
+
+@query("pivot_event_counts", _PIVOT_SQL)
+def q_pivot_event_counts(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {"user_id": pa.array([], type=pa.int64())}
+        | {f"n_{t}": pa.array([], type=pa.int64()) for t in _EVENT_TYPES}
+    )
+    if parquet_num_rows(sf_dir, "events") == 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        users, inv = np.unique(uid, return_inverse=True)
+        cols = {"user_id": pa.array(users)}
+        for t in _EVENT_TYPES:
+            acc = np.zeros(len(users), dtype=np.int64)
+            np.add.at(acc, inv, (et == t).astype(np.int64))
+            cols[f"n_{t}"] = pa.array(acc)
+        return pa.table(cols)
+
+    return (
+        _read(sf_dir, ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-day top event type (streaming top-k per window): count partials per
+# batch, ONE day-keyed shuffle, group-local argmax with a lexicographic
+# tie-break.
+# ---------------------------------------------------------------------------
+_DAILY_TOP_SQL = f"""
+WITH d AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '{_COHORT_ANCHOR}', ts) AS BIGINT)
+             AS day, event_type
+  FROM events
+),
+c AS (SELECT day, event_type, count(*) AS n FROM d GROUP BY 1, 2),
+r AS (
+  SELECT day, event_type, n,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY n DESC, event_type) AS rnk
+  FROM c
+)
+SELECT day, event_type, CAST(n AS BIGINT) AS n_events FROM r WHERE rnk = 1
+"""
+
+
+@query("daily_top_event", _DAILY_TOP_SQL)
+def q_daily_top_event(sf_dir: str):
+    anchor = np.datetime64(_COHORT_ANCHOR, "D")
+
+    empty = pa.table(
+        {
+            "day": pa.array([], type=pa.int64()),
+            "event_type": pa.array([], type=pa.string()),
+            "n_events": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "events") == 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        day = (ts.astype("datetime64[D]") - anchor).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "day": day,
+                "event_type": batch["event_type"].to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        g = df.groupby(["day", "event_type"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby("event_type", sort=True)["n"].sum().reset_index()
+        )
+        s = s.sort_values(
+            ["n", "event_type"], ascending=[False, True], kind="mergesort"
+        ).head(1)
+        return pd.DataFrame(
+            {
+                "day": [np.int64(g["day"].iloc[0])],
+                "event_type": s["event_type"].to_numpy(),
+                "n_events": s["n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .map_groups(top1, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed OLS via sufficient statistics: per event_type the mergeable
+# (n, Σx, Σy, Σxx, Σxy) integer sums over x = minutes since the corpus
+# anchor, y = value cents. Slope/intercept are a driver-side O(groups)
+# division; the data path is partial sums + one tiny Sum-aggregate — the
+# canonical scale shape for grouped regression.
+# ---------------------------------------------------------------------------
+_REG_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(date_diff('minute', TIMESTAMP '{_COHORT_ANCHOR}', ts)
+              AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy
+FROM e GROUP BY event_type
+"""
+
+
+@query("regression_stats", _REG_SQL)
+def q_regression_stats(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    anchor_m = np.datetime64(_COHORT_ANCHOR, "m")
+
+    empty = pa.table(
+        {"event_type": pa.array([], type=pa.string())}
+        | {
+            c: pa.array([], type=pa.int64())
+            for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_xy")
+        }
+    )
+    if parquet_num_rows(sf_dir, "events") == 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        x = (ts.astype("datetime64[m]") - anchor_m).astype(np.int64)
+        y = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        k = len(types)
+
+        def gsum(v: np.ndarray) -> np.ndarray:
+            acc = np.zeros(k, dtype=np.int64)
+            np.add.at(acc, inv, v)
+            return acc
+
+        return pa.table(
+            {
+                "event_type": pa.array(types),
+                "n": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+                "sum_x": pa.array(gsum(x)),
+                "sum_y": pa.array(gsum(y)),
+                "sum_xx": pa.array(gsum(x * x)),
+                "sum_xy": pa.array(gsum(x * y)),
+            }
+        )
+
+    return (
+        _read(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            *[
+                Sum(c, alias_name=c)
+                for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_xy")
+            ]
+        )
+    )

@@ -1124,3 +1124,121 @@ def q_latest_event_per_user(sf_dir: str):
         .map_groups(pick_latest, batch_format="pandas")
         .repartition(4)
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit semi / anti joins (the reference expresses these as python-set
+# membership inside one process — e.g. removed-Id scrub, SURVEY §2.4 J6;
+# here they're the distributed idiom: distinct build keys -> hash join /
+# left-outer + null-probe filter). Build side is the DISTINCT key set of a
+# filtered fact scan (predicate pushed into the parquet read), so the join
+# moves keys, never order rows.
+# ---------------------------------------------------------------------------
+_SEMI_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+_ANTI_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def _urgent_custkeys(sf_dir: str):
+    """Distinct custkeys holding >=1 urgent order, as a marker table."""
+    from ray.data.aggregate import Count
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") == "1-URGENT",
+    )
+    return (
+        ds.groupby("o_custkey")
+        .aggregate(Count(alias_name="mark"))
+        # hash-aggregate emits empty schema-less blocks that break the
+        # downstream join's FieldRef (BASELINE.md) — collapse first
+        .repartition(4)
+    )
+
+
+def _semi_anti_small(sf_dir: str, anti: bool) -> pa.Table:
+    """Driver-side fallback for degenerate shards: an all-empty build side
+    reaches ray's hash join as schema-less blocks (1-row sweep)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    )
+    urgent = set(
+        orders.filter(
+            pc.equal(orders["o_orderpriority"], "1-URGENT")
+        )["o_custkey"].to_pylist()
+    )
+    keys = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    member = np.array([k in urgent for k in keys], dtype=bool)
+    return cust.filter(pa.array(~member if anti else member))
+
+
+def _semi_anti(sf_dir: str, anti: bool):
+    import ray.data
+
+    from .extraction import parquet_num_rows
+
+    if parquet_num_rows(sf_dir, "customer") == 0:
+        return pa.table(
+            {
+                "c_custkey": pa.array([], type=pa.int64()),
+                "c_name": pa.array([], type=pa.string()),
+            }
+        )
+    if parquet_num_rows(sf_dir, "orders") < 32:
+        return _semi_anti_small(sf_dir, anti)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    build = _urgent_custkeys(sf_dir)
+    if not anti:
+        joined = cust.join(
+            build, join_type="inner", num_partitions=8,
+            on=("c_custkey",), right_on=("o_custkey",),
+        )
+    else:
+        joined = cust.join(
+            build, join_type="left_outer", num_partitions=8,
+            on=("c_custkey",), right_on=("o_custkey",),
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if anti:
+            if "mark" in t.column_names:
+                t = t.filter(pc.is_null(t["mark"]))
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].cast(pa.int64()),
+                "c_name": t["c_name"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+@query("semi_join_urgent", _SEMI_SQL)
+def q_semi_join_urgent(sf_dir: str):
+    return _semi_anti(sf_dir, anti=False)
+
+
+@query("anti_join_urgent", _ANTI_SQL)
+def q_anti_join_urgent(sf_dir: str):
+    return _semi_anti(sf_dir, anti=True)
