@@ -331,3 +331,51 @@ def q_video_frame_sample(sf_dir: str):
         batch_size=256,  # large binary payloads: small batches
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio features: synthetic PCM clips -> actor-pool decode/frame/energy
+# (stages/media.py:AudioFeatures). Like the video path, the synthesis rule
+# is closed-form in doc_id, so the oracle value-checks every integer
+# feature the decode loop computes from the actual BYTES; byte-level
+# slicing is pytest-checked (tests/test_media.py).
+# ---------------------------------------------------------------------------
+from ..stages.media import (  # noqa: E402
+    AUDIO_FRAME,
+    AUDIO_MOD,
+    AUDIO_RESIDUE,
+    AUDIO_SR,
+)
+
+_AUDIO_SQL = f"""
+SELECT 'a-' || CAST(doc_id AS VARCHAR) AS audio_ref, doc_id,
+       CAST({AUDIO_SR} * (1 + doc_id % 3) AS BIGINT) AS n_samples,
+       CAST({AUDIO_SR} * (1 + doc_id % 3) / {AUDIO_FRAME} AS BIGINT)
+           AS n_frames,
+       CAST({AUDIO_SR} * (1 + doc_id % 3) / (2 * {AUDIO_FRAME}) AS BIGINT)
+           AS n_active_frames,
+       CAST((32 + (doc_id % 4) * 24)
+            * ({AUDIO_SR} * (1 + doc_id % 3) / 2) AS BIGINT)
+           AS total_energy
+FROM documents
+WHERE doc_id % {AUDIO_MOD} = {AUDIO_RESIDUE} AND text IS NOT NULL
+"""
+
+
+@query("audio_features", _AUDIO_SQL)
+def q_audio_features(sf_dir: str):
+    from ..stages.media import AudioFeatures, synth_audio_batch
+    from .extraction import read_documents
+
+    clips = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        synth_audio_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return clips.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=256,  # binary payloads: bounded batches
+        concurrency=(1, 4),
+    ).map_batches(
+        lambda t: t.drop_columns([c for c in ("pcm",) if c in t.column_names]),
+        batch_format="pyarrow",
+    )

@@ -399,3 +399,85 @@ class FrameSampler:
                 ),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic "audio" (doc_id % AUDIO_MOD == AUDIO_RESIDUE gets
+# a clip): unsigned 8-bit PCM at AUDIO_SR Hz, duration 1 + doc_id % 3
+# seconds. First half is a square wave of amplitude 32 + (doc_id % 4) * 24
+# (midline 128 +- amp must stay inside uint8, so amp <= 127)
+# around the 128 midline (period 8 + doc_id % 5 samples), second half is
+# silence — so framing / energy / voice-activity outputs are closed-form
+# in doc_id and the SQL oracle can value-check the whole decode loop.
+# ---------------------------------------------------------------------------
+AUDIO_MOD = 7
+AUDIO_RESIDUE = 2
+AUDIO_SR = 1000
+AUDIO_FRAME = 250  # samples per analysis frame (durations are multiples)
+
+
+def synth_audio_clip(doc_id: int) -> bytes:
+    n = AUDIO_SR * (1 + doc_id % 3)
+    amp = 32 + (doc_id % 4) * 24
+    period = 8 + doc_id % 5
+    s = np.full(n, 128, dtype=np.int64)
+    half = n // 2
+    idx = np.arange(half)
+    sign = np.where((idx // period) % 2 == 0, 1, -1)
+    s[:half] = 128 + sign * amp
+    return s.astype(np.uint8).tobytes()
+
+
+def synth_audio_batch(batch: pa.Table) -> pa.Table:
+    """documents rows -> PCM clip rows for docs matching the rule."""
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = np.flatnonzero(doc % AUDIO_MOD == AUDIO_RESIDUE)
+    return pa.table(
+        {
+            "audio_ref": pa.array(
+                [f"a-{d}" for d in doc[sel]], type=pa.string()
+            ),
+            "doc_id": pa.array(doc[sel], type=pa.int64()),
+            "pcm": pa.array(
+                [synth_audio_clip(int(d)) for d in doc[sel]],
+                type=pa.binary(),
+            ),
+        }
+    )
+
+
+class AudioFeatures:
+    """Actor-pool audio feature extractor: decode 8-bit PCM, frame it, and
+    emit integer per-clip features (sample count, frame count, active-frame
+    count via an energy gate, total absolute energy). A real deployment
+    swaps the np.frombuffer decode for a codec; the framing / energy /
+    gating plumbing — schema, batch size, actor signature — is what this
+    stage exercises (multimodal columns are opaque binaries + metadata)."""
+
+    def __init__(self, frame: int = AUDIO_FRAME, gate: int = 0):
+        self.frame = frame
+        self.gate = gate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = {"n_samples": [], "n_frames": [], "n_active_frames": [],
+                 "total_energy": []}
+        for buf in batch["pcm"].to_pylist():
+            s = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+            n = len(s)
+            nf = n // self.frame
+            dev = np.abs(s[: nf * self.frame] - 128).reshape(nf, self.frame)
+            energy = dev.sum(axis=1)
+            feats["n_samples"].append(n)
+            feats["n_frames"].append(nf)
+            feats["n_active_frames"].append(int((energy > self.gate).sum()))
+            feats["total_energy"].append(int(energy.sum()))
+        return pa.table(
+            {
+                "audio_ref": batch["audio_ref"],
+                "doc_id": batch["doc_id"],
+                **{
+                    k: pa.array(np.array(v, dtype=np.int64))
+                    for k, v in feats.items()
+                },
+            }
+        )

@@ -272,3 +272,66 @@ class TestFrameSampler:
         out = M.synth_video_batch(batch)
         assert out["doc_id"].to_pylist() == [3, 14]
         assert out["n_frames"].to_pylist() == [2 + 3 % 5, 2 + 14 % 5]
+
+
+class TestAudio:
+    def test_clip_bytes_by_hand(self):
+        import numpy as np
+
+        from ocr_machine_ray.stages.media import (
+            AUDIO_SR,
+            synth_audio_clip,
+        )
+
+        # doc_id 2: duration 1 + 2%3 = 3s, amp 32 + 2%4*24 = 80, period 10
+        buf = synth_audio_clip(2)
+        s = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+        assert len(s) == 3 * AUDIO_SR
+        half = len(s) // 2
+        assert (s[half:] == 128).all()
+        assert set(np.unique(s[:half])) == {48, 208}
+        # first block of `period` samples is the +amp phase
+        assert (s[:10] == 208).all()
+        assert (s[10:20] == 48).all()
+
+    def test_features_match_rule(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_machine_ray.stages.media import (
+            AUDIO_FRAME,
+            AUDIO_SR,
+            AudioFeatures,
+            synth_audio_batch,
+        )
+
+        ids = [2, 9, 16, 23]  # all % 7 == 2
+        batch = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(["x"] * len(ids)),
+            }
+        )
+        clips = synth_audio_batch(batch)
+        out = AudioFeatures()(clips).to_pandas()
+        for _, r in out.iterrows():
+            d = int(r["doc_id"])
+            n = AUDIO_SR * (1 + d % 3)
+            amp = 32 + (d % 4) * 24
+            assert r["n_samples"] == n
+            assert r["n_frames"] == n // AUDIO_FRAME
+            assert r["n_active_frames"] == n // (2 * AUDIO_FRAME)
+            assert r["total_energy"] == amp * (n // 2)
+
+    def test_non_matching_docs_skipped(self):
+        import pyarrow as pa
+
+        from ocr_machine_ray.stages.media import synth_audio_batch
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 3], type=pa.int64()),
+                "text": pa.array(["x", "y", "z"]),
+            }
+        )
+        assert len(synth_audio_batch(batch)) == 0
