@@ -475,3 +475,73 @@ def q_regression_stats(sf_dir: str):
             ]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured column extraction: the events props column is JSON; pull
+# the integer field out with ONE vectorized RE2 kernel (pc.extract_regex —
+# no per-row json.loads in the hot path) and aggregate per type. The SQL
+# oracle parses it as real JSON, so the regex fast path is value-checked
+# against a true JSON decoder.
+# ---------------------------------------------------------------------------
+_PROPS_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("props_json_stats", _PROPS_SQL)
+def q_props_json_stats(sf_dir: str):
+    from ray.data.aggregate import Max, Min, Sum
+
+    empty = pa.table(
+        {"event_type": pa.array([], type=pa.string())}
+        | {c: pa.array([], type=pa.int64())
+           for c in ("n", "sum_k", "min_k", "max_k")}
+    )
+    if parquet_num_rows(sf_dir, "events") == 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["props"]))
+        m = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        types, inv = np.unique(et, return_inverse=True)
+        nt = len(types)
+        sums = np.zeros(nt, dtype=np.int64)
+        np.add.at(sums, inv, k)
+        mins = np.full(nt, np.iinfo(np.int64).max)
+        np.minimum.at(mins, inv, k)
+        maxs = np.full(nt, np.iinfo(np.int64).min)
+        np.maximum.at(maxs, inv, k)
+        return pa.table(
+            {
+                "event_type": pa.array(types),
+                "n": pa.array(np.bincount(inv, minlength=nt).astype(np.int64)),
+                "sum_k": pa.array(sums),
+                "min_k": pa.array(mins),
+                "max_k": pa.array(maxs),
+            }
+        )
+
+    return (
+        _read(sf_dir, ["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )

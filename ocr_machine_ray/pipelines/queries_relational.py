@@ -1242,3 +1242,93 @@ def q_semi_join_urgent(sf_dir: str):
 @query("anti_join_urgent", _ANTI_SQL)
 def q_anti_join_urgent(sf_dir: str):
     return _semi_anti(sf_dir, anti=True)
+
+
+# ---------------------------------------------------------------------------
+# Global ranking (zipWithIndex over a total order): TeraSort-style
+# range-partition ranking. Pass 1 counts rows per price bucket (mergeable
+# partials, driver holds only the bucket histogram); pass 2 shuffles ONCE
+# on the bucket key and each group sorts locally, adding its bucket's
+# cumulative offset. No global sort materialization, no driver-side data
+# pass. At 100 TB the static bucket width becomes sampled split points
+# (same shape as ray's own sort); ranks stay exact either way.
+# ---------------------------------------------------------------------------
+_RANK_SQL = """
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS rnk
+FROM orders
+"""
+
+_RANK_BUCKET_W = 4096.0  # ~122 buckets over the [0, 500k) price range
+
+
+@query("global_rank_orders", _RANK_SQL)
+def q_global_rank_orders(sf_dir: str):
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], type=pa.int64()),
+            "rnk": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "orders") == 0:
+        return empty
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_totalprice": batch["o_totalprice"],
+                "bucket": pa.array(
+                    np.floor(p / _RANK_BUCKET_W).astype(np.int64)
+                ),
+            }
+        )
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(vals),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice"]
+    ).map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+    # histogram pass: driver reduces blocks x buckets tiny rows
+    hist: dict[int, int] = {}
+    for row in ds.map_batches(
+        bucket_counts, batch_format="pyarrow"
+    ).take_all():
+        hist[int(row["bucket"])] = hist.get(int(row["bucket"]), 0) + int(
+            row["n"]
+        )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(hist, reverse=True):  # descending price order
+        offsets[b] = acc
+        acc += hist[b]
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"],
+            ascending=[False, True],
+            kind="mergesort",
+        )
+        base = offsets[int(g["bucket"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "rnk": base
+                + np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return ds.groupby("bucket").map_groups(rank_group, batch_format="pandas")
