@@ -65,6 +65,17 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "embedding_quantize",
     "label_centroids",
+    # round-2 closing additions (CDC / event analytics / edit-distance /
+    # PCA+SemDeDup / global rank / audio / JSON)
+    "snapshot_diff",
+    "cohort_retention",
+    "rolling_event_sum",
+    "dedup_edit_distance",
+    "pca_project",
+    "semdedup",
+    "global_rank_orders",
+    "audio_features",
+    "props_json_stats",
 ]
 
 
