@@ -5,6 +5,7 @@ scoring, token counting, fingerprinting) over the documents table.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -2580,3 +2581,185 @@ def q_snapshot_diff(sf_dir: str):
         )
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Novelty scoring (memorization-risk / boilerplate audit): per document,
+# how many of its distinct word trigrams occur in NO other document
+# (global df == 1). One doc per row keeps per-doc gram distinct batch-local;
+# the single big shuffle is the gram-frequency aggregate. The join-back is
+# avoided by the df==1 CARRIER trick: a unique gram's only doc_id IS
+# min(doc_id) in its gram group, so unique counts flow back as a tiny
+# (doc_id, n) aggregate instead of re-shipping the gram stream through a
+# second all-to-all.
+# ---------------------------------------------------------------------------
+_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'), 1) AS i
+  FROM documents
+),
+g AS (
+  SELECT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS gram
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+),
+dg AS (SELECT DISTINCT doc_id, gram FROM g),
+df AS (SELECT gram, count(*) AS df, min(doc_id) AS only_doc
+       FROM dg GROUP BY gram),
+uniq AS (SELECT only_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_unique
+         FROM df WHERE df = 1 GROUP BY only_doc),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM dg GROUP BY doc_id)
+SELECT p.doc_id, p.n_grams, CAST(coalesce(u.n_unique, 0) AS BIGINT)
+           AS n_unique
+FROM per_doc p LEFT JOIN uniq u USING (doc_id)
+"""
+
+
+@query("novelty_scores", _NOVELTY_SQL)
+def q_novelty_scores(sf_dir: str):
+    from ray.data.aggregate import Count, Min, Sum
+
+    from .extraction import parquet_num_rows, read_documents
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_grams": pa.array([], type=pa.int64()),
+            "n_unique": pa.array([], type=pa.int64()),
+        }
+    )
+    n_docs = parquet_num_rows(sf_dir, "documents")
+    if n_docs == 0:
+        return empty
+
+    def doc_grams(batch: pa.Table) -> pa.Table:
+        """Distinct (doc_id, gram) pairs — batch-local exact because each
+        document is one row and blocks split only at row boundaries."""
+        g, ridx = _grams3(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {"doc_id": ids[ridx], "gram": g.to_pandas()}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy()),
+                "gram": pa.array(df["gram"], type=pa.string()),
+            }
+        )
+
+    if n_docs < 32:
+        # degenerate shards: an empty join side reaches the hash join as
+        # schema-less blocks (1-row sweep); compute on the driver instead
+        import pyarrow.parquet as pq_mod
+
+        raw = pq_mod.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        raw = raw.filter(pc.is_valid(raw["text"]))
+        df = doc_grams(raw).to_pandas()
+        if len(df) == 0:
+            return empty
+        per_doc = df.groupby("doc_id").size()
+        dfreq = df.groupby("gram").agg(
+            df=("doc_id", "size"), only_doc=("doc_id", "min")
+        )
+        uniq = (
+            dfreq[dfreq["df"] == 1].groupby("only_doc").size()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(per_doc.index.to_numpy(), type=pa.int64()),
+                "n_grams": pa.array(
+                    per_doc.to_numpy().astype(np.int64)
+                ),
+                "n_unique": pa.array(
+                    np.array(
+                        [int(uniq.get(d, 0)) for d in per_doc.index],
+                        dtype=np.int64,
+                    )
+                ),
+            }
+        )
+
+    pairs = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_grams, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_doc_counts(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(vals),
+                "n_grams": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    per_doc = (
+        pairs.map_batches(per_doc_counts, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_grams", alias_name="n_grams"))
+        .repartition(8)
+    )
+
+    uniq = (
+        pairs.groupby("gram")
+        .aggregate(
+            Count(alias_name="df"), Min("doc_id", alias_name="only_doc")
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "udoc": t.filter(pc.equal(t["df"], 1))["only_doc"]
+                    .cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def uniq_counts(batch: pa.Table) -> pa.Table:
+        ids = batch["udoc"].to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "udoc": pa.array(vals.astype(np.int64)),
+                "n_unique": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    uniq_per_doc = (
+        uniq.map_batches(uniq_counts, batch_format="pyarrow")
+        .groupby("udoc")
+        .aggregate(Sum("n_unique", alias_name="n_unique"))
+        .repartition(4)
+    )
+
+    joined = per_doc.join(
+        uniq_per_doc,
+        join_type="left_outer",
+        num_partitions=8,
+        on=("doc_id",),
+        right_on=("udoc",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = len(t)
+        nu = (
+            t["n_unique"]
+            if "n_unique" in t.column_names
+            else pa.nulls(n, type=pa.int64())
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_grams": t["n_grams"].cast(pa.int64()),
+                "n_unique": pc.fill_null(nu, 0).cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
