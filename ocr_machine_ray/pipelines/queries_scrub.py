@@ -173,3 +173,87 @@ def q_url_domains(sf_dir: str):
     return partials.groupby("domain").map_groups(
         merge_group, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quality audit (CCNet/RefinedWeb-style domain filtering input):
+# aggregate the Gopher rule verdicts per source domain so a curation run can
+# drop or down-weight whole domains. One tokenization pass per batch (the
+# shared gopher_rules_batch kernel), per-batch partial sums keyed by the
+# 5-cardinality domain, then a tiny groupby — only (domain, partials) rows
+# shuffle, never documents.
+# ---------------------------------------------------------------------------
+_DOMAIN_QUALITY_SQL = """
+WITH w AS (
+  SELECT doc_id, lang || '.example.com' AS domain,
+    string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, domain, len(ws) AS n_words,
+    (SELECT coalesce(sum(strlen(x)), 0) FROM unnest(ws) AS t(x)) AS total_len,
+    (SELECT count(*) FROM unnest(ws) AS t(x) WHERE x IN ('the','a')) AS n_stop,
+    (SELECT count(*) FROM unnest(ws) AS t(x) WHERE strlen(x) <= 3) AS n_short,
+    (SELECT coalesce(max(c), 0) FROM
+       (SELECT count(*) c FROM unnest(ws) AS t(x) GROUP BY x)) AS mode_cnt
+  FROM w
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN n_words BETWEEN 30 AND 80
+             AND 10 * total_len >= 43 * n_words
+             AND 10 * total_len <= 48 * n_words
+             AND n_stop >= 2
+             AND 100 * n_short <= 25 * n_words
+             AND 100 * mode_cnt <= 10 * n_words THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pass,
+  CAST(sum(n_words) AS BIGINT) AS total_words
+FROM s GROUP BY domain
+"""
+
+
+@query("domain_quality", _DOMAIN_QUALITY_SQL)
+def q_domain_quality(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .queries_text import gopher_rules_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = gopher_rules_batch(
+            batch.select(["doc_id", "text"])
+        )
+        domain = pc.binary_join_element_wise(
+            batch["lang"], ".example.com", ""
+        ).to_numpy(zero_copy_only=False)
+        doms, inv = np.unique(domain, return_inverse=True)
+        n = len(doms)
+        passes = flags["passes"].to_numpy(zero_copy_only=False)
+        n_words = flags["n_words"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "domain": pa.array(doms, type=pa.string()),
+                "n_docs": pa.array(
+                    np.bincount(inv, minlength=n).astype(np.int64)
+                ),
+                "n_pass": pa.array(
+                    np.bincount(
+                        inv, weights=passes, minlength=n
+                    ).astype(np.int64)
+                ),
+                "total_words": pa.array(
+                    np.bincount(
+                        inv, weights=n_words, minlength=n
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("domain")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_pass", alias_name="n_pass"),
+            Sum("total_words", alias_name="total_words"),
+        )
+    )

@@ -653,3 +653,118 @@ def q_semdedup(sf_dir: str):
         .groupby("cluster")
         .map_groups(prune, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for embedding/retrieval training: for each query
+# vector, the top-k most-similar vectors with a DIFFERENT label (the
+# "hardest" negatives a contrastive trainer would sample). Same broadcast
+# shape as ann_topk — the (tiny) query matrix + labels ride one ray.put,
+# each batch does one masked matmul + partial top-k, and the final merge
+# touches only n_queries × k candidate rows per batch.
+# ---------------------------------------------------------------------------
+_HARDNEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS ql FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS c
+  FROM q CROSS JOIN embeddings e WHERE e.label <> q.ql
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {TOP_K}
+"""
+
+
+class _HardNegTopK:
+    """map_batches actor: masked cosine top-k — candidates sharing the
+    query's label (including the query itself) are excluded."""
+
+    def __init__(self, query_ref, k: int):
+        import ray
+
+        q_ids, Q, q_labels = ray.get(query_ref)
+        self.q_ids = q_ids
+        self.q_labels = q_labels
+        norms = np.linalg.norm(Q, axis=1, keepdims=True)
+        self.Qn = Q / np.where(norms == 0, 1.0, norms)
+        self.k = k
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "neighbor_id": pa.array([], type=pa.int64()),
+                "cos": pa.array([], type=pa.float64()),
+            }
+        )
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0 or len(self.q_ids) == 0:
+            return empty
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        V = _as_matrix(batch["embedding"])
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.where(norms == 0, 1.0, norms)
+        S = self.Qn @ Vn.T  # (n_queries, n_batch)
+        S[self.q_labels[:, None] == labels[None, :]] = -np.inf
+        k = min(self.k, S.shape[1])
+        part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+        qi = np.repeat(np.arange(len(self.q_ids)), k)
+        ni = part.ravel()
+        keep = np.isfinite(S[qi, ni])  # drop masked fillers
+        return pa.table(
+            {
+                "query_id": pa.array(self.q_ids[qi][keep], type=pa.int64()),
+                "neighbor_id": pa.array(ids[ni][keep], type=pa.int64()),
+                "cos": pa.array(S[qi, ni][keep], type=pa.float64()),
+            }
+        )
+
+
+@query("hard_negatives", _HARDNEG_SQL)
+def q_hard_negatives(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from .extraction import parquet_num_rows
+
+    if parquet_num_rows(sf_dir, "embeddings") == 0:
+        return _empty_topk()
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
+    t = t.filter(pc.less(t["vec_id"], N_QUERIES))
+    if len(t) == 0:
+        return _empty_topk()
+    q_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    q_labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ref = ray.put((q_ids, Q, q_labels))
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    partials = emb.map_batches(
+        _HardNegTopK,
+        fn_constructor_args=(ref, TOP_K),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 2),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
+    )

@@ -9,7 +9,9 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..corpus import FlatTokens as _GopherFlatTokens
 from ..functions.text import (
+    QUALITY_STOPWORDS as _GOPHER_STOPWORDS,
     md5_fingerprint_batch,
     quality_stats_batch,
     token_count_batch,
@@ -2763,3 +2765,111 @@ def q_novelty_scores(sf_dir: str):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule battery (Rae et al. 2021 "Scaling Language
+# Models" §A.2 repetition/quality filters, adapted to the synthetic corpus):
+# five named per-document rules evaluated in ONE vectorized tokenization
+# pass, each emitted as an explicit 0/1 flag plus the composite verdict.
+# Unlike quality_stats (raw counters) this is the *decision* operator a
+# training-data pipeline applies before mixing. All comparisons are integer
+# cross-multiplications so the DuckDB oracle hashes exactly. Embarrassingly
+# parallel: no shuffle, one map_batches over a column-pruned read.
+# ---------------------------------------------------------------------------
+_GOPHER_SQL = """
+WITH w AS (
+  SELECT doc_id,
+    string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(ws) AS n_words,
+    (SELECT coalesce(sum(strlen(x)), 0) FROM unnest(ws) AS t(x)) AS total_len,
+    (SELECT count(*) FROM unnest(ws) AS t(x) WHERE x IN ('the','a')) AS n_stop,
+    (SELECT count(*) FROM unnest(ws) AS t(x) WHERE strlen(x) <= 3) AS n_short,
+    (SELECT coalesce(max(c), 0) FROM
+       (SELECT count(*) c FROM unnest(ws) AS t(x) GROUP BY x)) AS mode_cnt
+  FROM w
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(CASE WHEN n_words BETWEEN 30 AND 80 THEN 1 ELSE 0 END AS BIGINT)
+    AS len_ok,
+  CAST(CASE WHEN 10 * total_len >= 43 * n_words
+             AND 10 * total_len <= 48 * n_words THEN 1 ELSE 0 END AS BIGINT)
+    AS mean_len_ok,
+  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS stop_ok,
+  CAST(CASE WHEN 100 * n_short <= 25 * n_words THEN 1 ELSE 0 END AS BIGINT)
+    AS short_ok,
+  CAST(CASE WHEN 100 * mode_cnt <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT)
+    AS mode_ok,
+  CAST(CASE WHEN n_words BETWEEN 30 AND 80
+             AND 10 * total_len >= 43 * n_words
+             AND 10 * total_len <= 48 * n_words
+             AND n_stop >= 2
+             AND 100 * n_short <= 25 * n_words
+             AND 100 * mode_cnt <= 10 * n_words THEN 1 ELSE 0 END AS BIGINT)
+    AS passes
+FROM s
+"""
+
+
+def gopher_rules_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc Gopher rule flags (module-level so domain_quality reuses it;
+    imports resolved at module scope — body imports break worker pickling)."""
+    ft = _GopherFlatTokens(batch)
+    n = len(batch)
+    n_words = ft.counts.astype(np.int64)
+    tok_lens = pc.utf8_length(ft.tokens_arrow).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    total_len = np.bincount(
+        ft.row_idx, weights=tok_lens, minlength=n
+    ).astype(np.int64)
+    stop_mask = np.isin(
+        ft.tokens_arrow.to_numpy(zero_copy_only=False),
+        _GOPHER_STOPWORDS,
+    )
+    n_stop = np.bincount(ft.row_idx[stop_mask], minlength=n).astype(np.int64)
+    n_short = np.bincount(
+        ft.row_idx[tok_lens <= 3], minlength=n
+    ).astype(np.int64)
+    # mode (most-frequent-token) count per doc: dictionary-encode the
+    # flat token stream, pack (row, token) into one int64 key, count,
+    # then scatter-max back to rows — no per-doc Python loop
+    enc = pc.dictionary_encode(ft.tokens_arrow)
+    tok_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = int(len(enc.dictionary)) or 1
+    key = ft.row_idx * vocab + tok_idx
+    key_vals, cnt_per_key = np.unique(key, return_counts=True)
+    key_rows = key_vals // vocab
+    mode_cnt = np.zeros(n, dtype=np.int64)
+    np.maximum.at(mode_cnt, key_rows, cnt_per_key.astype(np.int64))
+    len_ok = (n_words >= 30) & (n_words <= 80)
+    mean_ok = (10 * total_len >= 43 * n_words) & (
+        10 * total_len <= 48 * n_words
+    )
+    stop_ok = n_stop >= 2
+    short_ok = 100 * n_short <= 25 * n_words
+    mode_ok = 100 * mode_cnt <= 10 * n_words
+    passes = len_ok & mean_ok & stop_ok & short_ok & mode_ok
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words),
+            "len_ok": pa.array(len_ok.astype(np.int64)),
+            "mean_len_ok": pa.array(mean_ok.astype(np.int64)),
+            "stop_ok": pa.array(stop_ok.astype(np.int64)),
+            "short_ok": pa.array(short_ok.astype(np.int64)),
+            "mode_ok": pa.array(mode_ok.astype(np.int64)),
+            "passes": pa.array(passes.astype(np.int64)),
+        }
+    )
+
+
+@query("gopher_rules", _GOPHER_SQL)
+def q_gopher_rules(sf_dir: str):
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        gopher_rules_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1,0 +1,123 @@
+"""Gopher rule battery, domain quality rollup, hard-negative mining —
+independent (non-SQL) recomputations of the new curation operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_gopher(text: str) -> dict:
+    ws = text.strip(" \t\n\r\v\f").split()
+    # the engine splits on \s+ like the SQL oracle: '' stays a token for
+    # empty text (string_split_regex('', ...) == [''])
+    if text.strip(" \t\n\r\v\f") == "":
+        ws = [""]
+    n = len(ws)
+    total = sum(len(w) for w in ws)
+    n_stop = sum(w in ("the", "a") for w in ws)
+    n_short = sum(len(w) <= 3 for w in ws)
+    mode = max((ws.count(w) for w in set(ws)), default=0)
+    flags = {
+        "len_ok": 30 <= n <= 80,
+        "mean_len_ok": 10 * total >= 43 * n and 10 * total <= 48 * n,
+        "stop_ok": n_stop >= 2,
+        "short_ok": 100 * n_short <= 25 * n,
+        "mode_ok": 100 * mode <= 10 * n,
+    }
+    flags["passes"] = all(flags.values())
+    flags["n_words"] = n
+    return flags
+
+
+def test_gopher_rules_match_bruteforce():
+    from ocr_machine_ray.pipelines.queries_text import gopher_rules_batch
+
+    texts = [
+        "the a " + "scan row key " * 20,          # stopwords + short words
+        " ".join(["customer"] * 40),               # mode rule fails
+        "one two",                                 # too short
+        "",                                        # empty text edge
+        # engineered to pass every rule: 50 words, mean len 4.48, two
+        # stopwords, 20% short words, mode frequency 8%
+        "the a " + "customer window scan row key value part hash "
+        "merge batch line sort " * 4,
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    out = gopher_rules_batch(batch).to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        want = _brute_gopher(t)
+        for k in ("len_ok", "mean_len_ok", "stop_ok", "short_ok",
+                  "mode_ok", "passes"):
+            assert int(out.loc[i, k]) == int(want[k]), (i, k, t[:40])
+        assert int(out.loc[i, "n_words"]) == want["n_words"]
+    # the battery must discriminate on this synthetic set
+    assert 0 < out["passes"].sum() < len(texts)
+
+
+def test_domain_quality_consistent_with_gopher(ray_session):
+    from ocr_machine_ray.pipelines.queries_scrub import q_domain_quality
+    from ocr_machine_ray.pipelines.queries_text import q_gopher_rules
+    import pyarrow.parquet as pq
+
+    dq = q_domain_quality(SF).to_pandas()
+    flags = q_gopher_rules(SF).to_pandas()
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+    merged = flags.merge(docs, on="doc_id")
+    merged["domain"] = merged["lang"] + ".example.com"
+    want = merged.groupby("domain").agg(
+        n_docs=("doc_id", "size"),
+        n_pass=("passes", "sum"),
+        total_words=("n_words", "sum"),
+    )
+    got = dq.set_index("domain").sort_index()
+    assert (got["n_docs"] == want.sort_index()["n_docs"]).all()
+    assert (got["n_pass"] == want.sort_index()["n_pass"]).all()
+    assert (got["total_words"] == want.sort_index()["total_words"]).all()
+
+
+def test_hard_negatives_exclude_same_label(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_machine_ray.pipelines.queries_similarity import (
+        N_QUERIES,
+        TOP_K,
+        q_hard_negatives,
+    )
+
+    out = q_hard_negatives(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        assert labels[r["query_id"]] != labels[r["neighbor_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+    # per-query rank sequences are 1..k
+    for qid, g in out.groupby("query_id"):
+        assert sorted(g["rnk"]) == list(range(1, len(g) + 1))
+        assert len(g) <= TOP_K
+    assert out["query_id"].nunique() <= N_QUERIES
+    # brute-force recompute: the top-1 hard negative must match exact cosine
+    V = np.stack(emb["embedding"].to_numpy())
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    labs = emb["label"].to_numpy()
+    for qid in out["query_id"].unique()[:8]:
+        qi = np.where(ids == qid)[0][0]
+        sims = V[qi] @ V.T
+        mask = labs != labs[qi]
+        order = sorted(
+            zip(-sims[mask], ids[mask])
+        )
+        want_top1 = order[0][1]
+        got_top1 = out[(out["query_id"] == qid) & (out["rnk"] == 1)][
+            "neighbor_id"
+        ].iloc[0]
+        assert got_top1 == want_top1
