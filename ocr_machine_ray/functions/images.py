@@ -453,3 +453,123 @@ def decode_external(payload: bytes, codec: str, fake: bool = False) -> np.ndarra
         f"codec {codec!r}: no imaging libraries in this environment; "
         "swap in cv2/PIL decode here in production"
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (aHash) for image-level near-dup detection.
+#
+# The synthetic corpus plants duplicate groups the way a web crawl contains
+# re-hosted images: every document renders a "page thumbnail" whose block
+# structure is one of PHASH_MOTIFS shared motifs (motif = doc_id %
+# PHASH_MOTIFS), odd documents carry a 1-2 block local edit (a changed logo
+# / banner), and every render adds independent pixel noise. The aHash must
+# see through the noise (block means dominate) and the banded-hamming LSH
+# must see through the local edits (each edit dirties at most 2 of 8 bands).
+#
+# Motif band bytes are codewords of the extended Hamming [8,4,4] code, so
+# any two motifs differ by >=4 bits in EVERY band: no cross-motif bucket
+# collisions (a <=2-bit variant edit cannot reach another motif's byte) and
+# verified pairs are exactly the planted groups.
+# ---------------------------------------------------------------------------
+PHASH_MOTIFS = 16
+PHASH_BANDS = 8
+PHASH_THRESHOLD = 4          # max hamming within a planted group (2+2 edits)
+PHASH_H, PHASH_W = 64, 96    # rendered thumb; 8x8 block grid of 8x12 blocks
+_PHASH_DARK, _PHASH_LIGHT = 60, 220
+
+
+def _ext_hamming_codewords() -> np.ndarray:
+    """All 16 codewords of the extended Hamming [8,4,4] code as uint8."""
+    words = np.zeros(16, dtype=np.uint8)
+    for m in range(16):
+        d = [(m >> i) & 1 for i in range(4)]
+        p1 = d[0] ^ d[1] ^ d[3]
+        p2 = d[0] ^ d[2] ^ d[3]
+        p3 = d[1] ^ d[2] ^ d[3]
+        bits = [p1, p2, d[0], p3, d[1], d[2], d[3]]
+        bits.append(int(np.bitwise_xor.reduce(bits)))  # overall parity
+        words[m] = sum(b << i for i, b in enumerate(bits))
+    return words
+
+
+def phash_motif_table() -> np.ndarray:
+    """(PHASH_MOTIFS, 64) uint8 bit matrix of the motif block patterns.
+    Band b of motif m is codeword[m] XOR a fixed per-band mask (XOR is an
+    isometry, so the >=4-bit per-band separation is preserved)."""
+    code = _ext_hamming_codewords()
+    rng = np.random.default_rng(0x9E3779B9)
+    masks = rng.integers(0, 256, PHASH_BANDS, dtype=np.uint8)
+    bits = np.zeros((PHASH_MOTIFS, 64), dtype=np.uint8)
+    for b in range(PHASH_BANDS):
+        band_bytes = code ^ masks[b]
+        for bit in range(8):
+            bits[:, b * 8 + bit] = (band_bytes >> bit) & 1
+    return bits
+
+
+def phash_variant_bits(doc_ids: np.ndarray) -> np.ndarray:
+    """(n, 64) uint8 planted block patterns: motif of doc_id % PHASH_MOTIFS,
+    plus <=2 deterministic block edits on odd doc_ids."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    bits = phash_motif_table()[doc_ids % PHASH_MOTIFS].copy()
+    odd = (doc_ids % 2 == 1).nonzero()[0]
+    f1 = (doc_ids[odd] * 7) % 64
+    f2 = (doc_ids[odd] * 13) % 64
+    bits[odd, f1] ^= 1
+    bits[odd, f2] ^= 1  # may equal f1 (edit undone -> 1 flip); still <=2
+    return bits
+
+
+def render_thumb_stack(doc_ids: np.ndarray) -> np.ndarray:
+    """(n, PHASH_H, PHASH_W) uint8 rendered thumbnails: dark/light blocks
+    from the planted pattern plus per-render pixel noise. Noise is seeded
+    from the batch so renders are not byte-identical across runs — the hash
+    must be invariant to it, not the pixels."""
+    bits = phash_variant_bits(doc_ids)
+    n = len(bits)
+    block = np.where(bits == 1, _PHASH_DARK, _PHASH_LIGHT).astype(np.int16)
+    grid = block.reshape(n, 8, 8)
+    img = np.repeat(
+        np.repeat(grid, PHASH_H // 8, axis=1), PHASH_W // 8, axis=2
+    )
+    seed = int(doc_ids[0]) if n else 0
+    rng = np.random.default_rng(seed ^ 0xA5A5A5)
+    noise = rng.integers(-8, 9, img.shape, dtype=np.int16)
+    return (img + noise).clip(0, 255).astype(np.uint8)
+
+
+def ahash_stack(imgs: np.ndarray) -> np.ndarray:
+    """Average hash of an (n, H, W) stack: 8x8 block means thresholded at
+    each image's global mean; bit=1 for darker-than-mean. Returns (n, 64)
+    uint8 bits (bit i = block row i//8, col i%8, LSB-first within bytes to
+    match phash_variant_bits)."""
+    n, h, w = imgs.shape
+    bh, bw = h // 8, w // 8
+    means = (
+        imgs.astype(np.float64)
+        .reshape(n, 8, bh, 8, bw)
+        .mean(axis=(2, 4))
+    )  # (n, 8 rows, 8 cols)
+    global_mean = means.mean(axis=(1, 2), keepdims=True)
+    bits = (means < global_mean).astype(np.uint8)
+    return bits.reshape(n, 64)
+
+
+def pack_hash_bits(bits: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n, 64) bits -> (hash64 int64, (n, PHASH_BANDS) band bytes int64).
+    LSB-first packing within each byte, band b = bits[8b:8b+8]."""
+    weights = (1 << np.arange(8, dtype=np.int64))
+    bands = (
+        bits.reshape(-1, PHASH_BANDS, 8).astype(np.int64) * weights
+    ).sum(axis=2)
+    byte_w = (1 << (8 * np.arange(PHASH_BANDS, dtype=np.int64)))
+    h = (bands * byte_w).sum(axis=1)
+    return h, bands
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Popcount of XOR over int64 hashes (vectorized, no Python loop)."""
+    x = np.bitwise_xor(a, b).view(np.uint64)
+    return np.unpackbits(
+        x.view(np.uint8).reshape(len(x), 8), axis=1
+    ).sum(axis=1).astype(np.int64)

@@ -10,6 +10,14 @@ from __future__ import annotations
 import pyarrow.compute as pc
 
 from ..corpus import SQL_ALL_SPANS, SQL_CATEGORY, SQL_ORIENTATION
+from ..functions.images import (
+    PHASH_BANDS,
+    PHASH_THRESHOLD,
+    ahash_stack,
+    hamming64,
+    pack_hash_bits,
+    render_thumb_stack,
+)
 from ..registry import query
 from ..stages.explode import explode_spans
 from ..stages.media import (
@@ -377,5 +385,189 @@ def q_audio_features(sf_dir: str):
         concurrency=(1, 4),
     ).map_batches(
         lambda t: t.drop_columns([c for c in ("pcm",) if c in t.column_names]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup dedup: render a thumbnail per document,
+# aHash it (8x8 block means vs global mean), band the 64 bits into 8
+# 8-bit LSH keys, star-pair each band bucket against its min-doc
+# representative, verify candidates at hamming <= PHASH_THRESHOLD, and
+# resolve keepers with one min-aggregate. Linear end-to-end: a bucket of
+# n near-identical images emits n star pairs, never n^2 — the hot-bucket
+# shape VERDICT r1 flagged in the text dedups is designed out here.
+#
+# The oracle closes the loop arithmetically: planted motif groups are
+# doc_id % PHASH_MOTIFS (functions/images.py, Hamming-[8,4,4] band codes
+# guarantee recovery is exact), so keeper/cluster-size are pure SQL.
+# ---------------------------------------------------------------------------
+_PHASH_SQL = """
+SELECT doc_id,
+  CAST(min(doc_id) OVER (PARTITION BY doc_id % 16) AS BIGINT) AS keeper_doc,
+  CAST(count(*) OVER (PARTITION BY doc_id % 16) AS BIGINT) AS cluster_size
+FROM documents
+"""
+
+
+def _phash_band_rows(batch):
+    """doc batch -> 8 band rows per doc: (doc_id, band_key, hash64).
+    Rendering + hashing is one vectorized pass over the whole stack."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "band_key": pa.array([], type=pa.int64()),
+                "hash64": pa.array([], type=pa.int64()),
+            }
+        )
+    h, bands = pack_hash_bits(ahash_stack(render_thumb_stack(ids)))
+    n = len(ids)
+    band_idx = np.tile(np.arange(PHASH_BANDS, dtype=np.int64), n)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(ids, PHASH_BANDS)),
+            "band_key": pa.array(band_idx * 256 + bands.ravel()),
+            "hash64": pa.array(np.repeat(h, PHASH_BANDS)),
+        }
+    )
+
+
+def _phash_star_pairs(g):
+    """One band bucket -> star pairs against the bucket-min doc, verified at
+    hamming <= PHASH_THRESHOLD. O(bucket) rows out, never O(bucket^2)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (driver fallback path groups in pandas)
+    import pyarrow as pa
+
+    ids = g["doc_id"].to_numpy().astype(np.int64)
+    hs = g["hash64"].to_numpy().astype(np.int64)
+    i_min = int(np.argmin(ids))
+    d = hamming64(hs, np.full(len(hs), hs[i_min], dtype=np.int64))
+    keep = (d <= PHASH_THRESHOLD) & (ids != ids[i_min])
+    # arrow out so the downstream union with the arrow self-rows stream
+    # stays one block type
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "cand": pa.array(
+                np.full(int(keep.sum()), ids[i_min]), type=pa.int64()
+            ),
+        }
+    )
+
+
+@query("image_phash_dedup", _PHASH_SQL)
+def q_image_phash_dedup(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Min, Sum
+
+    from .extraction import parquet_num_rows, read_documents
+
+    n_docs = parquet_num_rows(sf_dir, "documents")
+    if n_docs < 32:
+        # degenerate shards: empty hash-join sides reach Ray's joiner as
+        # schema-less blocks; run the identical algorithm on the driver
+        import pyarrow.parquet as pq_mod
+
+        ids_tbl = pq_mod.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )
+        rows = _phash_band_rows(ids_tbl).to_pandas()
+        parts = [
+            _phash_star_pairs(g).to_pandas()
+            for _, g in rows.groupby("band_key")
+        ]
+        pairs = (
+            pd.concat(parts)
+            if parts
+            else pd.DataFrame({"doc_id": [], "cand": []})
+        )
+        ids = ids_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        selfs = pd.DataFrame({"doc_id": ids, "cand": ids})
+        keeper = (
+            pd.concat([pairs, selfs])
+            .groupby("doc_id")["cand"]
+            .min()
+            .rename("keeper_doc")
+            .reset_index()
+        )
+        sizes = keeper.groupby("keeper_doc").size().rename("cluster_size")
+        out = keeper.join(sizes, on="keeper_doc")
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+                "keeper_doc": pa.array(
+                    out["keeper_doc"].to_numpy(), pa.int64()
+                ),
+                "cluster_size": pa.array(
+                    out["cluster_size"].to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    docs = read_documents(sf_dir, ["doc_id"])
+    band_rows = docs.map_batches(
+        _phash_band_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = (
+        band_rows.groupby("band_key")
+        .map_groups(_phash_star_pairs, batch_format="pandas")
+        .repartition(8)  # collapse per-bucket tiny blocks pre-shuffle
+    )
+
+    def self_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids), "cand": pa.array(ids)})
+
+    selfs = docs.map_batches(
+        self_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    keeper = (
+        pairs.union(selfs)
+        .groupby("doc_id")
+        .aggregate(Min("cand", alias_name="keeper_doc"))
+        .repartition(8)
+    )
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        k = batch["keeper_doc"].to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    sizes = (
+        keeper.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="cluster_size"))
+        .repartition(4)
+    )
+    joined = keeper.join(
+        sizes,
+        join_type="inner",
+        num_partitions=8,
+        on=("keeper_doc",),
+        right_on=("k",),
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "keeper_doc": t["keeper_doc"].cast(pa.int64()),
+                "cluster_size": t["cluster_size"].cast(pa.int64()),
+            }
+        ),
         batch_format="pyarrow",
     )
