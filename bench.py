@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "global_rank_orders",
     "audio_features",
     "props_json_stats",
+    # round-2 continuation (curation + image dedup + hard negatives)
+    "gopher_rules",
+    "domain_quality",
+    "hard_negatives",
+    "image_phash_dedup",
 ]
 
 

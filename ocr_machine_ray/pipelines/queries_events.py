@@ -545,3 +545,78 @@ def q_props_json_stats(sf_dir: str):
             Max("max_k", alias_name="max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension-history build: collapse each user's event stream into
+# validity intervals of their "current state" (the event_type), the
+# slowly-changing-dimension type-2 table a warehouse load would maintain.
+# Consecutive same-state events merge into one interval; the open interval
+# carries a NULL valid_to. One shuffle on user_id, per-group vectorized
+# diff — the same sorted-group shape as rolling_event_sum, so the skew
+# levers (salting, byte repartition) apply unchanged at scale.
+# ---------------------------------------------------------------------------
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         lag(event_type) OVER w AS prev_state
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+starts AS (
+  SELECT user_id, state, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_state IS NULL OR prev_state <> state
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id) AS valid_to
+FROM starts
+"""
+
+
+@query("scd2_history", _SCD2_SQL)
+def q_scd2_history(sf_dir: str):
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "state": pa.array([], type=pa.string()),
+            "valid_from": pa.array([], type=pa.timestamp("us")),
+            "valid_to": pa.array([], type=pa.timestamp("us")),
+        }
+    )
+    if parquet_num_rows(sf_dir, "events") == 0:
+        return empty
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        state = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy()
+        change = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            change[1:] = state[1:] != state[:-1]
+        starts = np.nonzero(change)[0]
+        vfrom = ts[starts]
+        vto = np.empty(len(starts), dtype=ts.dtype)
+        if len(starts) > 1:
+            vto[:-1] = vfrom[1:]
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(
+                    len(starts), int(g["user_id"].iloc[0]), dtype=np.int64
+                ),
+                "state": state[starts],
+                "valid_from": vfrom,
+                "valid_to": vto,
+            }
+        )
+        # open interval: NaT valid_to on the last row
+        if len(out):
+            out.iloc[-1, out.columns.get_loc("valid_to")] = pd.NaT
+        return out
+
+    return (
+        _read(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(intervals, batch_format="pandas")
+    )

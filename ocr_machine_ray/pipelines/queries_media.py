@@ -571,3 +571,36 @@ def q_image_phash_dedup(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Shot-boundary detection over multi-scene videos: the detector reads raw
+# frame bytes (mean-luma deltas, actor pool); the planted scene cuts are
+# closed-form in doc_id so every output column is oracle-exact.
+# ---------------------------------------------------------------------------
+_SHOT_SQL = f"""
+SELECT 'sv-' || CAST(doc_id AS VARCHAR) AS video_ref,
+       doc_id,
+       CAST(8 + doc_id % 5 AS BIGINT) AS n_frames,
+       CAST(2 AS BIGINT) AS n_cuts,
+       CAST(2 + doc_id % 3 AS BIGINT) AS cut1,
+       CAST(5 + doc_id % 2 AS BIGINT) AS cut2
+FROM documents
+WHERE doc_id % {VIDEO_MOD} = {VIDEO_RESIDUE} AND text IS NOT NULL
+"""
+
+
+@query("video_shot_detect", _SHOT_SQL)
+def q_video_shot_detect(sf_dir: str):
+    from ..stages.media import ShotBoundaryDetector, synth_scene_video_batch
+    from .extraction import read_documents
+
+    videos = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        synth_scene_video_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return videos.map_batches(
+        ShotBoundaryDetector,
+        batch_format="pyarrow",
+        batch_size=256,  # large binary payloads: small batches
+        concurrency=(1, 4),
+    )

@@ -481,3 +481,91 @@ class AudioFeatures:
                 },
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Shot-boundary detection: multi-scene synthetic videos (each scene a
+# distinct base brightness + per-frame noise) and a detector that computes
+# mean-abs-luma deltas between consecutive frames from the RAW BYTES and
+# thresholds them. Scene cut positions are closed-form in doc_id, so the
+# oracle value-checks the detector's output; the noise forces the detector
+# to actually read the payload (a copied rule would not survive the
+# byte-level pytest).
+# ---------------------------------------------------------------------------
+SCENE_BASE = (80, 150, 220)     # per-scene base luma, >2x the cut threshold
+SCENE_CUT_THRESHOLD = 20        # mean-luma delta that counts as a cut
+
+
+def scene_layout(doc_id: int) -> tuple[int, list[int]]:
+    """(n_frames, cut positions) for a doc's synthetic video: 8-12 frames,
+    first cut at 2 + doc_id % 3, second at 5 + doc_id % 2 (always after the
+    first). Closed-form — mirrored by the SQL oracle."""
+    n_frames = 8 + doc_id % 5
+    return n_frames, [2 + doc_id % 3, 5 + doc_id % 2]
+
+
+def synth_scene_video_batch(batch: pa.Table) -> pa.Table:
+    """documents rows -> multi-scene video payloads for the video-rule docs."""
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = np.flatnonzero(doc % VIDEO_MOD == VIDEO_RESIDUE)
+    refs, payloads, n_frames_out = [], [], []
+    for d in doc[sel]:
+        n_frames, cuts = scene_layout(int(d))
+        scene_of_frame = np.zeros(n_frames, dtype=np.int64)
+        for c in cuts:
+            scene_of_frame[c:] += 1
+        rng = np.random.default_rng(int(d) ^ 0x5CE11E)
+        frames = []
+        for i in range(n_frames):
+            base = SCENE_BASE[int(scene_of_frame[i])]
+            img = np.full((MEDIA_H, MEDIA_W), base, dtype=np.int16)
+            img += rng.integers(-6, 7, img.shape, dtype=np.int16)
+            frames.append(img.clip(0, 255).astype(np.uint8))
+        refs.append(f"sv-{d}")
+        payloads.append(b"".join(f.tobytes() for f in frames))
+        n_frames_out.append(n_frames)
+    return pa.table(
+        {
+            "video_ref": pa.array(refs, type=pa.string()),
+            "doc_id": pa.array(doc[sel], type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "n_frames": pa.array(np.array(n_frames_out, dtype=np.int64)),
+        }
+    )
+
+
+class ShotBoundaryDetector:
+    """Actor-pool shot detector: per video, frame mean lumas from the raw
+    payload (one vectorized reshape+mean, no Python per-pixel work), then
+    |delta| > threshold marks a cut. Emits cut count and the first two cut
+    positions (-1 when absent) — fixed-width columns, no list types."""
+
+    def __init__(self, frame_bytes: int = FRAME_BYTES,
+                 threshold: int = SCENE_CUT_THRESHOLD):
+        self.frame_bytes = frame_bytes
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        nf = batch["n_frames"].to_numpy(zero_copy_only=False)
+        n_cuts, cut1, cut2 = [], [], []
+        for buf, n in zip(payloads, nf):
+            frames = np.frombuffer(buf, dtype=np.uint8).reshape(
+                int(n), self.frame_bytes
+            )
+            means = frames.mean(axis=1)
+            deltas = np.abs(np.diff(means))
+            cuts = np.flatnonzero(deltas > self.threshold) + 1
+            n_cuts.append(len(cuts))
+            cut1.append(int(cuts[0]) if len(cuts) > 0 else -1)
+            cut2.append(int(cuts[1]) if len(cuts) > 1 else -1)
+        return pa.table(
+            {
+                "video_ref": batch["video_ref"],
+                "doc_id": batch["doc_id"],
+                "n_frames": batch["n_frames"],
+                "n_cuts": pa.array(np.array(n_cuts, dtype=np.int64)),
+                "cut1": pa.array(np.array(cut1, dtype=np.int64)),
+                "cut2": pa.array(np.array(cut2, dtype=np.int64)),
+            }
+        )

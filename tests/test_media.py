@@ -335,3 +335,69 @@ class TestAudio:
             }
         )
         assert len(synth_audio_batch(batch)) == 0
+
+
+class TestShotBoundary:
+    def test_detector_reads_bytes(self):
+        """Cuts are recovered from the payload, not the metadata: shifting
+        the planted scene boundary in the bytes moves the detected cut."""
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_machine_ray.stages.media import (
+            FRAME_BYTES,
+            MEDIA_H,
+            MEDIA_W,
+            ShotBoundaryDetector,
+        )
+
+        def clip(levels):
+            frames = [
+                np.full((MEDIA_H, MEDIA_W), v, dtype=np.uint8).tobytes()
+                for v in levels
+            ]
+            return b"".join(frames)
+
+        batch = pa.table(
+            {
+                "video_ref": pa.array(["a", "b", "c"]),
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "payload": pa.array(
+                    [
+                        clip([80, 80, 150, 150, 150]),      # cut at 2
+                        clip([80, 80, 80, 150, 220]),       # cuts at 3, 4
+                        clip([100, 104, 99, 101, 100]),     # no cut
+                    ],
+                    type=pa.binary(),
+                ),
+                "n_frames": pa.array([5, 5, 5], type=pa.int64()),
+            }
+        )
+        out = ShotBoundaryDetector(FRAME_BYTES)(batch).to_pandas()
+        assert out["n_cuts"].tolist() == [1, 2, 0]
+        assert out["cut1"].tolist() == [2, 3, -1]
+        assert out["cut2"].tolist() == [-1, 4, -1]
+
+    def test_synth_layout_matches_rule(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_machine_ray.stages.media import (
+            ShotBoundaryDetector,
+            synth_scene_video_batch,
+            VIDEO_MOD,
+            VIDEO_RESIDUE,
+        )
+
+        ids = np.arange(0, 400, dtype=np.int64)
+        batch = pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+        vids = synth_scene_video_batch(batch)
+        assert (
+            vids["doc_id"].to_numpy(zero_copy_only=False) % VIDEO_MOD
+            == VIDEO_RESIDUE
+        ).all()
+        out = ShotBoundaryDetector()(vids).to_pandas()
+        d = out["doc_id"].to_numpy()
+        assert (out["n_cuts"] == 2).all()
+        assert (out["cut1"].to_numpy() == 2 + d % 3).all()
+        assert (out["cut2"].to_numpy() == 5 + d % 2).all()
