@@ -257,3 +257,208 @@ def q_domain_quality(sf_dir: str):
             Sum("total_words", alias_name="total_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-canonicalization dedup (crawl-side exact dedup): raw URLs arrive
+# messy (host case, trailing slash, tracking query params — planted
+# deterministically by doc_id % 4), the canonicalizer normalizes with REAL
+# string kernels (Arrow C regex/lower, not the closed form), and one
+# groupby on the canonical key resolves keeper + group size. The shuffle
+# key is the canonical URL — uniformly hash-distributed, no hot key.
+# ---------------------------------------------------------------------------
+_URL_DEDUP_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         'https://' || lang || '.example.com/' || source || '/'
+            || CAST(doc_id % 50 AS VARCHAR) AS canonical_url
+  FROM documents
+)
+SELECT doc_id, canonical_url,
+       min(doc_id) OVER (PARTITION BY canonical_url) AS keeper_doc,
+       CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+         AS group_size
+FROM c
+"""
+
+
+def _messy_urls(batch: pa.Table) -> "pa.ChunkedArray":
+    """Deterministic messy raw URLs: base path shared by doc_id % 50 within
+    (lang, source), plus a doc_id % 4 defect (uppercase host / trailing
+    slash / tracking params / clean)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    residue = pc.cast(
+        pa.array(ids % 50), pa.string()
+    )
+    host = pc.binary_join_element_wise(
+        batch["lang"], ".example.com", ""
+    )
+    variant = ids % 4
+    host = pa.array(
+        np.where(
+            variant == 1,
+            pc.utf8_upper(host).to_numpy(zero_copy_only=False),
+            host.to_numpy(zero_copy_only=False),
+        ),
+        type=pa.string(),
+    )
+    suffix = pa.array(
+        np.where(
+            variant == 2,
+            "/",
+            np.where(variant == 3, "?utm_source=feed&ref=crawler", ""),
+        ),
+        type=pa.string(),
+    )
+    return pc.binary_join_element_wise(
+        "https://", host, "/", batch["source"], "/", residue, suffix, ""
+    )
+
+
+def canonicalize_urls(raw: "pa.Array") -> "pa.Array":
+    """Real canonicalization kernels: strip query/fragment, strip ONE
+    trailing slash (not the scheme's), lowercase."""
+    no_query = pc.replace_substring_regex(raw, r"[?#].*$", "")
+    no_slash = pc.replace_substring_regex(no_query, r"(?P<keep>[^/])/$", "\\1")
+    return pc.utf8_lower(no_slash)
+
+
+@query("url_dedup", _URL_DEDUP_SQL)
+def q_url_dedup(sf_dir: str):
+    import pandas as pd
+
+    def canon(batch: pa.Table) -> pa.Table:
+        raw = _messy_urls(batch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "canonical_url": canonicalize_urls(raw),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        keeper = int(g["doc_id"].min())
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "canonical_url": g["canonical_url"].to_numpy(),
+                "keeper_doc": np.full(len(g), keeper, dtype=np.int64),
+                "group_size": np.full(len(g), len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, ["doc_id", "lang", "source"])
+        .map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("canonical_url")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout clustering (data-layout optimization for scan pruning):
+# interleave the bits of (lang code, length bucket) into a Morton key,
+# derive the storage partition from the key prefix, and report per-partition
+# locality stats — the min/max ranges a format like Lance/Iceberg would
+# store as zone maps. Two-level aggregate: packed (partition, lang) partials
+# per batch, one single-key groupby, then a tiny per-partition merge.
+# ---------------------------------------------------------------------------
+_ZORDER_SQL = """
+WITH m AS (
+  SELECT doc_id, n_chars,
+    CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+              WHEN 'fr' THEN 3 ELSE 4 END AS lc,
+    least(n_chars // 128, 7) AS lb
+  FROM documents
+),
+z AS (
+  SELECT lc, n_chars,
+    (lc % 2) + 2 * (lb % 2) + 4 * ((lc // 2) % 2) + 8 * ((lb // 2) % 2)
+      + 16 * ((lc // 4) % 2) + 32 * ((lb // 4) % 2) AS zkey
+  FROM m
+)
+SELECT CAST(zkey // 4 AS BIGINT) AS partition_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT lc) AS BIGINT) AS n_langs,
+  CAST(min(n_chars) AS BIGINT) AS min_chars,
+  CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM z GROUP BY partition_id
+"""
+
+_ZORDER_LANGS = ("de", "en", "es", "fr")  # others -> code 4
+
+
+@query("zorder_layout", _ZORDER_SQL)
+def q_zorder_layout(sf_dir: str):
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lc = np.full(len(lang), 4, dtype=np.int64)
+        for code, l in enumerate(_ZORDER_LANGS):
+            lc[lang == l] = code
+        lb = np.minimum(nch // 128, 7)
+        zkey = (
+            (lc % 2)
+            + 2 * (lb % 2)
+            + 4 * ((lc // 2) % 2)
+            + 8 * ((lb // 2) % 2)
+            + 16 * ((lc // 4) % 2)
+            + 32 * ((lb // 4) % 2)
+        )
+        part = zkey // 4
+        pkey = part * 8 + lc  # packed single groupby key (perf: multi-key
+        # hash aggregates are pathological on many small blocks)
+        vals, inv = np.unique(pkey, return_inverse=True)
+        n = np.bincount(inv)
+        mn = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(len(vals), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn, inv, nch)
+        np.maximum.at(mx, inv, nch)
+        return pa.table(
+            {
+                "pkey": pa.array(vals),
+                "n": pa.array(n.astype(np.int64)),
+                "mn": pa.array(mn),
+                "mx": pa.array(mx),
+            }
+        )
+
+    per_lang = (
+        read_documents(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pkey")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+        )
+        .repartition(4)
+    )
+
+    def to_partition(batch: pa.Table) -> pa.Table:
+        pk = batch["pkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "partition_id", pa.array((pk // 8).astype(np.int64))
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "partition_id": [int(g["partition_id"].iloc[0])],
+                "n_docs": [int(g["n"].sum())],
+                "n_langs": [int(len(g))],
+                "min_chars": [int(g["mn"].min())],
+                "max_chars": [int(g["mx"].max())],
+            }
+        )
+
+    return (
+        per_lang.map_batches(to_partition, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -63,3 +63,53 @@ class TestUrlDomains:
         assert out.loc["en.example.com", "n_sources"] == 2
         assert out.loc["de.example.com", "n_docs"] == 1
         assert out.loc["de.example.com", "n_sources"] == 1
+
+
+class TestUrlCanonicalize:
+    def test_each_defect_class(self):
+        import pyarrow as pa
+
+        from ocr_machine_ray.pipelines.queries_scrub import canonicalize_urls
+
+        raw = pa.array(
+            [
+                "https://EN.EXAMPLE.COM/src1/7",          # host case
+                "https://en.example.com/src1/7/",          # trailing slash
+                "https://en.example.com/src1/7?utm_source=feed&ref=x",
+                "https://en.example.com/src1/7#frag",
+                "https://en.example.com/src1/7",           # already clean
+            ]
+        )
+        got = canonicalize_urls(raw).to_pylist()
+        assert got == ["https://en.example.com/src1/7"] * 5
+        # the scheme's own slashes survive
+        assert canonicalize_urls(pa.array(["https://a.b/"])).to_pylist() == [
+            "https://a.b"
+        ]
+
+    def test_messy_urls_are_actually_messy(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_machine_ray.pipelines.queries_scrub import (
+            _messy_urls,
+            canonicalize_urls,
+        )
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array(np.arange(8), type=pa.int64()),
+                "lang": pa.array(["en"] * 8),
+                "source": pa.array(["src1"] * 8),
+            }
+        )
+        raw = _messy_urls(batch).to_pylist()
+        canon = canonicalize_urls(_messy_urls(batch)).to_pylist()
+        # at least three defect classes planted
+        assert any(u != c for u, c in zip(raw, canon))
+        assert any("?" in u for u in raw)
+        assert any(u.endswith("/") for u in raw)
+        assert any(u != u.lower() for u in raw)
+        # canonical forms follow the closed form the oracle uses
+        for i, c in enumerate(canon):
+            assert c == f"https://en.example.com/src1/{i % 50}"
