@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "domain_quality",
     "hard_negatives",
     "image_phash_dedup",
+    "curation_pipeline",
 ]
 
 

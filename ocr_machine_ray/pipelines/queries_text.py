@@ -2873,3 +2873,151 @@ def q_gopher_rules(sf_dir: str):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         gopher_rules_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation composite — the full training-data recipe in ONE
+# streaming plan: Gopher rule gate -> exact content dedup (min-doc keeper
+# per md5 group) -> deterministic mixture sampling -> per-(lang, source)
+# accounting. What a curation run actually ships to the tokenizer, with
+# the mixture report a data lead would read. Two shuffles total: the
+# content-hash groupby (uniform key) and a tiny packed-key aggregate over
+# (lang, source) partials.
+# ---------------------------------------------------------------------------
+_CURATION_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+    string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(ws) AS n_words,
+    (SELECT coalesce(sum(strlen(x)), 0) FROM unnest(ws) AS t(x)) AS total_len,
+    (SELECT count(*) FROM unnest(ws) AS t(x) WHERE x IN ('the','a')) AS n_stop,
+    (SELECT count(*) FROM unnest(ws) AS t(x) WHERE strlen(x) <= 3) AS n_short,
+    (SELECT coalesce(max(c), 0) FROM
+       (SELECT count(*) c FROM unnest(ws) AS t(x) GROUP BY x)) AS mode_cnt
+  FROM w
+),
+pass AS (
+  SELECT doc_id, n_words FROM s
+  WHERE n_words BETWEEN 30 AND 80
+    AND 10 * total_len >= 43 * n_words AND 10 * total_len <= 48 * n_words
+    AND n_stop >= 2
+    AND 100 * n_short <= 25 * n_words
+    AND 100 * mode_cnt <= 10 * n_words
+),
+surv AS (
+  SELECT d.doc_id, d.lang, d.source, d.text, p.n_words
+  FROM documents d JOIN pass p USING (doc_id)
+),
+kept AS (SELECT min(doc_id) AS doc_id FROM surv GROUP BY md5(text)),
+samp AS (
+  SELECT s.lang, s.source, s.n_words FROM surv s JOIN kept k USING (doc_id)
+  WHERE ((s.doc_id % 1000) * {_MIX_KNUTH % 1000}) % 1000 <
+        CASE s.lang
+          {' '.join(f"WHEN '{lg}' THEN {r}" for lg, r in sorted(_MIX_RATES.items()))}
+          ELSE {_MIX_DEFAULT}
+        END
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words
+FROM samp GROUP BY lang, source
+"""
+
+
+@query("curation_pipeline", _CURATION_SQL)
+def q_curation_pipeline(sf_dir: str):
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def gate(batch: pa.Table) -> pa.Table:
+        """Gopher gate + content hash for the survivors only."""
+        flags = gopher_rules_batch(batch.select(["doc_id", "text"]))
+        keep = pc.equal(flags["passes"], 1)
+        kept = batch.filter(keep)
+        n_words = flags.filter(keep)["n_words"]
+        h = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in kept["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "lang": kept["lang"],
+                "source": kept["source"],
+                "n_words": n_words,
+                "content_hash": pa.array(h, type=pa.string()),
+            }
+        )
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.loc[[g["doc_id"].idxmin()],
+                     ["doc_id", "lang", "source", "n_words"]]
+
+    def sample_and_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        bucket = ((ids % 1000) * (_MIX_KNUTH % 1000)) % 1000
+        rates = np.full(len(ids), _MIX_DEFAULT, dtype=np.int64)
+        for lg, r in _MIX_RATES.items():
+            rates[langs == lg] = r
+        sel = bucket < rates
+        langs = langs[sel]
+        srcs = batch["source"].to_numpy(zero_copy_only=False)[sel]
+        words = batch["n_words"].to_numpy(zero_copy_only=False)[sel]
+        # numpy U-dtype strings drop embedded NULs — use a printable
+        # separator that cannot appear in lang/source
+        key = np.char.add(np.char.add(langs.astype(str), "|"),
+                          srcs.astype(str))
+        vals, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "key": pa.array(vals, type=pa.string()),
+                "n_docs": pa.array(
+                    np.bincount(inv, minlength=len(vals)).astype(np.int64)
+                ),
+                "total_words": pa.array(
+                    np.bincount(
+                        inv, weights=words, minlength=len(vals)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def split_key(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # hash-aggregate emits empty schema-less blocks
+            return pa.table(
+                {
+                    "lang": pa.array([], type=pa.string()),
+                    "source": pa.array([], type=pa.string()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                    "total_words": pa.array([], type=pa.int64()),
+                }
+            )
+        parts = pc.split_pattern(batch["key"], "|")
+        return pa.table(
+            {
+                "lang": pc.list_element(parts, 0),
+                "source": pc.list_element(parts, 1),
+                "n_docs": batch["n_docs"],
+                "total_words": batch["total_words"],
+            }
+        )
+
+    return (
+        read_documents(sf_dir, ["doc_id", "text", "lang", "source"])
+        .map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("content_hash")
+        .map_groups(keep_min, batch_format="pandas")
+        .repartition(8)  # collapse per-group tiny blocks pre-shuffle
+        .map_batches(sample_and_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_words", alias_name="total_words"),
+        )
+        .map_batches(split_key, batch_format="pyarrow")
+    )
