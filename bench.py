@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "hard_negatives",
     "image_phash_dedup",
     "curation_pipeline",
+    "substring_dedup",
 ]
 
 

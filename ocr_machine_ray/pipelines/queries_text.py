@@ -3021,3 +3021,223 @@ def q_curation_pipeline(sf_dir: str):
         )
         .map_batches(split_key, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-substring dedup stats (ExactSubstr, Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better"): every 8-token window that
+# already occurred earlier in the corpus (global first-occurrence-wins, order
+# = (doc_id, position)) counts as duplicated text. Per doc: total windows and
+# duplicated windows — the removal accounting an ExactSubstr pass reports.
+#
+# Shape: window stream -> per-batch (gram, min pos-key) combiner -> ONE
+# Min-aggregate keyed by gram -> the carrier-doc trick (novelty_scores):
+# each gram's FIRST occurrence attributes to min_key // 2^20, so
+# n_dup(doc) = n_windows(doc) - n_first(doc) with no join-back of the gram
+# stream. One small doc-keyed join at the end.
+# ---------------------------------------------------------------------------
+_SUBSTR_K = 8
+_SUBSTR_POS = 1 << 20  # position packing: doc_id * 2^20 + i (i < 2^20)
+
+_SUBSTR_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+wins AS (
+  SELECT doc_id, k + 1 AS i,
+         array_to_string(w[k+1:k+{_SUBSTR_K}], ' ') AS gram
+  FROM d, LATERAL (
+    SELECT unnest(range(CAST(greatest(len(w) - {_SUBSTR_K - 1}, 0) AS BIGINT))) AS k
+  ) t
+),
+firsts AS (
+  SELECT gram, min(doc_id * {_SUBSTR_POS} + i) AS first_key
+  FROM wins GROUP BY gram
+),
+n_first AS (
+  SELECT first_key // {_SUBSTR_POS} AS doc_id,
+         CAST(count(*) AS BIGINT) AS n
+  FROM firsts GROUP BY 1
+),
+n_win AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+  FROM wins GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_windows,
+       CAST(w.n_windows - coalesce(f.n, 0) AS BIGINT) AS n_dup
+FROM n_win w LEFT JOIN n_first f USING (doc_id)
+"""
+
+
+def _windows8(batch: pa.Table):
+    """(gram StringArray, packed pos key) for 8-token windows — tokenize
+    once, eight zero-copy slices, one C-level join."""
+    K = _SUBSTR_K
+    ft = _FlatTokens(batch)
+    toks = ft.tokens_arrow
+    n = len(toks)
+    if n < K:
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    ok = ft.row_idx[: n - K + 1] == ft.row_idx[K - 1:]
+    parts = [toks.slice(j, n - K + 1) for j in range(K)]
+    g = pc.binary_join_element_wise(*parts, " ")
+    doc = ft.doc_ids[: n - K + 1][ok]
+    i = ft.i[: n - K + 1][ok]
+    return g.filter(pa.array(ok)), doc * _SUBSTR_POS + i
+
+
+@query("substring_dedup", _SUBSTR_SQL)
+def q_substring_dedup(sf_dir: str):
+    from ray.data.aggregate import Min, Sum
+
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_windows": pa.array([], type=pa.int64()),
+            "n_dup": pa.array([], type=pa.int64()),
+        }
+    )
+    n_docs = parquet_num_rows(sf_dir, "documents")
+    if n_docs == 0:
+        return empty
+
+    def gram_minkeys(batch: pa.Table) -> pa.Table:
+        """Per-batch combiner: (gram, local min key) — the shuffle carries
+        one row per distinct gram per batch, not one per occurrence."""
+        g, key = _windows8(batch)
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], type=pa.string()),
+                    "k": pa.array([], type=pa.int64()),
+                }
+            )
+        df = pd.DataFrame({"gram": g.to_pandas(), "k": key})
+        m = df.groupby("gram", sort=False)["k"].min().reset_index()
+        return pa.table(
+            {
+                "gram": pa.array(m["gram"], type=pa.string()),
+                "k": pa.array(m["k"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    def win_counts(batch: pa.Table) -> pa.Table:
+        g, key = _windows8(batch)
+        if len(key) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_windows": pa.array([], type=pa.int64()),
+                }
+            )
+        docs = key // _SUBSTR_POS
+        vals, cnt = np.unique(docs, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(vals.astype(np.int64)),
+                "n_windows": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    if n_docs < 32:
+        # degenerate shards: empty join sides reach Ray's hash join as
+        # schema-less blocks — run the identical algorithm on the driver
+        import pyarrow.parquet as pq_mod
+
+        raw = pq_mod.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        raw = raw.filter(pc.is_valid(raw["text"]))
+        g, key = _windows8(raw)
+        if len(key) == 0:
+            return empty
+        df = pd.DataFrame({"gram": g.to_pandas(), "k": key})
+        firsts = df.groupby("gram")["k"].min() // _SUBSTR_POS
+        n_first = firsts.value_counts()
+        docs = df["k"].to_numpy() // _SUBSTR_POS
+        vals, cnt = np.unique(docs, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(vals.astype(np.int64)),
+                "n_windows": pa.array(cnt.astype(np.int64)),
+                "n_dup": pa.array(
+                    np.array(
+                        [
+                            int(c) - int(n_first.get(d, 0))
+                            for d, c in zip(vals, cnt)
+                        ],
+                        dtype=np.int64,
+                    )
+                ),
+            }
+        )
+
+    docs_ds = read_documents(sf_dir, ["doc_id", "text"])
+    firsts = (
+        docs_ds.map_batches(
+            gram_minkeys, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("gram")
+        .aggregate(Min("k", alias_name="k"))
+    )
+
+    def first_doc_counts(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "fdoc": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        d = batch["k"].to_numpy(zero_copy_only=False) // _SUBSTR_POS
+        vals, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "fdoc": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    n_first = (
+        firsts.map_batches(first_doc_counts, batch_format="pyarrow")
+        .groupby("fdoc")
+        .aggregate(Sum("n", alias_name="n"))
+        .repartition(4)
+    )
+    n_win = (
+        docs_ds.map_batches(
+            win_counts, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("doc_id")
+        .aggregate(Sum("n_windows", alias_name="n_windows"))
+        .repartition(8)
+    )
+    joined = n_win.join(
+        n_first,
+        join_type="left_outer",
+        num_partitions=8,
+        on=("doc_id",),
+        right_on=("fdoc",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = len(t)
+        nf = (
+            t["n"] if "n" in t.column_names else pa.nulls(n, type=pa.int64())
+        )
+        nw = t["n_windows"].cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_windows": nw,
+                "n_dup": pc.subtract(
+                    nw, pc.fill_null(nf, 0).cast(pa.int64())
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
