@@ -536,6 +536,10 @@ def q_image_phash_dedup(sf_dir: str):
         .groupby("doc_id")
         .aggregate(Min("cand", alias_name="keeper_doc"))
         .repartition(8)
+        # keeper feeds BOTH the size aggregate and the final join probe;
+        # without a checkpoint Ray re-executes the whole union+aggregate
+        # lineage once per consumer (measured 2x on ds.stats())
+        .materialize()
     )
 
     def size_partial(batch: pa.Table) -> pa.Table:

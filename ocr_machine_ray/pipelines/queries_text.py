@@ -3126,20 +3126,19 @@ def q_substring_dedup(sf_dir: str):
         )
 
     def win_counts(batch: pa.Table) -> pa.Table:
-        g, key = _windows8(batch)
-        if len(key) == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "n_windows": pa.array([], type=pa.int64()),
-                }
-            )
-        docs = key // _SUBSTR_POS
-        vals, cnt = np.unique(docs, return_counts=True)
+        """Window counts need only token counts — building the gram strings
+        again here would double the tokenize+join cost of the whole query:
+        n_windows(doc) = max(n_tokens - K + 1, 0)."""
+        ft = _FlatTokens(batch)
+        nw = np.maximum(
+            ft.counts.astype(np.int64) - (_SUBSTR_K - 1), 0
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nw > 0
         return pa.table(
             {
-                "doc_id": pa.array(vals.astype(np.int64)),
-                "n_windows": pa.array(cnt.astype(np.int64)),
+                "doc_id": pa.array(ids[keep]),
+                "n_windows": pa.array(nw[keep]),
             }
         )
 
