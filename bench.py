@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "image_phash_dedup",
     "curation_pipeline",
     "substring_dedup",
+    "ann_filtered",
 ]
 
 

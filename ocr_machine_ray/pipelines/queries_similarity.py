@@ -768,3 +768,120 @@ def q_hard_negatives(sf_dir: str):
     return partials.groupby("query_id").map_groups(
         lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search (the vector-DB "metadata filter" capability): top-k
+# cosine neighbors restricted to vectors whose paired document passes the
+# Gopher quality battery. The filter is computed ONCE as a distributed scan
+# of the documents table, hash-joined onto the embedding stream (doc_id ==
+# vec_id), and the masked brute-force top-k runs only over survivors — the
+# predicate never touches the driver and composes with the LSH/IVF paths.
+# ---------------------------------------------------------------------------
+_FILTERED_ANN_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+    string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(ws) AS n_words,
+    (SELECT coalesce(sum(strlen(x)), 0) FROM unnest(ws) AS t(x)) AS total_len,
+    (SELECT count(*) FROM unnest(ws) AS t(x) WHERE x IN ('the','a')) AS n_stop,
+    (SELECT count(*) FROM unnest(ws) AS t(x) WHERE strlen(x) <= 3) AS n_short,
+    (SELECT coalesce(max(c), 0) FROM
+       (SELECT count(*) c FROM unnest(ws) AS t(x) GROUP BY x)) AS mode_cnt
+  FROM w
+),
+pass AS (
+  SELECT doc_id FROM s
+  WHERE n_words BETWEEN 30 AND 80
+    AND 10 * total_len >= 43 * n_words AND 10 * total_len <= 48 * n_words
+    AND n_stop >= 2
+    AND 100 * n_short <= 25 * n_words
+    AND 100 * mode_cnt <= 10 * n_words
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS c
+  FROM q CROSS JOIN embeddings e
+  JOIN pass p ON p.doc_id = e.vec_id
+  WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rnk
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {TOP_K}
+"""
+
+
+@query("ann_filtered", _FILTERED_ANN_SQL)
+def q_ann_filtered(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from .extraction import parquet_num_rows, read_documents
+    from .queries_text import gopher_rules_batch
+
+    if parquet_num_rows(sf_dir, "embeddings") == 0:
+        return _empty_topk()
+    ref = ray.put(_load_queries(sf_dir))
+
+    def pass_flags(batch: pa.Table) -> pa.Table:
+        flags = gopher_rules_batch(batch)
+        t = flags.filter(pc.equal(flags["passes"], 1))
+        return pa.table({"pass_doc": t["doc_id"].cast(pa.int64())})
+
+    passes = (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(pass_flags, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+    # The filter travels to the vectors as a membership structure, not a
+    # join: ray 2.49's hash join cannot carry list<float> payload columns,
+    # and filtered-ANN engines co-locate a filter BITMAP with each vector
+    # shard anyway. Exact id-set via ray.put here; at 10^12 rows this
+    # becomes a per-shard bitmap (or the Bloom gate incremental_dedup
+    # already implements) keyed by the same doc partitioning.
+    pass_parts = [
+        b["pass_doc"].to_numpy(zero_copy_only=False)
+        for b in passes.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    pass_ids = (
+        np.sort(np.concatenate(pass_parts))
+        if pass_parts
+        else np.empty(0, dtype=np.int64)
+    )
+    if len(pass_ids) == 0:
+        return _empty_topk()
+    pass_ref = ray.put(pass_ids)
+
+    def mask_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, ray.get(pass_ref))
+        return batch.filter(pa.array(keep))
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    partials = emb.map_batches(
+        mask_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(ref, TOP_K),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 2),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
+    )

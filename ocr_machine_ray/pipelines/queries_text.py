@@ -1241,6 +1241,12 @@ def _lm_agg(db, docs):
     the corpus trains an empty model. ``docs`` supplies the vocabulary."""
     from ray.data.aggregate import Count, Sum
 
+    # db feeds BOTH model training (groupby big) and scoring (join on big);
+    # un-checkpointed, Ray re-executes the tokenize+gram lineage once per
+    # consumer. The pre-aggregated bigram stream is exactly the
+    # intermediate a 10^12-doc run would write to the checkpoint table.
+    db = db.materialize()
+
     # model training: global bigram counts (one shuffle of pre-agg rows)
     cbt = (
         db.groupby("big")
