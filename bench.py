@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "substring_dedup",
     "ann_filtered",
+    "incremental_neardup",
 ]
 
 

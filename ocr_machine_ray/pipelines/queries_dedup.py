@@ -29,6 +29,7 @@ from ..functions.dedup import (
     minhash_bands_batch,
     minhash_bands_shingles_batch,
     prefix_rows_batch,
+    shingle_jaccard,
     simhash_batch,
 )
 from ..registry import query
@@ -1166,4 +1167,126 @@ def q_dedup_edit_distance(sf_dir: str):
         .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("p8")
         .map_groups(pairs, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup across snapshots (the cross-dump dedup RefinedWeb
+# runs between CommonCrawl dumps): the "seen" corpus is docs with even
+# doc_id, the new dump is the odd docs, and each new doc is flagged when
+# any band bucket holds a seen doc whose exact shingle Jaccard clears the
+# MinHash verify threshold. Complements incremental_dedup (exact seen-set
+# Bloom gate) with the near-dup variant: same band shuffle as
+# dedup_minhash, but verification is CROSS-partition only (new x seen —
+# never seen x seen or new x new), with early exit per new doc and the
+# BUCKET_CAP anchor degradation above the cap. One band groupby + one
+# Max-union groupby; no joins.
+# ---------------------------------------------------------------------------
+_INC_NEARDUP_SQL = f"""
+WITH {_SHINGLE_CTE},
+cands AS (
+  SELECT DISTINCT b.doc_id AS new_doc, a.doc_id AS seen_doc
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+),
+verified AS (
+  SELECT c.new_doc,
+         (SELECT count(*) FROM shingles sa
+          JOIN shingles sb ON sb.doc_id = c.new_doc AND sb.sh = sa.sh
+          WHERE sa.doc_id = c.seen_doc) AS inter,
+         (SELECT count(*) FROM shingles WHERE doc_id = c.seen_doc) AS na,
+         (SELECT count(*) FROM shingles WHERE doc_id = c.new_doc) AS nb
+  FROM cands c
+),
+dups AS (
+  SELECT DISTINCT new_doc FROM verified
+  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {MINHASH_VERIFY_T}
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN dups.new_doc IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS is_dup
+FROM documents d LEFT JOIN dups ON dups.new_doc = d.doc_id
+WHERE d.doc_id % 2 = 1 AND d.text IS NOT NULL
+"""
+
+
+def _cross_dup_hits(g: pd.DataFrame) -> pd.DataFrame:
+    """One band bucket -> new docs with a verified seen partner. Early exit
+    per new doc; above BUCKET_CAP only the min-id seen doc anchors the
+    verification (same degradation contract as bucket_pairs)."""
+    ids = g["doc_id"].to_numpy().astype(np.int64)
+    seen_mask = ids % 2 == 0
+    new_ids = ids[~seen_mask]
+    if len(new_ids) == 0 or not seen_mask.any():
+        return pd.DataFrame({"doc_id": np.empty(0, dtype=np.int64)})
+    sets = [set(s) for s in g["shingles"]]
+    seen_sets = [s for s, m in zip(sets, seen_mask) if m]
+    new_sets = [s for s, m in zip(sets, seen_mask) if not m]
+    if len(ids) > BUCKET_CAP:
+        anchor_i = int(np.argmin(ids[seen_mask]))
+        seen_sets = [seen_sets[anchor_i]]
+    hits = [
+        d
+        for d, s in zip(new_ids, new_sets)
+        if any(shingle_jaccard(s, ss) >= MINHASH_VERIFY_T for ss in seen_sets)
+    ]
+    return pd.DataFrame({"doc_id": np.asarray(hits, dtype=np.int64)})
+
+
+@query("incremental_neardup", _INC_NEARDUP_SQL)
+def q_incremental_neardup(sf_dir: str):
+    from ray.data.aggregate import Max
+
+    def band_rows_packed(batch: pa.Table) -> pa.Table:
+        t = minhash_bands_shingles_batch(batch)
+        return pa.table(
+            {
+                "bkey": pc.binary_join_element_wise(
+                    pc.cast(t["band"], pa.string()), t["band_key"], "\x00"
+                ),
+                "doc_id": t["doc_id"],
+                "shingles": t["shingles"],
+            }
+        )
+
+    docs = read_documents(sf_dir)
+    bands = docs.map_batches(
+        band_rows_packed, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def hit_rows(g: pd.DataFrame) -> pa.Table:
+        out = _cross_dup_hits(g)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    out["doc_id"].to_numpy().astype(np.int64)
+                ),
+                "is_dup": pa.array(
+                    np.ones(len(out), dtype=np.int64)
+                ),
+            }
+        )
+
+    hits = bands.groupby("bkey").map_groups(
+        hit_rows, batch_format="pandas"
+    ).repartition(8)
+
+    def new_doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        new = ids[ids % 2 == 1]
+        return pa.table(
+            {
+                "doc_id": pa.array(new),
+                "is_dup": pa.array(np.zeros(len(new), dtype=np.int64)),
+            }
+        )
+
+    base = docs.map_batches(
+        new_doc_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        hits.union(base)
+        .groupby("doc_id")
+        .aggregate(Max("is_dup", alias_name="is_dup"))
     )
