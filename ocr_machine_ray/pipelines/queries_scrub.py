@@ -462,3 +462,224 @@ def q_zorder_layout(sf_dir: str):
         .groupby("partition_id")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint validation (the assertions a 100 TB ingest runs
+# before accepting a dump): per-rule violation counts over the documents
+# table. Row-local rules are one vectorized pass + a 6-row aggregate; the
+# uniqueness rule is the one genuinely global check (distinct-count
+# shuffle on doc_id).
+# ---------------------------------------------------------------------------
+_VALIDATE_SQL = """
+SELECT 'dup_doc_id' AS rule,
+       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS n_violations
+FROM documents
+UNION ALL
+SELECT 'n_chars_mismatch',
+       CAST(sum(CASE WHEN text IS NULL OR n_chars <> strlen(text)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'bad_lang',
+       CAST(sum(CASE WHEN lang IS NULL
+                      OR lang NOT IN ('de','en','es','fr','zh')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'bad_source',
+       CAST(sum(CASE WHEN source IS NULL OR source NOT LIKE 'src%'
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'null_text',
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+"""
+
+_VALID_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query("validate_documents", _VALIDATE_SQL)
+def q_validate_documents(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    n_rows = ds.count()
+    _RULES = ["dup_doc_id", "n_chars_mismatch", "bad_lang", "bad_source",
+              "null_text"]
+    if n_rows == 0:
+        return pa.table(
+            {
+                "rule": pa.array(_RULES, type=pa.string()),
+                "n_violations": pa.array(np.zeros(5, dtype=np.int64)),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        tl = pc.fill_null(pc.utf8_length(text), -1).to_numpy(
+            zero_copy_only=False
+        )
+        null_text = int(pc.sum(pc.is_null(text)).as_py() or 0)
+        mism = int((tl != nch).sum())
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        bad_lang = int(
+            (~np.isin(lang.astype(str), _VALID_LANGS)).sum()
+        )
+        src = batch["source"]
+        bad_src = int(
+            pc.sum(
+                pc.invert(
+                    pc.fill_null(pc.starts_with(src, "src"), False)
+                )
+            ).as_py()
+            or 0
+        )
+        return pa.table(
+            {
+                "rule": pa.array(
+                    ["n_chars_mismatch", "bad_lang", "bad_source",
+                     "null_text"],
+                    type=pa.string(),
+                ),
+                "n_violations": pa.array(
+                    np.array([mism, bad_lang, bad_src, null_text],
+                             dtype=np.int64)
+                ),
+            }
+        )
+
+    row_rules = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("rule")
+        .aggregate(Sum("n_violations", alias_name="n_violations"))
+        .to_pandas()
+    )
+    # global uniqueness: exact distinct-count shuffle
+    n_distinct = (
+        ds.select_columns(["doc_id"]).groupby("doc_id").count().count()
+        if n_rows
+        else 0
+    )
+    rules = dict(zip(row_rules["rule"], row_rules["n_violations"]))
+    order = ["dup_doc_id", "n_chars_mismatch", "bad_lang", "bad_source",
+             "null_text"]
+    vals = [n_rows - n_distinct] + [int(rules.get(r, 0)) for r in order[1:]]
+    return pa.table(
+        {
+            "rule": pa.array(order, type=pa.string()),
+            "n_violations": pa.array(np.array(vals, dtype=np.int64)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profiler (the stats pass a lakehouse ingest records per column):
+# null count, exact distinct count, lexicographic min/max per column —
+# null/min/max from one vectorized pass + a 5-row merge; distinct counts
+# are per-column groupby shuffles (exact, the profiler's honest cost).
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ("doc_id", "lang", "n_chars", "source", "text")
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("profile_columns", _PROFILE_SQL)
+def q_profile_columns(sf_dir: str):
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    n_rows = ds.count()
+
+    def null_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "col": pa.array(list(_PROFILE_COLS), type=pa.string()),
+                "n_null": pa.array(
+                    np.array(
+                        [
+                            int(pc.sum(pc.is_null(batch[c])).as_py() or 0)
+                            for c in _PROFILE_COLS
+                        ],
+                        dtype=np.int64,
+                    )
+                ),
+            }
+        )
+
+    if n_rows == 0:
+        return pa.table(
+            {
+                "col": pa.array(list(_PROFILE_COLS), type=pa.string()),
+                "n_null": pa.array(np.zeros(5, dtype=np.int64)),
+                "n_distinct": pa.array(np.zeros(5, dtype=np.int64)),
+                "min_val": pa.array([None] * 5, type=pa.string()),
+                "max_val": pa.array([None] * 5, type=pa.string()),
+            }
+        )
+
+    nulls_df = (
+        ds.map_batches(
+            null_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("col")
+        .aggregate(Sum("n_null", alias_name="n_null"))
+        .to_pandas()
+        .set_index("col")
+    )
+    # min/max in NATIVE types in one distributed aggregate pass (merging
+    # stringified numeric partials would compare lexicographically:
+    # '95' > '499'), stringified only at the very end
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(Min(c, alias_name=f"min_{c}"))
+        aggs.append(Max(c, alias_name=f"max_{c}"))
+    mm = ds.aggregate(*aggs)
+    distinct = {}
+    for c in _PROFILE_COLS:
+        n_null = int(nulls_df.loc[c, "n_null"])
+        # count(DISTINCT col) counts non-null values only
+        groups = ds.select_columns([c]).groupby(c).count().count()
+        distinct[c] = groups - (1 if n_null > 0 else 0)
+    return pa.table(
+        {
+            "col": pa.array(list(_PROFILE_COLS), type=pa.string()),
+            "n_null": pa.array(
+                np.array(
+                    [int(nulls_df.loc[c, "n_null"]) for c in _PROFILE_COLS],
+                    dtype=np.int64,
+                )
+            ),
+            "n_distinct": pa.array(
+                np.array([distinct[c] for c in _PROFILE_COLS], dtype=np.int64)
+            ),
+            "min_val": pa.array(
+                [
+                    None if mm[f"min_{c}"] is None else str(mm[f"min_{c}"])
+                    for c in _PROFILE_COLS
+                ],
+                type=pa.string(),
+            ),
+            "max_val": pa.array(
+                [
+                    None if mm[f"max_{c}"] is None else str(mm[f"max_{c}"])
+                    for c in _PROFILE_COLS
+                ],
+                type=pa.string(),
+            ),
+        }
+    )
