@@ -683,3 +683,68 @@ def q_profile_columns(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Poison-row quarantine, oracle-checked end to end: a scoring kernel that
+# (deterministically) blows up on planted poison docs runs wrapped in the
+# bisecting quarantine stage; poison rows land in the error channel with
+# their doc_id preserved, clean rows keep their computed value. The planted
+# rule is closed-form, so WHICH rows were quarantined — not just how many —
+# is value-checked by SQL.
+# ---------------------------------------------------------------------------
+_POISON_MOD, _POISON_RESIDUE = 97, 13
+
+_QUARANTINE_SQL = f"""
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % {_POISON_MOD} = {_POISON_RESIDUE}
+                 THEN 1 ELSE 0 END AS BIGINT) AS quarantined,
+       CAST(CASE WHEN doc_id % {_POISON_MOD} = {_POISON_RESIDUE}
+                 THEN NULL ELSE n_chars * 2 END AS BIGINT) AS score
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def _poison_score_kernel(batch: pa.Table) -> pa.Table:
+    """Doubles n_chars; raises on planted poison rows (stands in for a
+    kernel hitting corrupt payloads — the bisection must isolate them)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if ((ids % _POISON_MOD) == _POISON_RESIDUE).any():
+        raise ValueError("corrupt payload")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "score": pc.multiply(
+                batch["n_chars"].cast(pa.int64()), pa.scalar(2)
+            ),
+        }
+    )
+
+
+@query("extract_quarantined", _QUARANTINE_SQL)
+def q_extract_quarantined(sf_dir: str):
+    from ..stages.quarantine import quarantine_batch_fn
+
+    safe = quarantine_batch_fn(_poison_score_kernel)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        quarantined = pc.cast(
+            pc.is_valid(batch["_error"]), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "quarantined": quarantined,
+                "score": batch["score"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(
+            lambda t: t.drop_columns(["text"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+        .map_batches(safe, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(finish, batch_format="pyarrow")
+    )
