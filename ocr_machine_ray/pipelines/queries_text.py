@@ -3246,3 +3246,86 @@ def q_substring_dedup(sf_dir: str):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption training-example builder (T5/UL2-style denoising prep):
+# deterministically mask tokens ((doc_id*31 + i*17) % 10 == 0), emit the
+# corrupted input (masked slots -> '<M>') and the target stream (the masked
+# tokens, in order). Pure Arrow construction: one tokenization, a flat
+# if_else over the token stream, two ListArray re-wraps from offsets + one
+# C-level join each — zero Python-per-token work, zero shuffle. The oracle
+# value-checks the exact corrupted/target STRINGS per document.
+# ---------------------------------------------------------------------------
+_T5_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'), 1) AS i
+  FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT doc_id, i, tok,
+         ((doc_id * 31 + i * 17) % 10 = 0) AS masked
+  FROM toks
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+  string_agg(CASE WHEN masked THEN '<M>' ELSE tok END, ' ' ORDER BY i)
+    AS corrupted,
+  coalesce(string_agg(CASE WHEN masked THEN tok END, ' ' ORDER BY i), '')
+    AS targets
+FROM m GROUP BY doc_id
+"""
+
+
+@query("t5_span_corruption", _T5_SQL)
+def q_t5_span_corruption(sf_dir: str):
+    def build(batch: pa.Table) -> pa.Table:
+        ft = _FlatTokens(batch)
+        n = len(batch)
+        total = int(ft.counts.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "n_masked": pa.array([], type=pa.int64()),
+                    "corrupted": pa.array([], type=pa.string()),
+                    "targets": pa.array([], type=pa.string()),
+                }
+            )
+        masked = ((ft.doc_ids * 31 + ft.i * 17) % 10) == 0
+        corrupted_flat = pc.if_else(
+            pa.array(masked), pa.scalar("<M>"), ft.tokens_arrow
+        )
+        offsets = np.concatenate(
+            [[0], np.cumsum(ft.counts)]
+        ).astype(np.int32)
+        corrupted = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), corrupted_flat),
+            " ",
+        )
+        # targets: masked tokens only, re-wrapped by per-doc masked counts
+        tgt_flat = ft.tokens_arrow.filter(pa.array(masked))
+        tgt_counts = np.bincount(ft.row_idx[masked], minlength=n)
+        tgt_offsets = np.concatenate(
+            [[0], np.cumsum(tgt_counts)]
+        ).astype(np.int32)
+        targets = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(tgt_offsets), tgt_flat), " "
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(ft.counts.astype(np.int64)),
+                "n_masked": pa.array(tgt_counts.astype(np.int64)),
+                "corrupted": corrupted,
+                "targets": targets,
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        build, batch_format="pyarrow", zero_copy_batch=True
+    )
