@@ -3329,3 +3329,146 @@ def q_t5_span_corruption(sf_dir: str):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         build, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping sliding-window chunking (RAG / retrieval indexing prep):
+# window 32, stride 16 — each token lands in up to two chunks so retrieval
+# never loses a boundary-straddling passage. Overlap means windows can't
+# share one monotone offsets vector over the flat token array (the
+# non-overlapping chunk_examples trick); the window token indices are
+# gathered once (one C-level take, ~2x tokens) and re-wrapped.
+# ---------------------------------------------------------------------------
+_CHUNK_S = 16
+
+_CHUNK_OVERLAP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_id,
+       CAST(k * {_CHUNK_S} + 1 AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK_W}, len(w) - k * {_CHUNK_S}) AS BIGINT) AS n_toks,
+       array_to_string(w[k*{_CHUNK_S}+1 : k*{_CHUNK_S}+{_CHUNK_W}], ' ')
+         AS chunk_text
+FROM d, LATERAL (
+  SELECT unnest(range(CAST(ceil(len(w) / {_CHUNK_S}.0) AS BIGINT))) AS k
+) t
+"""
+
+
+@query("chunk_overlap", _CHUNK_OVERLAP_SQL)
+def q_chunk_overlap(sf_dir: str):
+    W, S = _CHUNK_W, _CHUNK_S
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ft = _FlatTokens(batch)
+        counts = ft.counts.astype(np.int64)
+        n_chunks = -(-counts // S)
+        doc_rep = np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
+        cum = np.concatenate([[0], np.cumsum(n_chunks)])
+        k = np.arange(cum[-1], dtype=np.int64) - np.repeat(cum[:-1], n_chunks)
+        start = k * S
+        n_toks = np.minimum(W, counts[doc_rep] - start)
+        tok_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        # gather every window's token indices once (overlap-safe)
+        win_off = np.concatenate(
+            [[0], np.cumsum(n_toks)]
+        ).astype(np.int64)
+        idx = (
+            np.repeat(tok_start[doc_rep] + start, n_toks)
+            + np.arange(int(win_off[-1]), dtype=np.int64)
+            - np.repeat(win_off[:-1], n_toks)
+        )
+        gathered = ft.tokens_arrow.take(pa.array(idx))
+        lists = pa.ListArray.from_arrays(
+            pa.array(win_off, type=pa.int32()), gathered
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(doc_rep)),
+                "chunk_id": pa.array(k),
+                "start_tok": pa.array(start + 1),
+                "n_toks": pa.array(n_toks),
+                "chunk_text": pc.binary_join(lists, " "),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair construction (SimCSE/DPR-style in-document positives):
+# anchor = first 32-token window, positive = the next non-overlapping
+# window — the (query, passage) pairs an embedding trainer consumes with
+# in-batch negatives. Only docs long enough for a non-empty positive.
+# ---------------------------------------------------------------------------
+_CONTRASTIVE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       array_to_string(w[1 : {_CHUNK_W}], ' ') AS anchor_text,
+       array_to_string(w[{_CHUNK_W}+1 : 2*{_CHUNK_W}], ' ') AS positive_text
+FROM d WHERE len(w) > {_CHUNK_W}
+"""
+
+
+@query("contrastive_pairs", _CONTRASTIVE_SQL)
+def q_contrastive_pairs(sf_dir: str):
+    W = _CHUNK_W
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ft = _FlatTokens(batch)
+        counts = ft.counts.astype(np.int64)
+        keep = counts > W
+        idx_keep = np.nonzero(keep)[0]
+        tok_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        n = len(idx_keep)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "anchor_text": pa.array([], type=pa.string()),
+                    "positive_text": pa.array([], type=pa.string()),
+                }
+            )
+        a_len = np.full(n, W, dtype=np.int64)
+        p_len = np.minimum(counts[idx_keep] - W, W)
+        starts = tok_start[idx_keep]
+
+        def window_join(offs, lens):
+            total = int(lens.sum())
+            woff = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            idx = (
+                np.repeat(offs, lens)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(woff[:-1], lens)
+            )
+            gathered = ft.tokens_arrow.take(pa.array(idx))
+            return pc.binary_join(
+                pa.ListArray.from_arrays(
+                    pa.array(woff, type=pa.int32()), gathered
+                ),
+                " ",
+            )
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(idx_keep)).cast(
+                    pa.int64()
+                ),
+                "anchor_text": window_join(starts, a_len),
+                "positive_text": window_join(starts + W, p_len),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
