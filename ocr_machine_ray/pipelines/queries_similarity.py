@@ -885,3 +885,121 @@ def q_ann_filtered(sf_dir: str):
     return partials.groupby("query_id").map_groups(
         lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ — Jégou et al., the ANN compression standard):
+# split the 64-dim embedding into 8 subspaces, train a 16-centroid
+# codebook per subspace on a seeded sample (driver-side Lloyd's on the
+# sample, the standard PQ practice), then ONE distributed encode pass maps
+# every vector to 8 4-bit codes packed into a single int64 — 64 float64s
+# -> 8 bytes (64x). Rows-only by nature (codebooks are float k-means);
+# exactness pinned by pytest: determinism, code ranges, and reconstruction
+# error well under the global-mean baseline.
+# ---------------------------------------------------------------------------
+PQ_SUBSPACES = 8
+PQ_K = 16
+
+
+def pq_train_codebooks(sample: np.ndarray, n_iter: int = 12,
+                       seed: int = 7) -> np.ndarray:
+    """(PQ_SUBSPACES, PQ_K, sub_dim) codebooks via per-subspace Lloyd's on
+    the sample. Deterministic: seeded init from sample points."""
+    n, d = sample.shape
+    sub = d // PQ_SUBSPACES
+    rng = np.random.default_rng(seed)
+    books = np.zeros((PQ_SUBSPACES, PQ_K, sub), dtype=np.float64)
+    for s in range(PQ_SUBSPACES):
+        X = sample[:, s * sub:(s + 1) * sub]
+        idx = rng.choice(n, size=min(PQ_K, n), replace=n < PQ_K)
+        C = X[idx].copy()
+        for _ in range(n_iter):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for k in range(len(C)):
+                m = a == k
+                if m.any():
+                    C[k] = X[m].mean(axis=0)
+        books[s, :len(C)] = C
+        if len(C) < PQ_K:  # tiny sample: duplicate to fill
+            books[s, len(C):] = C[0]
+    return books
+
+
+def pq_encode_batch(V: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n,) int64 packed codes: 4 bits per subspace, subspace s at bits
+    4s..4s+3. One vectorized distance argmin per subspace."""
+    n, d = V.shape
+    sub = d // PQ_SUBSPACES
+    packed = np.zeros(n, dtype=np.int64)
+    for s in range(PQ_SUBSPACES):
+        X = V[:, s * sub:(s + 1) * sub]
+        d2 = ((X[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        packed |= d2.argmin(axis=1).astype(np.int64) << (4 * s)
+    return packed
+
+
+def pq_decode(packed: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Reconstruct (n, d) vectors from packed codes."""
+    n = len(packed)
+    sub = books.shape[2]
+    out = np.zeros((n, PQ_SUBSPACES * sub), dtype=np.float64)
+    for s in range(PQ_SUBSPACES):
+        codes = (packed >> (4 * s)) & 0xF
+        out[:, s * sub:(s + 1) * sub] = books[s][codes]
+    return out
+
+
+@query("pq_encode")
+def q_pq_encode(sf_dir: str):
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "code": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "embeddings") == 0:
+        return empty
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    frac = min(1.0, 512 / max(1, n))
+    sample_rows = emb.random_sample(frac, seed=7).take(512)
+    if not sample_rows:
+        return empty
+    # block arrival order is nondeterministic under streaming execution;
+    # codebook training must not depend on it
+    sample_rows = sorted(sample_rows, key=lambda r: r["vec_id"])
+    sample = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows]
+    )
+    books_ref = ray.put(pq_train_codebooks(sample))
+
+    class Encoder:
+        def __init__(self, ref):
+            self.books = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                return empty
+            V = _as_matrix(batch["embedding"])
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids.astype(np.int64)),
+                    "code": pa.array(pq_encode_batch(V, self.books)),
+                }
+            )
+
+    return emb.map_batches(
+        Encoder,
+        fn_constructor_args=(books_ref,),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 2),
+    )

@@ -121,3 +121,40 @@ def test_hard_negatives_exclude_same_label(ray_session):
             "neighbor_id"
         ].iloc[0]
         assert got_top1 == want_top1
+
+
+def test_pq_encode_properties(ray_session):
+    """PQ: deterministic codes, 4-bit ranges, reconstruction error far
+    below the global-mean baseline (codes must actually track the data)."""
+    import pyarrow.parquet as pq
+
+    from ocr_machine_ray.pipelines.queries_similarity import (
+        PQ_SUBSPACES,
+        pq_decode,
+        pq_encode_batch,
+        pq_train_codebooks,
+        q_pq_encode,
+    )
+
+    out1 = q_pq_encode(SF).to_pandas().sort_values("vec_id")
+    out2 = q_pq_encode(SF).to_pandas().sort_values("vec_id")
+    assert (out1["code"].to_numpy() == out2["code"].to_numpy()).all()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    assert len(out1) == len(emb)
+    # every 4-bit field in range by construction of the packing
+    codes = out1["code"].to_numpy()
+    assert (codes >= 0).all()
+    assert (codes < (1 << (4 * PQ_SUBSPACES))).all()
+    # reconstruction beats the trivial global-mean quantizer by a wide margin
+    V = np.stack(emb.sort_values("vec_id")["embedding"].to_numpy()).astype(
+        np.float64
+    )
+    books = pq_train_codebooks(V[:256])
+    packed = pq_encode_batch(V, books)
+    rec = pq_decode(packed, books)
+    mse = ((V - rec) ** 2).mean()
+    base = ((V - V.mean(axis=0)) ** 2).mean()
+    # near-isotropic synthetic embeddings are rate-distortion hostile to
+    # PQ (16 centroids per 8-dim subspace); measured ~0.57x baseline —
+    # the bar asserts a clear win, not a clustered-data miracle
+    assert mse < 0.8 * base, (mse, base)
