@@ -85,6 +85,18 @@ BENCH_QUERIES = [
     "substring_dedup",
     "ann_filtered",
     "incremental_neardup",
+    "scd2_history",
+    "video_shot_detect",
+    "url_dedup",
+    "zorder_layout",
+    "validate_documents",
+    "profile_columns",
+    "extract_quarantined",
+    "t5_span_corruption",
+    "chunk_overlap",
+    "contrastive_pairs",
+    "pq_encode",
+    "ann_topk_pq",
 ]
 
 
