@@ -175,3 +175,112 @@ class TestChunkPackProperties:
             re.split(r"\s+", text.strip(" \t\n\r\v\f"), flags=re.ASCII)
         )
         assert rebuilt == expected
+
+
+class TestNewKernelProperties:
+    """Continuation-session kernels: URL canonicalization, 8-gram windows,
+    perceptual hashing, PQ codes, Gopher flags — on arbitrary inputs."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(DOC_ID, min_size=1, max_size=50, unique=True))
+    def test_phash_recovers_plant_for_any_doc_ids(self, ids):
+        from ocr_machine_ray.functions.images import (
+            ahash_stack,
+            phash_variant_bits,
+            render_thumb_stack,
+        )
+
+        arr = np.array(ids, dtype=np.int64)
+        assert np.array_equal(
+            ahash_stack(render_thumb_stack(arr)), phash_variant_bits(arr)
+        )
+
+    @settings(max_examples=60, deadline=None)
+    @given(DOC_ID, TEXT)
+    def test_windows8_counts(self, doc_id, text):
+        from ocr_machine_ray.pipelines.queries_text import (
+            _SUBSTR_K,
+            _SUBSTR_POS,
+            _windows8,
+        )
+
+        g, key = _windows8(_batch(doc_id, text))
+        n_tok = len(text.split())
+        want = max(n_tok - _SUBSTR_K + 1, 0)
+        assert len(g) == want
+        assert len(key) == want
+        if want:
+            # packed keys are (doc_id, position) in order
+            assert (key // _SUBSTR_POS == doc_id).all()
+            assert list(key % _SUBSTR_POS) == list(range(1, want + 1))
+            # every window is K space-joined tokens of the source
+            toks = text.split()
+            for j, gram in enumerate(g.to_pylist()[:5]):
+                assert gram == " ".join(toks[j:j + _SUBSTR_K])
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Nd"),
+                whitelist_characters="./-",
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def test_canonicalize_idempotent(self, path):
+        from ocr_machine_ray.pipelines.queries_scrub import canonicalize_urls
+
+        raw = pa.array([f"https://Host.Example.com/{path}?q=1#f"])
+        once = canonicalize_urls(raw)
+        twice = canonicalize_urls(once)
+        assert once.to_pylist() == twice.to_pylist()
+        c = once.to_pylist()[0]
+        assert c == c.lower() and "?" not in c and "#" not in c
+        assert not (c.endswith("/") and len(c) > len("https://"))
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=64),
+        st.integers(min_value=0, max_value=2**31),
+    )
+    def test_pq_roundtrip_shapes(self, n, seed):
+        from ocr_machine_ray.pipelines.queries_similarity import (
+            PQ_SUBSPACES,
+            pq_decode,
+            pq_encode_batch,
+            pq_train_codebooks,
+        )
+
+        rng = np.random.default_rng(seed)
+        V = rng.standard_normal((n, 64))
+        books = pq_train_codebooks(V, n_iter=2)
+        packed = pq_encode_batch(V, books)
+        assert packed.shape == (n,)
+        assert (packed >= 0).all()
+        rec = pq_decode(packed, books)
+        assert rec.shape == V.shape
+        # encoding the reconstruction is a fixed point
+        assert np.array_equal(pq_encode_batch(rec, books), packed)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(DOC_ID, TEXT), min_size=1, max_size=8))
+    def test_gopher_flags_are_booleans_and_consistent(self, docs):
+        from ocr_machine_ray.pipelines.queries_text import gopher_rules_batch
+
+        ids = list({d for d, _ in docs})
+        batch = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(
+                    [dict(docs)[i] for i in ids], type=pa.string()
+                ),
+            }
+        )
+        out = gopher_rules_batch(batch).to_pandas()
+        flags = ["len_ok", "mean_len_ok", "stop_ok", "short_ok", "mode_ok"]
+        for f in flags + ["passes"]:
+            assert set(out[f]) <= {0, 1}
+        want = out[flags].min(axis=1)
+        assert (out["passes"] == want).all()
