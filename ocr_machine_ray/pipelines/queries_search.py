@@ -261,3 +261,160 @@ def q_bm25_topk(sf_dir: str):
     return cands.sort(["score", "doc_id"], descending=[True, False]).limit(
         TOPK_DOCS
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level BM25 (RAG retrieval): score every overlapping 32-token
+# window (stride 16 — chunk_overlap's geometry) instead of whole documents,
+# so a hit inside a long document surfaces as the right passage. Same
+# two-pass integer scheme as bm25_topk with passage-granular df/N; per-term
+# tf over every window comes from ONE prefix-sum per term (windows overlap,
+# so per-window recount would be 2x work). Per-batch partial top-k, tiny
+# final sort.
+# ---------------------------------------------------------------------------
+_PASSAGE_W, _PASSAGE_S = 32, 16
+_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + "]"
+
+_BM25_PASSAGE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+),
+p AS (
+  SELECT doc_id, k, w[k*{_PASSAGE_S}+1 : k*{_PASSAGE_S}+{_PASSAGE_W}] AS pw
+  FROM d, LATERAL (
+    SELECT unnest(range(CAST(ceil(len(w) / {_PASSAGE_S}.0) AS BIGINT))) AS k
+  ) t
+),
+n_total AS (SELECT count(*) AS n FROM p),
+tf AS (
+  SELECT doc_id, k, t.term,
+         len(list_filter(pw, x -> x = t.term)) AS tf
+  FROM p, unnest({_TERMS_SQL}) AS t(term)
+),
+df AS (SELECT term, count(*) AS df FROM tf WHERE tf > 0 GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.k,
+         sum(tf.tf * ((SELECT n FROM n_total) // df.df)) AS score
+  FROM tf JOIN df USING (term) WHERE tf.tf > 0
+  GROUP BY tf.doc_id, tf.k
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id, CAST(score AS BIGINT) AS score
+FROM scored ORDER BY score DESC, doc_id, k LIMIT {TOPK_DOCS}
+"""
+
+
+@query("bm25_passages", _BM25_PASSAGE_SQL)
+def q_bm25_passages(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    terms = list(QUERY_TERMS)
+    W, S = _PASSAGE_W, _PASSAGE_S
+
+    def windows(ft):
+        """(window start offsets into the flat token array, window lengths,
+        doc row index, within-doc k) for the batch."""
+        counts = ft.counts.astype(np.int64)
+        n_chunks = -(-counts // S)
+        doc_rep = np.repeat(
+            np.arange(len(counts), dtype=np.int64), n_chunks
+        )
+        cum = np.concatenate([[0], np.cumsum(n_chunks)])
+        k = np.arange(cum[-1], dtype=np.int64) - np.repeat(
+            cum[:-1], n_chunks
+        )
+        start = k * S
+        lens = np.minimum(W, counts[doc_rep] - start)
+        tok_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        return tok_start[doc_rep] + start, lens, doc_rep, k
+
+    def term_tf(ft, offs, lens, term):
+        """Per-window term counts via one prefix sum over the flat mask."""
+        mask = (
+            ft.tokens_arrow.to_numpy(zero_copy_only=False) == term
+        ).astype(np.int64)
+        pre = np.concatenate([[0], np.cumsum(mask)])
+        return pre[offs + lens] - pre[offs]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        offs, lens, _, _ = windows(ft)
+        rows_t, rows_n = ["\x00total"], [len(offs)]
+        for t in terms:
+            rows_t.append(t)
+            rows_n.append(int((term_tf(ft, offs, lens, t) > 0).sum()))
+        return pa.table(
+            {
+                "tok": pa.array(rows_t, type=pa.string()),
+                "n": pa.array(np.asarray(rows_n, dtype=np.int64)),
+            }
+        )
+
+    stats = (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    lookup = {} if stats.empty else dict(zip(stats["tok"], stats["n"]))
+    n_total = int(lookup.pop("\x00total", 0))
+    weights = {t: n_total // int(df) for t, df in lookup.items() if df}
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "chunk_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.int64()),
+        }
+    )
+    if not weights:
+        return empty
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        offs, lens, doc_rep, k = windows(ft)
+        if len(offs) == 0:
+            return empty
+        score = np.zeros(len(offs), dtype=np.int64)
+        for t, w in weights.items():
+            score += term_tf(ft, offs, lens, t) * w
+        hit = score > 0
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)[doc_rep[hit]]
+        kk = k[hit]
+        sc = score[hit]
+        order = np.lexsort((kk, doc, -sc))[:TOPK_DOCS]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[order].astype(np.int64)),
+                "chunk_id": pa.array(kk[order]),
+                "score": pa.array(sc[order]),
+            }
+        )
+
+    cands = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        score_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final_merge(df: "pd.DataFrame") -> pa.Table:
+        import pandas as pd  # noqa: F401
+
+        df = df.sort_values(
+            ["score", "doc_id", "chunk_id"],
+            ascending=[False, True, True],
+        ).head(TOPK_DOCS)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    df["doc_id"].to_numpy().astype(np.int64)
+                ),
+                "chunk_id": pa.array(
+                    df["chunk_id"].to_numpy().astype(np.int64)
+                ),
+                "score": pa.array(
+                    df["score"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    return final_merge(cands.to_pandas())
