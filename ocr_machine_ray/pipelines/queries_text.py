@@ -3472,3 +3472,117 @@ def q_contrastive_pairs(sf_dir: str):
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         pairs, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence mining (A-Priori 2-itemsets over per-document token
+# SETS — the market-basket classic, and the raw counts behind GloVe-style
+# co-occurrence statistics). Closed vocabulary means the pair space is
+# bounded (~V^2/2): each batch bincounts packed pair codes over per-doc
+# distinct-token incidence, so only (pair, partial-count) rows shuffle —
+# the corpus-sized token stream never does. Top-20 by support with
+# lexicographic ties.
+# ---------------------------------------------------------------------------
+_COOCCUR_TOPK = 20
+
+_COOCCUR_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS support
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+)
+SELECT tok_a, tok_b, CAST(support AS BIGINT) AS support
+FROM pairs ORDER BY support DESC, tok_a, tok_b LIMIT {_COOCCUR_TOPK}
+"""
+
+
+@query("cooccur_pairs", _COOCCUR_SQL)
+def q_cooccur_pairs(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ft = _FlatTokens(batch)
+        if len(batch) == 0 or ft.counts.sum() == 0:
+            return pa.table(
+                {
+                    "pair": pa.array([], type=pa.string()),
+                    "support": pa.array([], type=pa.int64()),
+                }
+            )
+        enc = pc.dictionary_encode(ft.tokens_arrow)
+        tok_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary)
+        V = len(vocab)
+        # per-doc distinct (row, token) incidence
+        inc = np.unique(ft.row_idx * V + tok_idx)
+        rows, toks_of = inc // V, inc % V
+        # vocabulary must pair in STRING order to match tok_a < tok_b
+        order = np.argsort(vocab.astype(str), kind="mergesort")
+        rank_of = np.empty(V, dtype=np.int64)
+        rank_of[order] = np.arange(V)
+        ranks = rank_of[toks_of]
+        # pairs within each doc: expand per-doc sorted rank lists
+        counts = np.bincount(rows, minlength=int(rows.max()) + 1)
+        pair_codes = []
+        start = 0
+        for c in counts:
+            if c >= 2:
+                r = np.sort(ranks[start:start + c])
+                i, j = np.triu_indices(c, k=1)
+                pair_codes.append(r[i] * V + r[j])
+            start += c
+        if not pair_codes:
+            return pa.table(
+                {
+                    "pair": pa.array([], type=pa.string()),
+                    "support": pa.array([], type=pa.int64()),
+                }
+            )
+        codes = np.concatenate(pair_codes)
+        vals, cnt = np.unique(codes, return_counts=True)
+        inv_order = vocab.astype(str)[order]
+        names = np.char.add(
+            np.char.add(inv_order[vals // V].astype(str), "\x01"),
+            inv_order[vals % V].astype(str),
+        )
+        return pa.table(
+            {
+                "pair": pa.array(names, type=pa.string()),
+                "support": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair")
+        .aggregate(Sum("support", alias_name="support"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return pa.table(
+            {
+                "tok_a": pa.array([], type=pa.string()),
+                "tok_b": pa.array([], type=pa.string()),
+                "support": pa.array([], type=pa.int64()),
+            }
+        )
+    split = agg["pair"].str.split("\x01", expand=True)
+    agg["tok_a"], agg["tok_b"] = split[0], split[1]
+    agg = agg.sort_values(
+        ["support", "tok_a", "tok_b"], ascending=[False, True, True]
+    ).head(_COOCCUR_TOPK)
+    return pa.table(
+        {
+            "tok_a": pa.array(agg["tok_a"], type=pa.string()),
+            "tok_b": pa.array(agg["tok_b"], type=pa.string()),
+            "support": pa.array(
+                agg["support"].to_numpy().astype(np.int64)
+            ),
+        }
+    )
