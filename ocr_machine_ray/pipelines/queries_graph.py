@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..registry import query
 from .extraction import parquet_num_rows, read_documents
@@ -340,4 +341,199 @@ def q_triangle_counts(sf_dir: str):
             ),
             batch_format="pyarrow",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (graph degeneracy — the standard web-graph pruning that
+# strips low-connectivity tendrils before community/quality analysis):
+# R synchronized rounds of "drop every node with fewer than K surviving
+# neighbors" over a degree-VARIED derived graph (ring + halving tree, so
+# peeling actually cascades — the pagerank graph is 6-regular and would be
+# a no-op). Each round is ONE hash join (edges alive from the far side)
+# plus one groupby with the pagerank presence-marker trick standing in for
+# the second join; survivor tables are materialized per round (the ray
+# 2.49 two-joins-per-plan rule). Both sides unroll the same R rounds.
+# ---------------------------------------------------------------------------
+KCORE_K = 4
+KCORE_ROUNDS = 3
+
+
+def _kcore_sql() -> str:
+    dir_edges = ("(SELECT a AS u, b AS w FROM edges "
+                 "UNION ALL SELECT b, a FROM edges)")
+    rounds = []
+    prev = "s0"
+    for t in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""d{t} AS (
+  SELECT u, count(*) AS deg FROM {dir_edges} e
+  JOIN {prev} x ON e.w = x.v JOIN {prev} y ON e.u = y.v GROUP BY u
+),
+s{t} AS (SELECT u AS v FROM d{t} WHERE deg >= {KCORE_K})"""
+        )
+        prev = f"s{t}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH nodes AS (SELECT doc_id AS v FROM documents),
+n AS (SELECT count(*) AS n FROM nodes),
+raw AS (
+  SELECT v AS a, (v + 1) % (SELECT n FROM n) AS b FROM nodes
+  UNION ALL
+  SELECT v AS a, v // 2 AS b FROM nodes WHERE v > 0
+),
+edges AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM raw WHERE a <> b
+),
+s0 AS (SELECT v FROM nodes),
+{body}
+SELECT v AS doc_id FROM {prev}
+"""
+
+
+@query("kcore_survivors", _kcore_sql())
+def q_kcore_survivors(sf_dir: str):
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64())})
+    n_docs = parquet_num_rows(sf_dir, "documents")
+    if n_docs == 0:
+        return empty
+    if n_docs < 32:
+        # degenerate shards: tiny graphs hit the empty-join-side trap;
+        # identical algorithm on the driver
+        import pyarrow.parquet as pq_mod
+
+        ids = pq_mod.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes = set(int(v) for v in ids)
+        N = len(ids)
+        edges = set()
+        for v in nodes:
+            for b in ((v + 1) % N, v // 2 if v > 0 else None):
+                if b is not None and b != v:
+                    edges.add((min(v, b), max(v, b)))
+        surv = set(nodes)
+        for _ in range(KCORE_ROUNDS):
+            deg: dict[int, int] = {}
+            for a, b in edges:
+                if a in surv and b in surv:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+            surv = {v for v in surv if deg.get(v, 0) >= KCORE_K}
+        return pa.table(
+            {"doc_id": pa.array(sorted(surv), type=pa.int64())}
+        )
+
+    docs = read_documents(sf_dir, ["doc_id"])
+    N = n_docs
+
+    def raw_edges(batch: pa.Table) -> pa.Table:
+        v = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ring_b = (v + 1) % N
+        tree_v = v[v > 0]
+        a = np.concatenate([v, tree_v])
+        b = np.concatenate([ring_b, tree_v // 2])
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return pa.table(
+            {
+                "doc_a": pa.array(lo[keep]),
+                "doc_b": pa.array(hi[keep]),
+            }
+        )
+
+    from .queries_dedup import _distinct_pairs
+
+    edges = (
+        _distinct_pairs(
+            docs.map_batches(
+                raw_edges, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .map_batches(
+            lambda t: pa.table({"u": t["doc_a"], "w": t["doc_b"]}),
+            batch_format="pyarrow",
+        )
+        .repartition(8)
+        .materialize()
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([u, w])),
+                "w": pa.array(np.concatenate([w, u])),
+            }
+        )
+
+    dir_edges = edges.map_batches(
+        both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(8).materialize()
+
+    survivors = docs.map_batches(
+        lambda t: pa.table({"v": t["doc_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).repartition(4).materialize()
+
+    for _ in range(KCORE_ROUNDS):
+        alive = dir_edges.join(
+            survivors,
+            join_type="inner",
+            num_partitions=8,
+            on=("w",),
+            right_on=("v",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t["u"].cast(pa.int64()),
+                    "deg": pa.array(
+                        np.ones(len(t), dtype=np.int64)
+                    ),
+                    "marker": pa.array(np.zeros(len(t), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        markers = survivors.map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t["v"].cast(pa.int64()),
+                    "deg": pa.array(np.zeros(len(t), dtype=np.int64)),
+                    "marker": pa.array(np.ones(len(t), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        survivors = (
+            alive.union(markers)
+            .groupby("u")
+            .aggregate(
+                Sum("deg", alias_name="deg"),
+                Max("marker", alias_name="marker"),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "v": t.filter(
+                            pc.and_(
+                                pc.equal(t["marker"], 1),
+                                pc.greater_equal(t["deg"], KCORE_K),
+                            )
+                        )["u"].cast(pa.int64())
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(4)
+            .materialize()
+        )
+
+    return survivors.map_batches(
+        lambda t: pa.table({"doc_id": t["v"]}), batch_format="pyarrow"
     )
