@@ -620,3 +620,112 @@ def q_scd2_history(sf_dir: str):
         .groupby("user_id")
         .map_groups(intervals, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily active users (the ubiquitous engagement metric): exact per-day
+# distinct-user counts. Per-batch (day, user) pre-dedup packs both into one
+# int64 key so the shuffle carries distinct pairs only and the aggregate
+# stays on the fast single-key path; final per-day count is a second tiny
+# aggregate over pair rows.
+# ---------------------------------------------------------------------------
+_DAU_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+@query("daily_active_users", _DAU_SQL)
+def q_daily_active_users(sf_dir: str):
+    from ray.data.aggregate import Max, Sum
+
+    empty = pa.table(
+        {
+            "day": pa.array([], type=pa.timestamp("us")),
+            "n_users": pa.array([], type=pa.int64()),
+            "n_events": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "events") == 0:
+        return empty
+
+    _US_PER_DAY = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // _US_PER_DAY
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        # distinct (day, user) pairs + per-pair event counts in one sweep;
+        # day fits far below 2^20, user below 2^43
+        key = day * (1 << 43) + uid
+        vals, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(vals.astype(np.int64)),
+                "n_events": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    pairs = (
+        _read(sf_dir, ["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "day_i": pa.array([], type=pa.int64()),
+                    "n_users": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                }
+            )
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        ev = batch["n_events"].to_numpy(zero_copy_only=False)
+        day = key >> 43
+        vals, inv = np.unique(day, return_inverse=True)
+        return pa.table(
+            {
+                "day_i": pa.array(vals.astype(np.int64)),
+                "n_users": pa.array(
+                    np.bincount(inv, minlength=len(vals)).astype(np.int64)
+                ),
+                "n_events": pa.array(
+                    np.bincount(
+                        inv, weights=ev, minlength=len(vals)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    days = (
+        pairs.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day_i")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        day_i = t["day_i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                # match the oracle's date_trunc: midnight timestamp[us]
+                "day": pa.array(
+                    (day_i * _US_PER_DAY).view("datetime64[us]")
+                ),
+                "n_users": t["n_users"].cast(pa.int64()),
+                "n_events": t["n_events"].cast(pa.int64()),
+            }
+        )
+
+    return days.map_batches(finish, batch_format="pyarrow")
