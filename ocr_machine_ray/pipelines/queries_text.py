@@ -3586,3 +3586,88 @@ def q_cooccur_pairs(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# ML feature-matrix assembly (quality-classifier training prep — the
+# fastText/DSIR-style feature table a curation team fits its quality model
+# on): per-doc integer quality counters + corpus-trained LM perplexity +
+# language one-hots, assembled with ONE doc-keyed hash join between the
+# counter scan and the (materialized) LM score table. The join key is the
+# uniform doc_id; everything else is batch-local.
+# ---------------------------------------------------------------------------
+_FEATURE_LANGS = ("de", "en", "es", "fr", "zh")
+
+_FEATURE_SQL = (
+    "WITH core AS ("
+    + _LM_SQL
+    + """),
+q AS (
+"""
+    + _QUALITY_SQL.replace("WITH toks AS", "  SELECT * FROM (WITH toks AS")
+    + """) )
+SELECT q.doc_id, q.n_tokens, q.total_token_len, q.n_stopword, q.n_repeat,
+       core.avg_bits_milli,
+"""
+    + ",\n".join(
+        f"       CAST(CASE WHEN d.lang = '{lg}' THEN 1 ELSE 0 END AS BIGINT)"
+        f" AS is_{lg}"
+        for lg in _FEATURE_LANGS
+    )
+    + """
+FROM q
+JOIN core USING (doc_id)
+JOIN documents d USING (doc_id)
+"""
+)
+
+
+@query("feature_matrix", _FEATURE_SQL)
+def q_feature_matrix(sf_dir: str):
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "total_token_len": pa.array([], type=pa.int64()),
+            "n_stopword": pa.array([], type=pa.int64()),
+            "n_repeat": pa.array([], type=pa.int64()),
+            "avg_bits_milli": pa.array([], type=pa.int64()),
+        }
+        | {f"is_{lg}": pa.array([], type=pa.int64())
+           for lg in _FEATURE_LANGS}
+    )
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return empty
+    lm = q_lm_score(sf_dir)
+    if isinstance(lm, pa.Table) and len(lm) == 0:
+        return empty
+    lm = lm.select_columns(["doc_id", "avg_bits_milli"]).repartition(4)
+
+    def counters(batch: pa.Table) -> pa.Table:
+        stats = quality_stats_batch(batch.select(["doc_id", "text"]))
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        out = {name: stats[name] for name in stats.column_names}
+        for lg in _FEATURE_LANGS:
+            out[f"is_{lg}"] = pa.array(
+                (lang == lg).astype(np.int64)
+            )
+        return pa.table(out)
+
+    feats = (
+        read_documents(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(counters, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+    )
+    joined = feats.join(
+        lm,
+        join_type="inner",
+        num_partitions=8,
+        on=("doc_id",),
+    )
+    cols = list(empty.column_names)
+    return joined.map_batches(
+        lambda t: pa.table({c: t[c].cast(pa.int64()) for c in cols}),
+        batch_format="pyarrow",
+    )
