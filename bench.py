@@ -97,6 +97,11 @@ BENCH_QUERIES = [
     "contrastive_pairs",
     "pq_encode",
     "ann_topk_pq",
+    "bm25_passages",
+    "cooccur_pairs",
+    "kcore_survivors",
+    "daily_active_users",
+    "feature_matrix",
 ]
 
 
