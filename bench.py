@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "kcore_survivors",
     "daily_active_users",
     "feature_matrix",
+    "recency_scores",
 ]
 
 

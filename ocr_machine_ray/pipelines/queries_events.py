@@ -729,3 +729,78 @@ def q_daily_active_users(sf_dir: str):
         )
 
     return days.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Recency-weighted activity scores (time-decay sampling prior: fresher
+# interactions count exponentially more — the weighting a recommender /
+# continual-pretraining mixer applies before sampling). Exact integer
+# half-life-per-day weights via bit shifts (1 << (HORIZON - age_days)), so
+# the oracle hashes exactly. One global max-ts aggregate (a scalar,
+# broadcast into the scan), one per-user Sum shuffle of pre-agg partials.
+# ---------------------------------------------------------------------------
+_RECENCY_HORIZON = 30
+
+_RECENCY_SQL = f"""
+WITH mx AS (SELECT date_trunc('day', max(ts)) AS m FROM events),
+w AS (
+  SELECT user_id,
+    CASE WHEN date_diff('day', date_trunc('day', ts), (SELECT m FROM mx))
+              <= {_RECENCY_HORIZON}
+         THEN CAST(1 AS BIGINT)
+              << ({_RECENCY_HORIZON}
+                  - date_diff('day', date_trunc('day', ts),
+                              (SELECT m FROM mx)))
+         ELSE CAST(0 AS BIGINT) END AS wt
+  FROM events
+)
+SELECT user_id, CAST(sum(wt) AS BIGINT) AS recency_score
+FROM w GROUP BY user_id
+"""
+
+
+@query("recency_scores", _RECENCY_SQL)
+def q_recency_scores(sf_dir: str):
+    from ray.data.aggregate import Max, Sum
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "recency_score": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "events") == 0:
+        return empty
+    _US_DAY = 86_400_000_000
+    ds = _read(sf_dir, ["user_id", "ts"])
+    max_us = ds.aggregate(Max("ts", alias_name="m"))["m"]
+    max_day = int(pd.Timestamp(max_us).value // 1000) // _US_DAY
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        age = max_day - ts // _US_DAY
+        wt = np.where(
+            age <= _RECENCY_HORIZON,
+            np.int64(1) << np.maximum(_RECENCY_HORIZON - age, 0),
+            0,
+        ).astype(np.int64)
+        vals, inv = np.unique(uid, return_inverse=True)
+        return pa.table(
+            {
+                "user_id": pa.array(vals),
+                "recency_score": pa.array(
+                    np.bincount(
+                        inv, weights=wt, minlength=len(vals)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("recency_score", alias_name="recency_score"))
+    )
