@@ -804,3 +804,83 @@ def q_recency_scores(sf_dir: str):
         .groupby("user_id")
         .aggregate(Sum("recency_score", alias_name="recency_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over the daily event rate (ingest-drift
+# monitoring: "which day did the feed change?"). Deviations are scaled to
+# integers (c_d * D - T) so the cumulative sum is exact; the distributed
+# part is the daily-count aggregate, the CUSUM itself runs on the D-row
+# result (one row per day — driver-side by size, like every final top-k
+# merge in this repo). Reported change point = day of max |CUSUM|,
+# earliest day on ties.
+# ---------------------------------------------------------------------------
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(c) AS t, count(*) AS d FROM daily),
+cs AS (
+  SELECT day,
+         sum(c * (SELECT d FROM tot) - (SELECT t FROM tot))
+           OVER (ORDER BY day) AS cusum
+  FROM daily
+)
+SELECT day, CAST(abs(cusum) AS BIGINT) AS cusum_abs
+FROM cs ORDER BY abs(cusum) DESC, day LIMIT 1
+"""
+
+
+@query("rate_changepoint", _CUSUM_SQL)
+def q_rate_changepoint(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {
+            "day": pa.array([], type=pa.timestamp("us")),
+            "cusum_abs": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "events") == 0:
+        return empty
+    _US_DAY = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // _US_DAY
+        vals, cnt = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "day_i": pa.array(vals.astype(np.int64)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    daily = (
+        _read(sf_dir, ["ts"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day_i")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # one row per DAY — tiny by construction
+    )
+    if daily.empty:
+        return empty
+    daily = daily.sort_values("day_i")
+    c = daily["c"].to_numpy().astype(np.int64)
+    D, T = len(c), int(c.sum())
+    cusum = np.cumsum(c * D - T)
+    order = np.lexsort((daily["day_i"].to_numpy(), -np.abs(cusum)))
+    i = int(order[0])
+    return pa.table(
+        {
+            "day": pa.array(
+                np.array(
+                    [daily["day_i"].iloc[i] * _US_DAY], dtype=np.int64
+                ).view("datetime64[us]")
+            ),
+            "cusum_abs": pa.array(
+                np.array([abs(int(cusum[i]))], dtype=np.int64)
+            ),
+        }
+    )
