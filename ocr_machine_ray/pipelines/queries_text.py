@@ -3671,3 +3671,87 @@ def q_feature_matrix(sf_dir: str):
         lambda t: pa.table({c: t[c].cast(pa.int64()) for c in cols}),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture quota apportionment (largest-remainder / Hare method): split a
+# fixed training budget across sources proportionally to their doc counts
+# with EXACT integer quotas that sum to the budget — the planning step
+# before temperature_sample executes a mixture. Distributed part is the
+# per-source count aggregate; the K-row apportionment runs on the driver
+# (K = source universe), same size-class as every final top-k merge.
+# ---------------------------------------------------------------------------
+_QUOTA_BUDGET = 10_000
+
+_QUOTA_SQL = f"""
+WITH s AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+t AS (SELECT sum(c) AS tot FROM s),
+base AS (
+  SELECT source, c,
+         (c * {_QUOTA_BUDGET}) // (SELECT tot FROM t) AS fl,
+         (c * {_QUOTA_BUDGET}) % (SELECT tot FROM t) AS rem
+  FROM s
+),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM base),
+g AS (SELECT {_QUOTA_BUDGET} - sum(fl) AS extra FROM base)
+SELECT source, CAST(c AS BIGINT) AS n_docs,
+       CAST(fl + CASE WHEN rk <= (SELECT extra FROM g) THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM r
+"""
+
+
+@query("source_quotas", _QUOTA_SQL)
+def q_source_quotas(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {
+            "source": pa.array([], type=pa.string()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "quota": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(src, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(vals.astype(str), type=pa.string()),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        read_documents(sf_dir, ["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # K rows, K = source universe
+    )
+    if counts.empty:
+        return empty
+    counts = counts.sort_values("source").reset_index(drop=True)
+    c = counts["c"].to_numpy().astype(np.int64)
+    tot = int(c.sum())
+    fl = (c * _QUOTA_BUDGET) // tot
+    rem = (c * _QUOTA_BUDGET) % tot
+    extra = _QUOTA_BUDGET - int(fl.sum())
+    # rank by remainder DESC, source ASC (counts already source-sorted)
+    order = np.lexsort((np.arange(len(c)), -rem))
+    quota = fl.copy()
+    quota[order[:extra]] += 1
+    assert int(quota.sum()) == _QUOTA_BUDGET
+    return pa.table(
+        {
+            "source": pa.array(counts["source"], type=pa.string()),
+            "n_docs": pa.array(c),
+            "quota": pa.array(quota.astype(np.int64)),
+        }
+    )
