@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "daily_active_users",
     "feature_matrix",
     "recency_scores",
+    "rate_changepoint",
+    "source_quotas",
 ]
 
 
