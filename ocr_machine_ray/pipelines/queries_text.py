@@ -3755,3 +3755,93 @@ def q_source_quotas(sf_dir: str):
             "quota": pa.array(quota.astype(np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard-skew audit (the pre-run balance report an operator reads before
+# launching a 100 TB job): row and byte counts per hash partition
+# (doc_id % P), plus each partition's share of the corpus in basis points
+# — the number that says whether the planned partitioning key is safe or
+# needs salting. One pass of per-batch bincounts, one P-row aggregate.
+# ---------------------------------------------------------------------------
+_SKEW_PARTS = 16
+
+_SKEW_SQL = f"""
+WITH p AS (
+  SELECT doc_id % {_SKEW_PARTS} AS partition_id,
+         n_chars
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM p)
+SELECT partition_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST((count(*) * 10000) // (SELECT n FROM tot) AS BIGINT)
+         AS share_bp
+FROM p GROUP BY partition_id
+"""
+
+
+@query("shard_skew_report", _SKEW_SQL)
+def q_shard_skew_report(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {
+            "partition_id": pa.array([], type=pa.int64()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "total_chars": pa.array([], type=pa.int64()),
+            "share_bp": pa.array([], type=pa.int64()),
+        }
+    )
+    n_total = parquet_num_rows(sf_dir, "documents")
+    if n_total == 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        part = ids % _SKEW_PARTS
+        n = np.bincount(part, minlength=_SKEW_PARTS).astype(np.int64)
+        ch = np.bincount(
+            part, weights=nch, minlength=_SKEW_PARTS
+        ).astype(np.int64)
+        keep = n > 0
+        return pa.table(
+            {
+                "partition_id": pa.array(
+                    np.arange(_SKEW_PARTS, dtype=np.int64)[keep]
+                ),
+                "n_docs": pa.array(n[keep]),
+                "total_chars": pa.array(ch[keep]),
+            }
+        )
+
+    agg = (
+        read_documents(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("partition_id")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "partition_id": t["partition_id"].cast(pa.int64()),
+                "n_docs": pa.array(nd),
+                "total_chars": t["total_chars"].cast(pa.int64()),
+                "share_bp": pa.array((nd * 10000) // n_total),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
