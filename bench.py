@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "recency_scores",
     "rate_changepoint",
     "source_quotas",
+    "shard_skew_report",
+    "weekly_active_users",
 ]
 
 

@@ -884,3 +884,133 @@ def q_rate_changepoint(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (WAU — windowed DISTINCT, the metric rolling
+# sums can't give you): for each observed day, distinct users active in
+# [day-6, day]. Distinct (day, user) pairs shuffle once; each pair then
+# fans out to at most 7 observed window days (bounded amplification), and
+# a second packed-key distinct + per-day count finishes. The observed-day
+# set (one row per day) broadcasts as a scalar-sized side.
+# ---------------------------------------------------------------------------
+_WAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM du),
+w AS (
+  SELECT days.d, du.user_id
+  FROM days JOIN du
+    ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+)
+SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_wau
+FROM w GROUP BY d
+"""
+
+
+@query("weekly_active_users", _WAU_SQL)
+def q_weekly_active_users(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    empty = pa.table(
+        {
+            "day": pa.array([], type=pa.timestamp("us")),
+            "n_wau": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "events") == 0:
+        return empty
+    _US_DAY = 86_400_000_000
+    ds = _read(sf_dir, ["user_id", "ts"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        key = (ts // _US_DAY) * (1 << 43) + uid
+        return pa.table({"key": pa.array(np.unique(key))})
+
+    pairs = (
+        ds.map_batches(
+            pair_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("key")
+        .aggregate(Count(alias_name="_c"))
+        .repartition(4)
+        .materialize()  # consumed twice: observed-day set + window fanout
+    )
+
+    # observed days: tiny (one per day) — broadcast into the fanout
+    day_rows = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "d": pa.array(
+                    np.unique(
+                        t["key"].to_numpy(zero_copy_only=False) >> 43
+                    ).astype(np.int64)
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    observed = np.unique(day_rows["d"].to_numpy().astype(np.int64))
+    observed_set = set(int(d) for d in observed)
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        if len(key) == 0:
+            return pa.table({"wkey": pa.array([], type=pa.int64())})
+        day = key >> 43
+        uid = key & ((1 << 43) - 1)
+        outs = []
+        for k in range(7):
+            wd = day + k
+            keep = np.isin(wd, observed)
+            outs.append(wd[keep] * (1 << 43) + uid[keep])
+        return pa.table(
+            {"wkey": pa.array(np.unique(np.concatenate(outs)))}
+        )
+
+    windowed = (
+        pairs.map_batches(fanout, batch_format="pyarrow")
+        .groupby("wkey")
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "day_i": pa.array([], type=pa.int64()),
+                    "n_wau": pa.array([], type=pa.int64()),
+                }
+            )
+        wd = batch["wkey"].to_numpy(zero_copy_only=False) >> 43
+        vals, cnt = np.unique(wd, return_counts=True)
+        return pa.table(
+            {
+                "day_i": pa.array(vals.astype(np.int64)),
+                "n_wau": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    days = (
+        windowed.map_batches(day_counts, batch_format="pyarrow")
+        .groupby("day_i")
+        .aggregate(Sum("n_wau", alias_name="n_wau"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        d = t["day_i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "day": pa.array((d * _US_DAY).view("datetime64[us]")),
+                "n_wau": t["n_wau"].cast(pa.int64()),
+            }
+        )
+
+    return days.map_batches(finish, batch_format="pyarrow")
