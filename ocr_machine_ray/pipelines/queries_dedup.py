@@ -1290,3 +1290,57 @@ def q_incremental_neardup(sf_dir: str):
         .groupby("doc_id")
         .aggregate(Max("is_dup", alias_name="is_dup"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram (the one-slide dedup report: how much
+# of the corpus is singletons vs 2x vs heavy clusters). Rides the exact
+# dedup aggregate and adds one tiny histogram aggregate over its
+# (hash, n_copies) output — cluster sizes are the only thing that
+# shuffles twice, and the second key space is the histogram support.
+# ---------------------------------------------------------------------------
+_DUP_HIST_SQL = """
+WITH groups AS (
+  SELECT md5(text) AS h, count(*) AS n_copies
+  FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+)
+SELECT CAST(n_copies AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n_copies) AS BIGINT) AS n_docs
+FROM groups GROUP BY n_copies
+"""
+
+
+@query("dup_size_histogram", _DUP_HIST_SQL)
+def q_dup_size_histogram(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    groups = q_dedup_exact(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "cluster_size": pa.array([], type=pa.int64()),
+                    "n_clusters": pa.array([], type=pa.int64()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                }
+            )
+        n = batch["n_copies"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnt = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "cluster_size": pa.array(vals),
+                "n_clusters": pa.array(cnt.astype(np.int64)),
+                "n_docs": pa.array((vals * cnt).astype(np.int64)),
+            }
+        )
+
+    return (
+        groups.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(
+            Sum("n_clusters", alias_name="n_clusters"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
