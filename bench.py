@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "source_quotas",
     "shard_skew_report",
     "weekly_active_users",
+    "dup_size_histogram",
 ]
 
 
