@@ -37,3 +37,22 @@ def test_job_entry_runs_and_resumes(tmp_path):
     assert second["partitions_skipped"] == 8
     assert second["partitions_written"] == 0
     assert second["rows_written"] == 0
+
+
+def test_bench_queries_all_registered():
+    """bench.py's timed list must stay in sync with the registry — a typo
+    here fails the driver's per-round bench, not just a local run."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from ocr_machine_ray import registry
+
+    qs = registry.queries()
+    missing = [n for n in bench.BENCH_QUERIES if n not in qs]
+    assert not missing, missing
+    # and the list keeps covering a healthy slice of the registry
+    assert len(bench.BENCH_QUERIES) >= 60
