@@ -294,7 +294,7 @@ def main_single() -> None:
         {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries(SF_DIR)
     )
     result = {
-        "metric": "extraction wall seconds over amplified corpus (lower is better; throughput in docs_per_sec)",
+        "metric": "extraction wall sec (amplified corpus)",
         "value": round(head["wall_sec"], 3),
         "unit": "sec",
         "docs_per_sec": round(head["docs_per_sec"], 1),
@@ -312,7 +312,37 @@ def main_single() -> None:
             round(head_a["wall_sec"], 3), round(head_b["wall_sec"], 3)
         ],
     }
-    print(json.dumps(result))
+    # BENCH contract (VERDICT r2 action 5): the driver keeps only a tail of
+    # stdout and json-parses the last line — the full 70+-query dict
+    # overflowed its window in r2 ("parsed": null). Emit a COMPACT headline
+    # line LAST (guaranteed parseable), with the full per-query detail on an
+    # earlier line and mirrored to BENCH_LOCAL.json for humans.
+    full = dict(result)
+    compact = {k: v for k, v in result.items() if k != "queries"}
+    # keep per-query timings in the parsed line but cap its byte size: emit
+    # the slowest entries first and stop before the driver's tail window
+    qitems = sorted(queries.items(), key=lambda kv: -kv[1])
+    kept: dict[str, float] = {}
+    budget = 1800  # bytes for the queries dict inside the compact line
+    used = 0
+    for k, v in qitems:
+        cost = len(k) + 12
+        if used + cost > budget:
+            break
+        kept[k] = v
+        used += cost
+    compact["queries"] = kept
+    compact["n_queries_timed"] = len(queries)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"), "w"
+        ) as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(full, separators=(",", ":")))
+    print(json.dumps(compact, separators=(",", ":")))
     ray.shutdown()
 
 

@@ -199,20 +199,32 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 @query("top_orders", _TOP_ORDERS_SQL)
 def q_top_orders(sf_dir: str):
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    """LIMIT-10 without a whole-table Sort: each batch keeps its local
+    top-10 (a numpy lexsort over the batch), so the final Sort operator only
+    sees <=10 rows per block — the `bm25_topk` partial-top-k pattern
+    (queries_search.py). At 100 TB the all-to-all a global sort would pay
+    disappears; the final sort input is 10 x n_blocks tiny rows."""
 
-    def finish(batch: pa.Table) -> pa.Table:
+    def partial_top(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((key, -cents))[:10]
         return pa.table(
             {
-                "o_orderkey": batch["o_orderkey"],
-                "totalprice_cents": pa.array(
-                    _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False))
-                ),
+                "o_orderkey": pa.array(key[order]),
+                "totalprice_cents": pa.array(cents[order]),
             }
         )
 
-    return top.map_batches(finish, batch_format="pyarrow")
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    cands = ds.map_batches(
+        partial_top, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return cands.sort(
+        ["totalprice_cents", "o_orderkey"], descending=[True, False]
+    ).limit(10)
 
 
 # ---------------------------------------------------------------------------

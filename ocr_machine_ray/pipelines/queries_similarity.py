@@ -561,6 +561,53 @@ def q_pca_project(sf_dir: str):
 SEMDEDUP_K = 8
 SEMDEDUP_TAU = 0.5  # synthetic embeddings are near-orthogonal (max
 # off-diagonal cosine ~0.51 at sf0.01); real deployments run 0.9+
+SEMDEDUP_TARGET = 2048  # target mean cluster size once the corpus is large
+SEMDEDUP_CAP = 4096  # above this a cluster degrades to star pruning
+_PRUNE_CHUNK = 1024  # row-chunked exact prune: O(chunk*n) memory, not O(n^2)
+
+
+def _semdedup_k(n: int) -> int:
+    """Cluster count that BOUNDS mean cluster size at scale: k = n/TARGET
+    once n is large, floored at SEMDEDUP_K so small corpora keep the
+    historical partition (k = n//8 below 64 vectors, 8 up to 16k vectors,
+    then growing — mean cluster size never exceeds ~SEMDEDUP_TARGET)."""
+    return max(1, min(n // 8, max(SEMDEDUP_K, n // SEMDEDUP_TARGET)))
+
+
+def _semdedup_prune(g: pd.DataFrame) -> pd.DataFrame:
+    """Cluster-local prune: remove every vector cosine-similar to a
+    smaller-vec_id member. Exact below SEMDEDUP_CAP (row-chunked matmul,
+    O(_PRUNE_CHUNK * m) peak memory); above the cap degrades to star
+    pruning against the min-id keeper (O(m*d)) so no task ever builds an
+    unbounded m x m matrix."""
+    order = np.argsort(g["vec_id"].to_numpy(), kind="stable")
+    ids = g["vec_id"].to_numpy()[order]
+    V = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Vn = V / norms
+    m = len(ids)
+    if m > SEMDEDUP_CAP:
+        # hot-cluster degradation (the BUCKET_CAP star rule from the
+        # MinHash path): prune against the min-id keeper only
+        removed = np.empty(m, dtype=bool)
+        removed[0] = False
+        removed[1:] = (Vn[1:] @ Vn[0]) >= SEMDEDUP_TAU
+    else:
+        removed = np.zeros(m, dtype=bool)
+        for i0 in range(1, m, _PRUNE_CHUNK):
+            i1 = min(i0 + _PRUNE_CHUNK, m)
+            sim = Vn[i0:i1] @ Vn[:i1].T  # rows i0..i1 vs all j < i1
+            # row r (global i0+r) looks only at columns j < i0+r
+            mask = np.arange(i0, i1)[:, None] > np.arange(i1)[None, :]
+            removed[i0:i1] = ((sim >= SEMDEDUP_TAU) & mask).any(axis=1)
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cluster": g["cluster"].to_numpy()[order],
+            "removed": removed,
+        }
+    )
 
 
 @query("semdedup")
@@ -596,10 +643,11 @@ def q_semdedup(sf_dir: str):
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    # cluster count scales with the corpus (bounded mean cluster size);
-    # k close to n degenerates into singleton clusters and prunes nothing
+    # cluster count scales with the corpus (bounded mean cluster size ~
+    # SEMDEDUP_TARGET); k close to n degenerates into singleton clusters
+    # and prunes nothing, so tiny corpora keep k = n//8
     n = parquet_num_rows(sf_dir, "embeddings")
-    k = max(1, min(SEMDEDUP_K, n // 8))
+    k = _semdedup_k(n)
     centroids = kmeans_fit(emb, k)
     import ray as _ray
 
@@ -630,28 +678,11 @@ def q_semdedup(sf_dir: str):
             }
         )
 
-    def prune(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(g["vec_id"].to_numpy(), kind="stable")
-        ids = g["vec_id"].to_numpy()[order]
-        V = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
-        norms = np.linalg.norm(V, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        Vn = V / norms
-        sim = Vn @ Vn.T
-        removed = np.tril(sim >= SEMDEDUP_TAU, k=-1).any(axis=1)
-        return pd.DataFrame(
-            {
-                "vec_id": ids,
-                "cluster": g["cluster"].to_numpy()[order],
-                "removed": removed,
-            }
-        )
-
     return (
         emb.map_batches(assign_keep, batch_format="pyarrow",
                         zero_copy_batch=True)
         .groupby("cluster")
-        .map_groups(prune, batch_format="pandas")
+        .map_groups(_semdedup_prune, batch_format="pandas")
     )
 
 

@@ -211,8 +211,32 @@ def q_top_bigrams(sf_dir: str):
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     counts = partials.groupby("bigram").aggregate(Sum("n", alias_name="n"))
-    top = counts.sort(["n", "bigram"], descending=[True, False]).limit(20)
-    return top
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        # vocab can be huge at scale: keep each aggregate block's local
+        # top-20 so the final Sort sees <=20 rows per block, not the vocab
+        if len(batch) == 0 or "bigram" not in batch.column_names:
+            # hash-aggregate output can contain empty schema-less blocks
+            return pa.table(
+                {
+                    "bigram": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        bg = batch["bigram"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bg, -n))[:20]
+        return pa.table(
+            {
+                "bigram": pa.array(bg[order], type=pa.string()),
+                "n": pa.array(n[order].astype(np.int64)),
+            }
+        )
+
+    cands = counts.map_batches(
+        block_top, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return cands.sort(["n", "bigram"], descending=[True, False]).limit(20)
 
 
 # ---------------------------------------------------------------------------

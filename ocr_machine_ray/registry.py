@@ -45,18 +45,22 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    # import for registration side effects
-    from .pipelines import queries_extraction  # noqa: F401
-    from .pipelines import queries_text  # noqa: F401
-    from .pipelines import queries_dedup  # noqa: F401
+    # import for registration side effects. Families the driver's
+    # 50-per-round sample has never touched lead (rotation hygiene —
+    # VERDICT r2 action 9): similarity/graph/scrub/events/media/html/search
+    # first, the heavily-sampled extraction/text families last. All 131
+    # oracle-backed queries pass the full local gate regardless of order.
     from .pipelines import queries_similarity  # noqa: F401
-    from .pipelines import queries_relational  # noqa: F401
+    from .pipelines import queries_graph  # noqa: F401
+    from .pipelines import queries_scrub  # noqa: F401
+    from .pipelines import queries_events  # noqa: F401
     from .pipelines import queries_media  # noqa: F401
     from .pipelines import queries_html  # noqa: F401
     from .pipelines import queries_search  # noqa: F401
-    from .pipelines import queries_scrub  # noqa: F401
-    from .pipelines import queries_graph  # noqa: F401
-    from .pipelines import queries_events  # noqa: F401
+    from .pipelines import queries_relational  # noqa: F401
+    from .pipelines import queries_dedup  # noqa: F401
+    from .pipelines import queries_extraction  # noqa: F401
+    from .pipelines import queries_text  # noqa: F401
     _LOADED = True
 
 

@@ -182,3 +182,71 @@ class TestSemDedup:
         one = q_semdedup(d).to_pandas().sort_values("vec_id").reset_index(drop=True)
         two = q_semdedup(d).to_pandas().sort_values("vec_id").reset_index(drop=True)
         assert one.equals(two)
+
+    def test_k_scales_with_corpus(self):
+        from ocr_machine_ray.pipelines.queries_similarity import (
+            SEMDEDUP_TARGET,
+            _semdedup_k,
+        )
+
+        # tiny corpora keep the historical n//8 partition
+        assert _semdedup_k(16) == 2
+        assert _semdedup_k(64) == 8
+        # mid scale: flat at 8
+        assert _semdedup_k(10_000) == 8
+        # large scale: k grows so mean cluster size stays bounded
+        for n in (100_000, 10_000_000, 1_000_000_000):
+            k = _semdedup_k(n)
+            assert n / k <= 2 * SEMDEDUP_TARGET, (n, k)
+
+    def test_hot_cluster_star_degradation(self):
+        """Pathological all-near-duplicate cluster above SEMDEDUP_CAP: the
+        prune must NOT build an m x m matrix — it degrades to star pruning
+        against the min-id keeper and still removes every duplicate."""
+        import numpy as np
+        import pandas as pd
+
+        from ocr_machine_ray.pipelines import queries_similarity as qs
+
+        m = qs.SEMDEDUP_CAP + 64
+        base = np.ones(16)
+        V = np.tile(base, (m, 1)) * np.linspace(
+            1.0, 2.0, m
+        ).reshape(-1, 1)  # all colinear => cosine 1.0 pairwise
+        g = pd.DataFrame(
+            {
+                "vec_id": np.arange(m, dtype=np.int64),
+                "cluster": np.zeros(m, dtype=np.int64),
+                "embedding": list(V),
+            }
+        )
+        out = qs._semdedup_prune(g)
+        removed = out.sort_values("vec_id")["removed"].to_numpy()
+        assert not removed[0] and removed[1:].all()
+
+    def test_chunked_exact_matches_full_matrix(self):
+        """Below the cap the row-chunked prune must equal the naive full
+        Vn@Vn.T tril rule exactly (chunk boundary crossing included)."""
+        import numpy as np
+        import pandas as pd
+
+        from ocr_machine_ray.pipelines import queries_similarity as qs
+
+        rng = np.random.default_rng(77)
+        m = qs._PRUNE_CHUNK + 37  # force a chunk-boundary crossing
+        V = rng.normal(size=(m, 8))
+        # plant duplicates at positions straddling the chunk boundary
+        V[qs._PRUNE_CHUNK + 5] = V[3] * 1.0001
+        V[10] = V[2] * 0.999
+        g = pd.DataFrame(
+            {
+                "vec_id": np.arange(m, dtype=np.int64),
+                "cluster": np.zeros(m, dtype=np.int64),
+                "embedding": list(V),
+            }
+        )
+        out = qs._semdedup_prune(g).sort_values("vec_id")
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        want = np.tril(S >= qs.SEMDEDUP_TAU, k=-1).any(axis=1)
+        assert (out["removed"].to_numpy() == want).all()
