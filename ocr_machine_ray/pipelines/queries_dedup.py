@@ -480,8 +480,103 @@ def _edges_both_dirs(t: pa.Table) -> pa.Table:
     )
 
 
-def connected_components(pair_ds, max_rounds: int = 50):
+# Below this many (directed) edges the contracted star partials are small
+# enough for a driver-side union-find combine — the same mergeable-partial
+# pattern as kmeans_fit's k*d sums. Above it, the join-based label
+# propagation below carries the load with no driver state.
+CC_DRIVER_EDGE_CAP = 4_000_000
+
+
+def _local_star_edges(t: pa.Table) -> pa.Table:
+    """Block-local CC contraction: vectorized min-label propagation over
+    the block's edges (pointer jumping, O(log local-diameter) numpy
+    rounds), emitting one (n, lbl) star edge per node. Spanning forests
+    are mergeable: the union of per-block stars has exactly the components
+    of the union of block edge sets, and each block's output is bounded by
+    its distinct-node count, never its edge count."""
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    if len(src) == 0:
+        return pa.table(
+            {
+                "n": pa.array([], type=pa.int64()),
+                "lbl": pa.array([], type=pa.int64()),
+            }
+        )
+    # edges are emitted both-directions globally, but repartition may split
+    # the two directions of one pair across blocks: the node universe of
+    # THIS block is src ∪ dst, and propagation must run both ways locally
+    nodes = np.unique(np.concatenate([src, dst]))
+    isrc = np.searchsorted(nodes, src)
+    idst = np.searchsorted(nodes, dst)
+    lbl = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        cand = lbl.copy()
+        np.minimum.at(cand, idst, lbl[isrc])
+        np.minimum.at(cand, isrc, lbl[idst])
+        cand = np.minimum(cand, cand[cand])  # pointer jump
+        if (cand == lbl).all():
+            break
+        lbl = cand
+    return pa.table(
+        {
+            "n": pa.array(nodes, type=pa.int64()),
+            "lbl": pa.array(nodes[lbl], type=pa.int64()),
+        }
+    )
+
+
+def _driver_union_find(star_batches) -> pd.DataFrame:
+    """Combine per-block star edges with a union-by-min union-find. Driver
+    state is O(nodes in the dup graph) — gated by CC_DRIVER_EDGE_CAP, and
+    the dup graph is orders of magnitude smaller than the corpus."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes: set[int] = set()
+    for b in star_batches:
+        ns = b["n"].to_numpy(zero_copy_only=False)
+        ls = b["lbl"].to_numpy(zero_copy_only=False)
+        nodes.update(ns.tolist())
+        for a, c in zip(ns.tolist(), ls.tolist()):
+            if a == c:
+                continue
+            ra, rc = find(a), find(c)
+            if ra != rc:
+                # attach the larger root under the smaller: the root IS
+                # the component's min id, matching the SQL oracle's label
+                if ra < rc:
+                    parent[rc] = ra
+                else:
+                    parent[ra] = rc
+    out = sorted(nodes)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(out, dtype="int64"),
+            "cluster": pd.Series([find(n) for n in out], dtype="int64"),
+        }
+    )
+
+
+def connected_components(
+    pair_ds, max_rounds: int = 50, driver_edge_cap: int = CC_DRIVER_EDGE_CAP
+):
     """Distributed connected components over a (doc_a, doc_b) pair Dataset.
+
+    Small/medium dup graphs (directed edge count <= driver_edge_cap) take
+    the ONE-PASS path: each block contracts its edges to star edges
+    (`_local_star_edges`, a mergeable spanning-forest partial), and the
+    driver folds the streamed stars with a union-find — no join rounds at
+    all, so the ray 2.49 per-join fixed cost (~2.5 s/round measured) never
+    applies. Above the cap, the iterative join-based label propagation
+    below runs with zero driver state.
 
     Min-label propagation with pointer jumping, ONE hash join per round:
     the label table is re-emitted as synthetic edges (lbl(n) -> n) and
@@ -509,6 +604,13 @@ def connected_components(pair_ds, max_rounds: int = 50):
         return pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"),
              "cluster": pd.Series([], dtype="int64")}
+        )
+    if n_edges <= driver_edge_cap:
+        stars = edges.map_batches(
+            _local_star_edges, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return _driver_union_find(
+            stars.iter_batches(batch_size=None, batch_format="pyarrow")
         )
     # shuffle width follows the data: tiny dup graphs shouldn't pay 8
     # partitions of fixed join cost, 10^10-edge graphs shouldn't squeeze

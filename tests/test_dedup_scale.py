@@ -111,6 +111,57 @@ class TestConnectedComponents:
         out = self._run(pairs, ray_session)
         assert len(out) == 0
 
+    def test_join_path_matches_driver_path(self, ray_session):
+        """Both CC paths (one-pass star-contraction + driver union-find vs
+        iterative join-based label propagation) must agree label-for-label
+        on a graph with chains, a cycle, and singleton-adjacent parts."""
+        import ray.data
+
+        from ocr_machine_ray.pipelines.queries_dedup import (
+            connected_components,
+        )
+
+        rng = np.random.default_rng(5)
+        # random forest-ish pairs over 200 nodes plus a cycle
+        a = rng.integers(0, 200, size=150)
+        b = rng.integers(0, 200, size=150)
+        keep = a != b
+        pairs = pd.DataFrame(
+            {
+                "doc_a": np.concatenate([a[keep], [300, 301, 302]]),
+                "doc_b": np.concatenate([b[keep], [301, 302, 300]]),
+            }
+        ).astype("int64")
+        fast = connected_components(ray.data.from_pandas(pairs))
+        assert isinstance(fast, pd.DataFrame)  # took the driver path
+        slow = connected_components(
+            ray.data.from_pandas(pairs), driver_edge_cap=0
+        )
+        if not isinstance(slow, pd.DataFrame):
+            slow = slow.to_pandas().rename(
+                columns={"n": "doc_id", "lbl": "cluster"}
+            )
+        f = fast.sort_values("doc_id").reset_index(drop=True)
+        s = slow.sort_values("doc_id").reset_index(drop=True)
+        assert (f["doc_id"].to_numpy() == s["doc_id"].to_numpy()).all()
+        assert (f["cluster"].to_numpy() == s["cluster"].to_numpy()).all()
+
+    def test_local_star_edges_contraction(self):
+        from ocr_machine_ray.pipelines.queries_dedup import (
+            _local_star_edges,
+        )
+
+        # path 0-1-2-3 both dirs in one block: all collapse to label 0
+        t = pa.table(
+            {
+                "src": pa.array([0, 1, 1, 2, 2, 3], type=pa.int64()),
+                "dst": pa.array([1, 0, 2, 1, 3, 2], type=pa.int64()),
+            }
+        )
+        out = _local_star_edges(t).to_pandas().sort_values("n")
+        assert out["n"].tolist() == [0, 1, 2, 3]
+        assert out["lbl"].tolist() == [0, 0, 0, 0]
+
 
 class TestPrefixFilter:
     def test_prefix_rows_cover_all_similar_pairs(self):
