@@ -225,17 +225,31 @@ def q_knn_classify(sf_dir: str):
 # column (rows-only: learned clustering has no SQL oracle; convergence and
 # blob-separation are asserted in pytest).
 # ---------------------------------------------------------------------------
-def _fit_quantizer(emb):
+def _fit_quantizer(emb, sf_dir: str | None = None):
     """k-means coarse quantizer fit on a hard-capped materialized sample
     (bounded object-store footprint at any corpus size); falls back to the
     head of the table when the proportional sample of a tiny shard comes
-    up empty."""
+    up empty. With $GRAFT_INDEX_DIR set and sf_dir given, the centroids
+    persist as an index artifact and later runs LOAD instead of refitting
+    (state/index_store.py)."""
     from ..functions.similarity import kmeans_fit
+    from ..state.index_store import fit_or_load
 
-    fit_ds = emb.random_sample(0.5, seed=42).limit(100_000).materialize()
-    if fit_ds.count() == 0:
-        fit_ds = emb.limit(100_000).materialize()
-    return kmeans_fit(fit_ds, k=8, n_iter=5)
+    def fit():
+        fit_ds = emb.random_sample(0.5, seed=42).limit(100_000).materialize()
+        if fit_ds.count() == 0:
+            fit_ds = emb.limit(100_000).materialize()
+        return {"centroids": kmeans_fit(fit_ds, k=8, n_iter=5)}
+
+    if sf_dir is None:
+        return fit()["centroids"]
+    return fit_or_load(
+        "ivf_quantizer",
+        sf_dir,
+        "embeddings",
+        {"k": 8, "n_iter": 5, "seed": 42},
+        fit,
+    )["centroids"]
 
 
 @query("ivf_clusters")
@@ -258,7 +272,7 @@ def q_ivf_clusters(sf_dir: str):
     )
     # fit on the capped sample (see _fit_quantizer); assignment then
     # streams once over the lazy full read
-    return kmeans_assign(emb, _fit_quantizer(emb))
+    return kmeans_assign(emb, _fit_quantizer(emb, sf_dir))
 
 
 @query("ann_topk_ivf")
@@ -280,7 +294,7 @@ def q_ann_topk_ivf(sf_dir: str):
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    centroids = _fit_quantizer(emb)
+    centroids = _fit_quantizer(emb, sf_dir)
     ref = ray.put(_load_queries(sf_dir))
     partials = emb.map_batches(
         IvfTopK,
@@ -981,6 +995,54 @@ def pq_decode(packed: np.ndarray, books: np.ndarray) -> np.ndarray:
     return out
 
 
+def _pq_codebooks(sf_dir: str, emb, normalized: bool):
+    """Sample + train PQ codebooks, persisted as an index artifact when
+    $GRAFT_INDEX_DIR is set (fit once, load on every later run — the
+    sample scan and Lloyd's loop are skipped entirely on a hit). Returns
+    None when the sample comes up empty (degenerate shard)."""
+    from ..state.index_store import fit_or_load
+
+    class _EmptySample(Exception):
+        pass
+
+    def fit():
+        n = emb.count()
+        frac = min(1.0, 512 / max(1, n))
+        sample_rows = emb.random_sample(frac, seed=7).take(512)
+        if not sample_rows:
+            return None
+        # block arrival order is nondeterministic under streaming
+        # execution; codebook training must not depend on it
+        sample_rows = sorted(sample_rows, key=lambda r: r["vec_id"])
+        sample = np.stack(
+            [
+                np.asarray(r["embedding"], dtype=np.float64)
+                for r in sample_rows
+            ]
+        )
+        if normalized:
+            sn = np.linalg.norm(sample, axis=1, keepdims=True)
+            sample = sample / np.where(sn == 0, 1.0, sn)
+        return {"books": pq_train_codebooks(sample)}
+
+    def fit_guarded():
+        out = fit()
+        if out is None:
+            raise _EmptySample()
+        return out
+
+    try:
+        return fit_or_load(
+            "pq_codebooks",
+            sf_dir,
+            "embeddings",
+            {"normalized": normalized, "seed": 7, "cap": 512},
+            fit_guarded,
+        )["books"]
+    except _EmptySample:
+        return None
+
+
 @query("pq_encode")
 def q_pq_encode(sf_dir: str):
     import pyarrow as pa
@@ -998,18 +1060,10 @@ def q_pq_encode(sf_dir: str):
     if parquet_num_rows(sf_dir, "embeddings") == 0:
         return empty
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    n = emb.count()
-    frac = min(1.0, 512 / max(1, n))
-    sample_rows = emb.random_sample(frac, seed=7).take(512)
-    if not sample_rows:
+    books = _pq_codebooks(sf_dir, emb, normalized=False)
+    if books is None:
         return empty
-    # block arrival order is nondeterministic under streaming execution;
-    # codebook training must not depend on it
-    sample_rows = sorted(sample_rows, key=lambda r: r["vec_id"])
-    sample = np.stack(
-        [np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows]
-    )
-    books_ref = ray.put(pq_train_codebooks(sample))
+    books_ref = ray.put(books)
 
     class Encoder:
         def __init__(self, ref):
@@ -1066,17 +1120,9 @@ def q_ann_topk_pq(sf_dir: str):
     Qn = Q / np.where(qn == 0, 1.0, qn)
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    n = emb.count()
-    frac = min(1.0, 512 / max(1, n))
-    sample_rows = emb.random_sample(frac, seed=7).take(512)
-    if not sample_rows:
+    books = _pq_codebooks(sf_dir, emb, normalized=True)
+    if books is None:
         return _empty_topk()
-    sample_rows = sorted(sample_rows, key=lambda r: r["vec_id"])
-    sample = np.stack(
-        [np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows]
-    )
-    sn = np.linalg.norm(sample, axis=1, keepdims=True)
-    books = pq_train_codebooks(sample / np.where(sn == 0, 1.0, sn))
     sub = books.shape[2]
     luts = np.zeros((len(q_ids), PQ_SUBSPACES, PQ_K), dtype=np.float64)
     for s in range(PQ_SUBSPACES):
