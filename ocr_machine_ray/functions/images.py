@@ -435,23 +435,68 @@ def compress_quantize(img: np.ndarray, levels: int = 16) -> np.ndarray:
     return ((img // step) * step + step // 2).clip(0, 255).astype(np.uint8)
 
 
+def have_pil() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def have_cv2() -> bool:
+    try:
+        import cv2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_with_libs(payload: bytes) -> np.ndarray | None:
+    """Real-codec path, active only when an imaging library is installed
+    (gated like have_lance(), sources/readers.py). Returns a grayscale
+    uint8 array, or None when no library is present."""
+    if have_pil():
+        import io
+
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8)
+    if have_cv2():
+        import cv2
+
+        arr = cv2.imdecode(
+            np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_GRAYSCALE
+        )
+        return None if arr is None else arr.astype(np.uint8)
+    return None
+
+
 def decode_external(payload: bytes, codec: str, fake: bool = False) -> np.ndarray:
-    """Decode an external media payload. PNG is REAL (pure numpy/zlib codec
-    in functions/png.py, all five scanline filters); JPEG/video remain
-    stubs (no imaging libraries in this container — swap in cv2/PIL here
-    in production). fake=True returns a payload-hash-seeded image for
-    plumbing tests of the stubbed codecs."""
+    """Decode an external media payload. PNG/PGM/PPM are REAL (pure
+    numpy/zlib codec in functions/png.py, all five scanline filters).
+    JPEG/WebP/etc decode through PIL or cv2 WHEN INSTALLED (import-try
+    gate); in this container neither is present, so those codecs fall to
+    the deterministic fake (fake=True, for plumbing tests) or raise.
+    Video remains a documented stub either way (frame demux needs a real
+    container parser)."""
     if codec.lower() == "png":
         return png_decode(payload)
     if codec.lower() in ("pgm", "ppm", "pnm"):
         return pnm_decode(payload)
+    if codec.lower() not in ("video", "mp4", "webm"):
+        decoded = _decode_with_libs(payload)
+        if decoded is not None:
+            return decoded
     if fake:
         seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
         rng = np.random.default_rng(seed)
         return rng.integers(0, 256, (MEDIA_H, MEDIA_W), dtype=np.uint8)
     raise NotImplementedError(
         f"codec {codec!r}: no imaging libraries in this environment; "
-        "swap in cv2/PIL decode here in production"
+        "PIL/cv2 activate automatically when installed"
     )
 
 

@@ -74,16 +74,61 @@ def _make_weights(seed: int = 42) -> dict[str, np.ndarray]:
     return {"w_rows": w_rows, "bias": np.float32(-0.25)}
 
 
+def have_torch() -> bool:
+    try:
+        import torch  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 class ModelScorer:
     """Actor-pool scorer: checkpoint 'loaded' once per actor; batches are
     normalized, stacked, and scored in one vectorized pass; verdict =
-    sigmoid(score) >= 0.5 (model_inference_test.py:100)."""
+    sigmoid(score) >= 0.5 (model_inference_test.py:100).
 
-    def __init__(self, threshold: float = 0.5, seed: int = 42):
+    Real-model seam: pass ckpt_path (or set $GRAFT_TORCH_CKPT) to load a
+    TorchScript checkpoint when torch is installed — the module's forward
+    takes the (n, 1, H, W) normalized float32 stack and returns per-image
+    probabilities, the same contract as the reference's MobileNetV3 head
+    (model_inference_test.py:71-100). Torch is absent from this container,
+    so the deterministic linear stand-in remains the default; the gate +
+    load run once per ACTOR (__init__), never per batch."""
+
+    def __init__(
+        self,
+        threshold: float = 0.5,
+        seed: int = 42,
+        ckpt_path: str | None = None,
+    ):
+        import os
+
         self.weights = _make_weights(seed)
         self.threshold = threshold
+        self.torch_model = None
+        ckpt = ckpt_path or os.environ.get("GRAFT_TORCH_CKPT")
+        if ckpt and have_torch():
+            import torch
+
+            self.torch_model = torch.jit.load(ckpt, map_location="cpu")
+            self.torch_model.eval()
 
     def _score(self, stack: np.ndarray) -> np.ndarray:
+        if self.torch_model is not None:
+            import torch
+
+            with torch.no_grad():
+                t = torch.from_numpy(
+                    stack[:, None, :, :].astype(np.float32)
+                )
+                return (
+                    self.torch_model(t).reshape(-1).cpu().numpy()
+                    .astype(np.float64)
+                )
+        return self._score_standin(stack)
+
+    def _score_standin(self, stack: np.ndarray) -> np.ndarray:
         # stack: (n, H, W) normalized [-1, 1]. Feature: per-row fraction of
         # strongly dark pixels — a strike line is a WIDE dark run in the
         # center band, text strokes are sparse; max over weighted rows.
