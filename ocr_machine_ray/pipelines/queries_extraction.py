@@ -442,3 +442,143 @@ def q_lineage_records(sf_dir: str):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return pd.DataFrame(records)
+
+
+# ---------------------------------------------------------------------------
+# trp pipeline-component analogs (reference python_files/other/README.md,
+# "Pipeline" section): merge_tables + kv_ocr_confidence. Our block model
+# derives tables from media spans (table j at token 10(j+1)) and words from
+# text tokens; confidences and column counts come from closed-form rules so
+# the DuckDB oracle computes identical values.
+# ---------------------------------------------------------------------------
+_CONF_RULE = "9000 + (doc_id*31 + (i-1)*17) % 1000"  # WORD k=i-1, basis pts
+
+_KV_CONF_SQL = f"""
+WITH {SQL_TOKS}
+SELECT doc_id,
+       CAST((i-1)//10 AS BIGINT) AS line_idx,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(min({_CONF_RULE}) AS BIGINT) AS conf_min_bp,
+       CAST(sum({_CONF_RULE}) AS BIGINT) AS conf_sum_bp
+FROM toks GROUP BY doc_id, (i-1)//10
+"""
+
+
+@query("kv_ocr_confidence", _KV_CONF_SQL)
+def q_kv_ocr_confidence(sf_dir: str):
+    """add_kv_ocr_confidence analog (trp t_pipeline, reference
+    python_files/other/README.md "Add OCR confidence score to KEY and
+    VALUE"): each container block (our LINE = the KEY_VALUE_SET analog)
+    gets min + sum of its WORD children's OCR confidences. Confidence is
+    the closed-form integer rule above (basis points) so values are
+    hash-exact; sum instead of float mean keeps the compare integral
+    (mean = sum / n_words downstream). Batch-local: one doc per row, no
+    shuffle."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        k = ft.i - 1
+        line = k // 10
+        conf = 9000 + (ft.doc_ids * 31 + k * 17) % 1000
+        if len(k) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "line_idx": pa.array([], type=pa.int64()),
+                    "n_words": pa.array([], type=pa.int64()),
+                    "conf_min_bp": pa.array([], type=pa.int64()),
+                    "conf_sum_bp": pa.array([], type=pa.int64()),
+                }
+            )
+        # (doc, line) segments are CONTIGUOUS in token order but docs may
+        # arrive in any order — delimit segments by boundaries (monotonic
+        # by construction, safe for reduceat), never by np.unique indices
+        key = ft.doc_ids * (1 << 20) + line
+        starts = np.nonzero(
+            np.concatenate([[True], key[1:] != key[:-1]])
+        )[0]
+        counts = np.diff(np.append(starts, len(key)))
+        sums = np.add.reduceat(conf, starts)
+        mins = np.minimum.reduceat(conf, starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ft.doc_ids[starts], type=pa.int64()),
+                "line_idx": pa.array(line[starts], type=pa.int64()),
+                "n_words": pa.array(counts.astype(np.int64)),
+                "conf_min_bp": pa.array(mins.astype(np.int64)),
+                "conf_sum_bp": pa.array(sums.astype(np.int64)),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+_MERGE_TABLES_SQL = f"""
+WITH {SQL_TOKS},
+tables AS (
+  SELECT doc_id, CAST(i//10 - 1 AS BIGINT) AS tbl,
+         2 + (doc_id + i//10 - 1) % 3 AS ncols
+  FROM toks WHERE i % 10 = 0
+),
+runs AS (
+  SELECT doc_id, tbl, ncols,
+         CASE WHEN lag(ncols) OVER w = ncols THEN 0 ELSE 1 END AS brk
+  FROM tables WINDOW w AS (PARTITION BY doc_id ORDER BY tbl)
+),
+grp AS (
+  SELECT doc_id, tbl, ncols,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY tbl) AS g
+  FROM runs
+)
+SELECT doc_id, CAST(min(tbl) AS BIGINT) AS merge_group,
+       CAST(count(*) AS BIGINT) AS n_tables,
+       CAST(min(ncols) AS BIGINT) AS ncols
+FROM grp GROUP BY doc_id, g
+"""
+
+
+@query("merge_tables", _MERGE_TABLES_SQL)
+def q_merge_tables(sf_dir: str):
+    """pipeline_merge_tables analog (trp t_pipeline, MergeOptions.MERGE;
+    reference python_files/other/README.md "Merge or link tables across
+    pages"): consecutive tables with the SAME column count merge into one
+    logical table; the merge group is the run of equal-ncols neighbors
+    (gaps-and-islands). Column count is the closed-form rule
+    2 + (doc_id + j) % 3. Batch-local per document — no shuffle."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        m = ft.i % 10 == 0
+        doc = ft.doc_ids[m]
+        tbl = ft.i[m] // 10 - 1
+        ncols = 2 + (doc + tbl) % 3
+        if len(doc) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "merge_group": pa.array([], type=pa.int64()),
+                    "n_tables": pa.array([], type=pa.int64()),
+                    "ncols": pa.array([], type=pa.int64()),
+                }
+            )
+        # run breaks: new doc OR ncols change between consecutive tables
+        brk = np.ones(len(doc), dtype=bool)
+        same_doc = doc[1:] == doc[:-1]
+        brk[1:] = ~(same_doc & (ncols[1:] == ncols[:-1]))
+        gid = np.cumsum(brk) - 1
+        starts = np.nonzero(brk)[0]
+        counts = np.diff(np.append(starts, len(doc)))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts], type=pa.int64()),
+                "merge_group": pa.array(tbl[starts], type=pa.int64()),
+                "n_tables": pa.array(counts.astype(np.int64)),
+                "ncols": pa.array(ncols[starts], type=pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
