@@ -887,6 +887,9 @@ def q_incremental_dedup(sf_dir: str):
 # ---------------------------------------------------------------------------
 _SEG_W = 4
 _SEG_MIN_DOCS = 2
+# duplicated-segment tables below this row count broadcast as a filter set
+# (ray.put once) instead of a corpus-wide semi join
+SEG_DUP_BROADCAST_CAP = 5_000_000
 
 _SEG_TRIM = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
 
@@ -1102,15 +1105,41 @@ def q_segment_dedup(sf_dir: str):
         .materialize()
     )
 
-    if dup.count() == 0:
+    n_dup = dup.count()
+    if n_dup == 0:
         # no duplicated segment anywhere: rebuild is a pure normalization
         return docs.map_batches(
             _seg_rebuild, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    removed_pairs = docs.map_batches(
+    seg_stream = docs.map_batches(
         _segment_table, batch_format="pyarrow", zero_copy_batch=True
-    ).join(dup, join_type="left_semi", num_partitions=16, on=("seg",))
+    )
+    if n_dup <= SEG_DUP_BROADCAST_CAP:
+        # the duplicated-segment table is SMALL (segments shared by >=
+        # _SEG_MIN_DOCS docs): broadcast it as a filter set instead of
+        # pushing the whole corpus segment stream through a semi join
+        import ray as _ray
+
+        dup_ref = _ray.put(set(dup.to_pandas()["seg"].tolist()))
+
+        def semi_filter(t: pa.Table) -> pa.Table:
+            import ray
+
+            s = ray.get(dup_ref)
+            keep = np.fromiter(
+                (x in s for x in t["seg"].to_pylist()), dtype=bool,
+                count=len(t),
+            )
+            return t.filter(pa.array(keep))
+
+        removed_pairs = seg_stream.map_batches(
+            semi_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        removed_pairs = seg_stream.join(
+            dup, join_type="left_semi", num_partitions=16, on=("seg",)
+        )
 
     # removed-set packing: multi-word int64 bitmask when the parquet
     # n_chars stats bound the per-doc segment count (tokens <=
@@ -1167,10 +1196,13 @@ def q_segment_dedup(sf_dir: str):
             .materialize()
         )
 
+    # join width follows corpus size: a 5k-doc gate corpus shouldn't pay
+    # 16 partitions of fixed join cost, a 10^12-doc one shouldn't get 2
+    n_docs = parquet_num_rows(sf_dir, "documents")
     out = docs.join(
         removed_lists,
         join_type="left_outer",
-        num_partitions=16,
+        num_partitions=int(max(2, min(64, n_docs // 100_000 + 2))),
         on=("doc_id",),
     )
     return out.map_batches(

@@ -357,6 +357,10 @@ def q_triangle_counts(sf_dir: str):
 # ---------------------------------------------------------------------------
 KCORE_K = 4
 KCORE_ROUNDS = 3
+# same gate + rationale as connected_components' driver path
+# (queries_dedup.CC_DRIVER_EDGE_CAP); tests force the BSP path by
+# monkeypatching this to 0
+KCORE_DRIVER_EDGE_CAP = 4_000_000
 
 
 def _kcore_sql() -> str:
@@ -470,6 +474,32 @@ def q_kcore_survivors(sf_dir: str):
                 "u": pa.array(np.concatenate([u, w])),
                 "w": pa.array(np.concatenate([w, u])),
             }
+        )
+
+    # small/medium graphs: peel on the driver over the streamed distinct
+    # edge list — vectorized np.bincount rounds, no per-round join fixed
+    # cost (same gate + rationale as connected_components' driver path,
+    # queries_dedup.py CC_DRIVER_EDGE_CAP). Above the cap the BSP
+    # marker-trick rounds below carry the load with zero driver state.
+    n_edges = edges.count()
+    if n_edges <= KCORE_DRIVER_EDGE_CAP:
+        us, ws = [], []
+        for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
+            us.append(b["u"].to_numpy(zero_copy_only=False))
+            ws.append(b["w"].to_numpy(zero_copy_only=False))
+        u = np.concatenate(us) if us else np.empty(0, dtype=np.int64)
+        w = np.concatenate(ws) if ws else np.empty(0, dtype=np.int64)
+        nodes = np.unique(np.concatenate([u, w]))
+        iu = np.searchsorted(nodes, u)
+        iw = np.searchsorted(nodes, w)
+        surv = np.ones(len(nodes), dtype=bool)
+        for _ in range(KCORE_ROUNDS):
+            live = surv[iu] & surv[iw]
+            deg = np.bincount(iu[live], minlength=len(nodes))
+            deg += np.bincount(iw[live], minlength=len(nodes))
+            surv = surv & (deg >= KCORE_K)
+        return pa.table(
+            {"doc_id": pa.array(nodes[surv], type=pa.int64())}
         )
 
     dir_edges = edges.map_batches(

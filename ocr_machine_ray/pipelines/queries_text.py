@@ -1258,6 +1258,12 @@ def _uniq_tokens(batch: pa.Table) -> pa.Table:
     return pa.table({"tok": pc.unique(ft.tokens_arrow)})
 
 
+# model tables under this row count broadcast to the scoring scan instead
+# of hash-joining (a bigram LM at web scale can exceed it; the join path
+# then carries the load with zero driver state)
+LM_BITS_BROADCAST_CAP = 5_000_000
+
+
 def _lm_agg(db, docs):
     """Shared LM-scoring pipeline: bigram-count stream ``db`` (key, big,
     cnt — ``key`` is doc_id, or doc_id*64+lang_code for the bucketing
@@ -1325,20 +1331,57 @@ def _lm_agg(db, docs):
         .materialize()
     )
 
-    scored = db.join(
-        bits_tbl, join_type="inner", num_partitions=16, on=("big",)
-    ).map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "cnt": t["cnt"],
-                "contrib": pc.multiply(
-                    t["cnt"].cast(pa.int64()), t["bits"].cast(pa.int64())
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    # scoring: the model table is SMALL relative to the corpus stream —
+    # broadcast it (ray.put once, dict lookup per batch) instead of paying
+    # a 16-partition hash join's fixed cost; above the cap (giant vocab²
+    # models) fall back to the join with zero driver state
+    n_bits = bits_tbl.count()
+    if n_bits <= LM_BITS_BROADCAST_CAP:
+        import ray as _ray
+
+        bt = bits_tbl.to_pandas()  # model-sized by the gate
+        ref = _ray.put(
+            dict(zip(bt["big"].tolist(), bt["bits"].astype("int64")))
+        )
+
+        def score_bcast(t: pa.Table) -> pa.Table:
+            import ray
+
+            lut = ray.get(ref)
+            bigs = t["big"].to_pylist()
+            bits = np.fromiter(
+                (lut.get(b, -1) for b in bigs), dtype=np.int64,
+                count=len(bigs),
+            )
+            hit = bits >= 0  # inner-join semantics: unmodeled grams drop
+            cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+            doc = t["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc[hit]),
+                    "cnt": pa.array(cnt[hit]),
+                    "contrib": pa.array(cnt[hit] * bits[hit]),
+                }
+            )
+
+        scored = db.map_batches(
+            score_bcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        scored = db.join(
+            bits_tbl, join_type="inner", num_partitions=16, on=("big",)
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "cnt": t["cnt"],
+                    "contrib": pc.multiply(
+                        t["cnt"].cast(pa.int64()), t["bits"].cast(pa.int64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     return scored.groupby("doc_id").aggregate(
         Sum("cnt", alias_name="n_bigrams"),
         Sum("contrib", alias_name="total_bits_milli"),
@@ -1843,9 +1886,46 @@ def q_nb_lang(sf_dir: str):
             out[f"p_{i}"] = pa.array(cnt * d)
         return pa.table(out)
 
+    # the delta model is vocab-sized — broadcast it under the same cap as
+    # the LM bits table (dict lookup per batch) instead of a 16-partition
+    # hash join; giant vocabularies keep the join path
+    if vocab_v <= LM_BITS_BROADCAST_CAP:
+        import ray as _ray
+
+        ddf = delta_tbl.to_pandas()  # model-sized by the gate
+        dmat = ddf[d_cols].to_numpy().astype(np.int64)
+        lut_ref = _ray.put(
+            {t: i for i, t in enumerate(ddf["tok"].tolist())}
+        )
+        dmat_ref = _ray.put(dmat)
+
+        def attach_delta(t: pa.Table) -> pa.Table:
+            import ray
+
+            lut = ray.get(lut_ref)
+            dm = ray.get(dmat_ref)
+            toks = t["tok"].to_pylist()
+            idx = np.fromiter(
+                (lut.get(s, -1) for s in toks), dtype=np.int64,
+                count=len(toks),
+            )
+            hit = idx >= 0  # inner-join semantics
+            t = t.filter(pa.array(hit))
+            rows = dm[idx[hit]]
+            out = {c: t[c] for c in t.column_names}
+            for i in range(k):
+                out[d_cols[i]] = pa.array(rows[:, i])
+            return pa.table(out)
+
+        joined = dt.map_batches(
+            attach_delta, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        joined = dt.join(
+            delta_tbl, join_type="inner", num_partitions=16, on=("tok",)
+        )
     scored = (
-        dt.join(delta_tbl, join_type="inner", num_partitions=16, on=("tok",))
-        .map_batches(score_partial, batch_format="pyarrow")
+        joined.map_batches(score_partial, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(
             Min("true_code", alias_name="true_code"),
