@@ -649,12 +649,61 @@ def q_profile_columns(sf_dir: str):
         aggs.append(Min(c, alias_name=f"min_{c}"))
         aggs.append(Max(c, alias_name=f"max_{c}"))
     mm = ds.aggregate(*aggs)
-    distinct = {}
-    for c in _PROFILE_COLS:
-        n_null = int(nulls_df.loc[c, "n_null"])
-        # count(DISTINCT col) counts non-null values only
-        groups = ds.select_columns([c]).groupby(c).count().count()
-        distinct[c] = groups - (1 if n_null > 0 else 0)
+
+    # distinct counts for ALL profiled columns in ONE shuffle: per-batch
+    # distinct (col, tagged-value) keys (type tag keeps int/str exact, no
+    # lexicographic aliasing), one groupby over the unified key stream,
+    # then a per-block combiner + tiny Sum per column — replaces one
+    # corpus-wide groupby PER COLUMN (5 all-to-alls -> 1)
+    from ray.data.aggregate import Count
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        keys: list[str] = []
+        for ci, c in enumerate(_PROFILE_COLS):
+            col = batch[c]
+            vals = pc.unique(col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col)
+            for v in vals.to_pylist():
+                if v is None:
+                    continue  # count(DISTINCT) is non-null only
+                keys.append(f"{ci}\x01{type(v).__name__}\x01{v}")
+        return pa.table({"key": pa.array(keys, type=pa.string())})
+
+    def col_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0 or "key" not in batch.column_names:
+            return pa.table(
+                {
+                    "col": pa.array([], type=pa.string()),
+                    "nd_part": pa.array([], type=pa.int64()),
+                }
+            )
+        ks = batch["key"].to_pylist()
+        cnt = np.zeros(len(_PROFILE_COLS), dtype=np.int64)
+        for s in ks:
+            cnt[int(s.split("\x01", 1)[0])] += 1
+        return pa.table(
+            {
+                "col": pa.array(list(_PROFILE_COLS), type=pa.string()),
+                "nd_part": pa.array(cnt),
+            }
+        )
+
+    ddf = (
+        ds.map_batches(
+            distinct_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("key")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(col_partial, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(Sum("nd_part", alias_name="nd"))
+        .to_pandas()
+        .set_index("col")
+    )
+    distinct = {
+        c: int(ddf.loc[c, "nd"]) if c in ddf.index else 0
+        for c in _PROFILE_COLS
+    }
     return pa.table(
         {
             "col": pa.array(list(_PROFILE_COLS), type=pa.string()),

@@ -662,7 +662,33 @@ def q_semdedup(sf_dir: str):
     # and prunes nothing, so tiny corpora keep k = n//8
     n = parquet_num_rows(sf_dir, "embeddings")
     k = _semdedup_k(n)
-    centroids = kmeans_fit(emb, k)
+
+    def fit():
+        # fit on a hard-capped materialized sample (the _fit_quantizer
+        # pattern): Lloyd's rounds then scan the SAMPLE, not the corpus —
+        # a 10-round fit over the full lazy read re-executes the parquet
+        # scan every round. Small corpora (<= 2x the cap) fit on
+        # everything, which keeps the historical partition exactly.
+        cap = 100_000
+        if n <= 2 * cap:
+            fit_ds = emb.materialize()
+        else:
+            fit_ds = emb.random_sample(cap / n, seed=42).limit(
+                cap
+            ).materialize()
+            if fit_ds.count() == 0:
+                fit_ds = emb.limit(cap).materialize()
+        return {"centroids": kmeans_fit(fit_ds, k)}
+
+    from ..state.index_store import fit_or_load
+
+    centroids = fit_or_load(
+        "semdedup_centroids",
+        sf_dir,
+        "embeddings",
+        {"k": k, "target": SEMDEDUP_TARGET, "seed": 42},
+        fit,
+    )["centroids"]
     import ray as _ray
 
     ref = _ray.put(centroids)
