@@ -108,6 +108,12 @@ BENCH_QUERIES = [
     "shard_skew_report",
     "weekly_active_users",
     "dup_size_histogram",
+    # round-3 additions (nested-spans-native inputs + trp analogs + top-k)
+    "extract_spans_capped",
+    "dedup_exact_spans",
+    "merge_tables",
+    "kv_ocr_confidence",
+    "top_orders",
 ]
 
 
