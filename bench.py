@@ -114,6 +114,10 @@ BENCH_QUERIES = [
     "merge_tables",
     "kv_ocr_confidence",
     "top_orders",
+    # round-3 continuation (storage layer: sampling / compaction / sketch)
+    "weighted_sample",
+    "compaction_plan",
+    "distinct_hll",
 ]
 
 

@@ -1,0 +1,319 @@
+"""Storage-layer and sampling operators: exact weighted systematic
+sampling, compaction planning (small-file bin-packing), and HyperLogLog
+approximate-distinct — the lakehouse/table-maintenance surface a 100 TB
+corpus needs around the query engine proper.
+
+The two prefix-sum queries share one distributed mechanism (the TeraSort
+shape already used by ``global_rank_orders``): pass 1 reduces each block to
+per-bucket weight partials (mergeable sums, driver holds only the bucket
+histogram); pass 2 shuffles ONCE on the bucket key and every group resolves
+its rows against the bucket's cumulative offset. Nothing corpus-sized ever
+reaches the driver. At 10^12 rows the fixed bucket width becomes sampled
+split points (exactly like Ray's own sort) and the histogram a tree-reduce;
+the arithmetic — and therefore the selected rows — stays integer-exact
+either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..registry import query
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Shared prefix-sum machinery: per-bucket weight offsets.
+# ---------------------------------------------------------------------------
+_BUCKET_W = 4096  # doc_ids per bucket (becomes sampled split points at scale)
+
+
+def _with_bucket(batch: pa.Table) -> pa.Table:
+    d = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "bucket", pa.array((d // _BUCKET_W).astype(np.int64))
+    )
+
+
+def _bucket_weight_partial(batch: pa.Table) -> pa.Table:
+    b = batch["bucket"].to_numpy(zero_copy_only=False)
+    w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals, inv = np.unique(b, return_inverse=True)
+    acc = np.zeros(len(vals), dtype=np.int64)
+    np.add.at(acc, inv, w)
+    return pa.table({"bucket": pa.array(vals), "w": pa.array(acc)})
+
+
+def _bucket_offsets(ds) -> tuple[dict[int, int], int]:
+    """Cumulative weight BEFORE each bucket (doc_id ascending) and the grand
+    total. Driver traffic: blocks x buckets tiny rows, never corpus rows."""
+    hist: dict[int, int] = {}
+    for row in ds.map_batches(
+        _bucket_weight_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all():
+        hist[int(row["bucket"])] = hist.get(int(row["bucket"]), 0) + int(row["w"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(hist):
+        offsets[b] = acc
+        acc += hist[b]
+    return offsets, acc
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted systematic sampling: K evenly spaced picks over the
+# cumulative-weight axis (weight = n_chars), doc_id order. The training-data
+# "sample by length/quality weight, exactly to quota" op — deterministic,
+# integer-exact, no RNG, so the SQL oracle reproduces it bit-for-bit.
+# A row is selected iff a multiple of total/K lands inside its cumulative
+# interval; n_picks is its with-replacement multiplicity. Integer-overflow
+# bound: cum * K < 2^63 -> fine up to ~9e16 total weight at K=100.
+# ---------------------------------------------------------------------------
+_SAMPLE_K = 100
+
+_WEIGHTED_SQL = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n_chars) OVER () AS total
+  FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST((cum * {_SAMPLE_K}) // total
+            - ((cum - n_chars) * {_SAMPLE_K}) // total AS BIGINT) AS n_picks
+FROM c
+WHERE (cum * {_SAMPLE_K}) // total > ((cum - n_chars) * {_SAMPLE_K}) // total
+"""
+
+
+@query("weighted_sample", _WEIGHTED_SQL)
+def q_weighted_sample(sf_dir: str):
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "weight": pa.array([], type=pa.int64()),
+            "n_picks": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return empty
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        _with_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    offsets, total = _bucket_offsets(ds)
+    if total <= 0:
+        return empty
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        w = g["n_chars"].to_numpy(np.int64)
+        cum = int(offsets[int(g["bucket"].iloc[0])]) + np.cumsum(w)
+        hi = (cum * _SAMPLE_K) // total
+        lo = ((cum - w) * _SAMPLE_K) // total
+        sel = hi > lo
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64)[sel],
+                "weight": w[sel],
+                "n_picks": (hi - lo)[sel],
+            }
+        )
+
+    return ds.groupby("bucket").map_groups(classify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Compaction plan: bin-pack doc_id-ordered rows into target-size output
+# files by global cumulative bytes (a row belongs to the file its first
+# byte lands in). This is the "small-file compaction / file-size balancing"
+# maintenance op; the plan itself is what a rewrite job would execute.
+# Two-level aggregate: bucket groups emit per-(file_id) partials, a final
+# tiny groupby merges files that straddle bucket boundaries.
+# ---------------------------------------------------------------------------
+_COMPACT_TARGET = 8192  # target file size (chars as the byte proxy)
+
+_COMPACT_SQL = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT CAST((cum - n_chars) // {_COMPACT_TARGET} AS BIGINT) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
+@query("compaction_plan", _COMPACT_SQL)
+def q_compaction_plan(sf_dir: str):
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {
+            "file_id": pa.array([], type=pa.int64()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "total_bytes": pa.array([], type=pa.int64()),
+            "first_doc": pa.array([], type=pa.int64()),
+            "last_doc": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return empty
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        _with_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    offsets, _total = _bucket_offsets(ds)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        d = g["doc_id"].to_numpy(np.int64)
+        w = g["n_chars"].to_numpy(np.int64)
+        cum = int(offsets[int(g["bucket"].iloc[0])]) + np.cumsum(w)
+        fid = (cum - w) // _COMPACT_TARGET
+        vals, inv = np.unique(fid, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        tb = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(tb, inv, w)
+        first = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, inv, d)
+        last = np.zeros(len(vals), dtype=np.int64)
+        np.maximum.at(last, inv, d)
+        return pd.DataFrame(
+            {
+                "file_id": vals,
+                "n_docs": n,
+                "total_bytes": tb,
+                "first_doc": first,
+                "last_doc": last,
+            }
+        )
+
+    partials = ds.groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    ).repartition(4)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "file_id": [np.int64(g["file_id"].iloc[0])],
+                "n_docs": [np.int64(g["n_docs"].sum())],
+                "total_bytes": [np.int64(g["total_bytes"].sum())],
+                "first_doc": [np.int64(g["first_doc"].min())],
+                "last_doc": [np.int64(g["last_doc"].max())],
+            }
+        )
+
+    return partials.groupby("file_id").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct count (p=12, 4096 registers, ~1.6%
+# standard error). Mergeable-by-max register arrays: each block reduces to
+# ONE 4 KiB row per metric regardless of block size, the driver max-merges
+# a handful of rows — the sketch shape that replaces an exact-distinct
+# shuffle when the answer may be approximate. Deterministic (splitmix64
+# finalizer, no RNG), so the estimate is stable run-to-run; accuracy is
+# pinned by pytest against exact distinct (no SQL oracle by nature).
+# ---------------------------------------------------------------------------
+_HLL_P = 12
+# exact bit_length of the (64-p)-bit suffix via searchsorted over powers of
+# two — no float log2, so rho is integer-exact for every input
+_HLL_POW2 = (np.uint64(1) << np.arange(0, 64 - _HLL_P, dtype=np.uint64))
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def hll_registers(keys: np.ndarray, p: int = _HLL_P) -> np.ndarray:
+    """Vectorized HLL register array for int64 keys (uint8[2^p])."""
+    h = _mix64(np.asarray(keys))
+    idx = (h & np.uint64((1 << p) - 1)).astype(np.int64)
+    w = h >> np.uint64(p)
+    bl = np.searchsorted(_HLL_POW2, w, side="right")  # bit_length(w)
+    rho = ((64 - p) - bl + 1).astype(np.uint8)
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> int:
+    m = float(len(regs))
+    est = 0.7213 / (1 + 1.079 / m) * m * m / np.sum(
+        2.0 ** -regs.astype(np.float64)
+    )
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear-counting small-range correction
+    return int(round(est))
+
+
+@query("distinct_hll")  # approximate by nature: rows-only + accuracy pytest
+def q_distinct_hll(sf_dir: str):
+    from .extraction import parquet_num_rows
+
+    if parquet_num_rows(sf_dir, "events") == 0:
+        return pa.table(
+            {
+                "metric": pa.array([], type=pa.string()),
+                "estimate": pa.array([], type=pa.int64()),
+            }
+        )
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for col in ("event_id", "user_id"):
+            keys = batch[col].to_numpy(zero_copy_only=False)
+            rows.append(
+                {"metric": col, "regs": hll_registers(keys).tobytes()}
+            )
+        return pa.table(
+            {
+                "metric": pa.array([r["metric"] for r in rows]),
+                "regs": pa.array(
+                    [r["regs"] for r in rows], type=pa.binary()
+                ),
+            }
+        )
+
+    merged: dict[str, np.ndarray] = {
+        "event_id": np.zeros(1 << _HLL_P, dtype=np.uint8),
+        "user_id": np.zeros(1 << _HLL_P, dtype=np.uint8),
+    }
+    for row in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all():  # one 4 KiB row per (block, metric): driver-safe
+        np.maximum(
+            merged[row["metric"]],
+            np.frombuffer(row["regs"], dtype=np.uint8),
+            out=merged[row["metric"]],
+        )
+    return pa.table(
+        {
+            "metric": pa.array(sorted(merged)),
+            "estimate": pa.array(
+                [hll_estimate(merged[k]) for k in sorted(merged)],
+                type=pa.int64(),
+            ),
+        }
+    )
