@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "compaction_plan",
     "distinct_hll",
+    "fuzzy_decontaminate",
 ]
 
 

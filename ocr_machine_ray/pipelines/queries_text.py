@@ -419,6 +419,113 @@ def q_decontaminate(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy decontamination by shingle CONTAINMENT (the FineWeb/Dolma shape):
+# where `decontaminate` flags on ANY matched gram, this scores the fraction
+# of a document's DISTINCT 3-gram shingles that appear in the benchmark
+# shingle set and flags at a threshold — robust to incidental single-gram
+# collisions, catches paraphrased/partial inclusions. Same broadcast
+# topology: the benchmark set is small by construction (ray.put once, read
+# per actor), candidate docs stream; threshold arithmetic is integer so the
+# SQL oracle reproduces the flag bit exactly.
+# ---------------------------------------------------------------------------
+_FUZZY_TAU_NUM, _FUZZY_TAU_DEN = 1, 25  # flag at containment >= 4%
+
+_FUZZY_DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+'), 1) AS i
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS gram
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+s AS (
+  SELECT g.doc_id, count(*) AS n_shingles, count(b.gram) AS n_overlap
+  FROM g LEFT JOIN bench b USING (gram)
+  WHERE g.doc_id % {_BENCH_MOD} != 0
+  GROUP BY g.doc_id
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       (n_overlap * {_FUZZY_TAU_DEN} >= n_shingles * {_FUZZY_TAU_NUM})
+         AS flagged
+FROM s
+"""
+
+
+@query("fuzzy_decontaminate", _FUZZY_DECONTAM_SQL)
+def q_fuzzy_decontaminate(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % _BENCH_MOD == 0))
+        g, _ = _grams3(sub)
+        return pa.table({"gram": pc.unique(g)})
+
+    gram_rows = docs.map_batches(
+        bench_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    bench = pa.array(
+        np.unique(np.array([r["gram"] for r in gram_rows], dtype=object)),
+        type=pa.string(),
+    )
+    ref = ray.put(bench)
+
+    class ContainmentFlagger:
+        def __init__(self):
+            self.bench = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            sub = batch.filter(pa.array(ids % _BENCH_MOD != 0))
+            g, ridx = _grams3(sub)
+            # distinct (doc, gram) pairs: dedupe the flat gram stream by a
+            # row-salted sort (vectorized; no Python loop over rows)
+            gs = g.to_numpy(zero_copy_only=False)
+            order = np.lexsort((gs, ridx))
+            gs, ridx = gs[order], ridx[order]
+            keep = np.ones(len(gs), dtype=bool)
+            if len(gs) > 1:
+                keep[1:] = (ridx[1:] != ridx[:-1]) | (gs[1:] != gs[:-1])
+            gs, ridx = gs[keep], ridx[keep]
+            n_sh = np.bincount(ridx, minlength=len(sub)).astype(np.int64)
+            hit = pc.is_in(
+                pa.array(gs, type=pa.string()), value_set=self.bench
+            ).to_numpy(zero_copy_only=False)
+            n_ov = np.bincount(
+                ridx[hit], minlength=len(sub)
+            ).astype(np.int64)
+            has = n_sh > 0  # docs with <3 tokens have no shingles: excluded
+            return pa.table(
+                {
+                    "doc_id": sub["doc_id"].filter(pa.array(has)),
+                    "n_shingles": pa.array(n_sh[has]),
+                    "n_overlap": pa.array(n_ov[has]),
+                    "flagged": pa.array(
+                        n_ov[has] * _FUZZY_TAU_DEN
+                        >= n_sh[has] * _FUZZY_TAU_NUM
+                    ),
+                }
+            )
+
+    return docs.map_batches(
+        ContainmentFlagger,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition quality filter (Gopher-style): per-document duplicate-token
 # statistics — integer counters only, exactly reproducible in SQL. Entirely
 # batch-local (each document's stats depend on that row alone): zero

@@ -86,6 +86,42 @@ class TestDecontaminate:
         assert out["contaminated"].tolist() == [True, False, False]
 
 
+class TestFuzzyDecontaminate:
+    def test_containment_threshold_by_hand(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from ocr_machine_ray.pipelines.queries_text import (
+            q_fuzzy_decontaminate,
+        )
+
+        bench = "alpha beta gamma delta epsilon"  # 3 distinct shingles
+        t = _docs(
+            [
+                bench,                              # doc 0: benchmark
+                # 6 distinct shingles, 3 from the benchmark: containment 0.5
+                "alpha beta gamma delta epsilon x y z w",
+                # 9 shingles, 1 shared ("alpha beta gamma"): 1/9 ≈ 0.11 > 4%
+                "alpha beta gamma q r s t u v w x",
+                # duplicated shingles count ONCE (distinct semantics):
+                # "p q r" repeated gives 3 distinct shingles, 0 overlap
+                "p q r p q r",
+                "lone",                             # <3 tokens: no output row
+            ],
+            ids=[0, 5, 6, 7, 8],
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = (
+            q_fuzzy_decontaminate(str(tmp_path))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [5, 6, 7]
+        assert out["n_shingles"].tolist() == [7, 9, 3]
+        assert out["n_overlap"].tolist() == [3, 1, 0]
+        assert out["flagged"].tolist() == [True, True, False]
+
+
 class TestChunkExamples:
     def test_windows_by_hand(self, ray_session, tmp_path):
         import pyarrow.parquet as pq
