@@ -17,6 +17,11 @@ import hashlib
 
 import numpy as np
 
+# Module-level package imports ONLY in files whose functions run inside
+# worker batch fns: a function-body `from .jpeg import ...` executes on the
+# worker at call time, where pickle-by-value shipped the CODE but the
+# package itself is not importable (foreign driver cwd).
+from .jpeg import JpegError, jpeg_decode
 from .png import png_decode, pnm_decode
 
 MEDIA_W, MEDIA_H = 96, 64  # synthetic page-crop size
@@ -476,16 +481,37 @@ def _decode_with_libs(payload: bytes) -> np.ndarray | None:
 
 def decode_external(payload: bytes, codec: str, fake: bool = False) -> np.ndarray:
     """Decode an external media payload. PNG/PGM/PPM are REAL (pure
-    numpy/zlib codec in functions/png.py, all five scanline filters).
-    JPEG/WebP/etc decode through PIL or cv2 WHEN INSTALLED (import-try
-    gate); in this container neither is present, so those codecs fall to
-    the deterministic fake (fake=True, for plumbing tests) or raise.
+    numpy/zlib codec in functions/png.py, all five scanline filters) and so
+    is baseline JPEG (pure numpy codec in functions/jpeg.py — SOF0
+    grayscale/4:4:4/4:2:2/4:2:0, restart markers; it reads the reference's
+    committed scan source/Table23-0471_residential_code.jpg end-to-end).
+    Progressive JPEG / WebP / etc decode through PIL or cv2 WHEN INSTALLED
+    (import-try gate); in this container neither is present, so those fall
+    to the deterministic fake (fake=True, for plumbing tests) or raise.
     Video remains a documented stub either way (frame demux needs a real
     container parser)."""
     if codec.lower() == "png":
         return png_decode(payload)
     if codec.lower() in ("pgm", "ppm", "pnm"):
         return pnm_decode(payload)
+    if codec.lower() in ("jpeg", "jpg"):
+        try:
+            img = jpeg_decode(payload)
+        except JpegError:
+            img = None  # progressive/arithmetic: try PIL/cv2, then fake
+        if img is not None:
+            if img.ndim == 3:  # BT.601 luma, same convention as encoding
+                f = img.astype(np.float64)
+                img = np.clip(
+                    np.round(
+                        0.299 * f[..., 0]
+                        + 0.587 * f[..., 1]
+                        + 0.114 * f[..., 2]
+                    ),
+                    0,
+                    255,
+                ).astype(np.uint8)
+            return img
     if codec.lower() not in ("video", "mp4", "webm"):
         decoded = _decode_with_libs(payload)
         if decoded is not None:

@@ -5,7 +5,8 @@ byte plumbing, so the media path gets ONE real interchange format instead
 of a stub: ``png_encode``/``png_decode`` round-trip bit-exactly and decode
 output from any standards-compliant encoder (all five scanline filters are
 implemented). ``decode_external`` in functions/images.py routes codec
-"png" here; everything else remains a documented stub
+"png" here and codec "jpeg" to the baseline JPEG codec in
+functions/jpeg.py; only video demux remains a documented stub
 (reference media I/O: ``table_detector_agent.py:183-191`` writes PNG page
 rasters via pdf2image; ``fake_scan.py:239-245`` re-encodes JPEG).
 """

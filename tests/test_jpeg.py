@@ -1,0 +1,163 @@
+"""Baseline JPEG codec (functions/jpeg.py): spec-level checks, lossy
+roundtrips through our own encoder, and an independent-decode conformance
+check on the reference repo's committed scanner-produced JPEG
+(`source/Table23-0471_residential_code.jpg` — baseline grayscale SOF0,
+3300x2550, encoded by a real scanner pipeline, not by this codec)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_machine_ray.functions.jpeg import (
+    _canonical_codes,
+    _DC_LUMA_BITS,
+    _DC_LUMA_VALS,
+    _DCT8,
+    JpegError,
+    jpeg_decode,
+    jpeg_encode,
+)
+
+REF_JPG = "/root/reference/source/Table23-0471_residential_code.jpg"
+
+
+def _rmse(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.sqrt(np.mean((a.astype(float) - b.astype(float)) ** 2)))
+
+
+def _test_image(h=96, w=80) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    grad = np.linspace(0, 255, h * w).reshape(h, w)
+    return (grad + rng.normal(0, 8, (h, w))).clip(0, 255).astype(np.uint8)
+
+
+class TestSpecLevel:
+    def test_dct_matrix_orthonormal(self):
+        assert np.allclose(_DCT8 @ _DCT8.T, np.eye(8), atol=1e-12)
+
+    def test_canonical_dc_luma_codes(self):
+        # T.81 Annex K.3.1: DC luma category 0 gets the 2-bit code 00,
+        # categories 1-5 the 3-bit codes 010..110, category 6 '1110', etc.
+        codes = {
+            sym: (code, ln)
+            for code, ln, sym in _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+        }
+        assert codes[0] == (0b00, 2)
+        assert codes[1] == (0b010, 3)
+        assert codes[5] == (0b110, 3)
+        assert codes[6] == (0b1110, 4)
+        assert codes[11] == (0b111111110, 9)
+
+    def test_rejects_non_jpeg(self):
+        with pytest.raises(JpegError):
+            jpeg_decode(b"\x89PNG\r\n\x1a\nnot a jpeg")
+
+    def test_rejects_progressive(self):
+        # take a valid stream and rewrite its SOF0 marker to SOF2
+        enc = bytearray(jpeg_encode(_test_image(16, 16)))
+        i = enc.find(b"\xff\xc0")
+        enc[i + 1] = 0xC2
+        with pytest.raises(JpegError, match="progressive"):
+            jpeg_decode(bytes(enc))
+
+
+class TestRoundtrip:
+    def test_gray_q100_near_lossless(self):
+        img = _test_image()
+        assert _rmse(jpeg_decode(jpeg_encode(img, quality=100)), img) < 1.0
+
+    def test_gray_quality_ladder(self):
+        img = _test_image()
+        prev_size = None
+        for q in (90, 70, 40):
+            enc = jpeg_encode(img, quality=q)
+            dec = jpeg_decode(enc)
+            assert dec.shape == img.shape
+            assert _rmse(dec, img) < 20.0
+            if prev_size is not None:
+                assert len(enc) < prev_size  # lower quality -> smaller file
+            prev_size = len(enc)
+
+    def test_rgb_444_and_420(self):
+        g = _test_image()
+        rgb = np.stack([g, g[::-1], np.roll(g, 7, axis=1)], axis=-1)
+        for sub in ("444", "420"):
+            dec = jpeg_decode(jpeg_encode(rgb, quality=90, subsampling=sub))
+            assert dec.shape == rgb.shape
+            assert _rmse(dec, rgb) < 15.0, sub
+
+    def test_restart_markers_do_not_change_pixels(self):
+        img = _test_image()
+        plain = jpeg_decode(jpeg_encode(img, quality=80))
+        rst = jpeg_decode(jpeg_encode(img, quality=80, restart_interval=5))
+        # restarts change only the entropy segmentation, not the
+        # quantized coefficients: decoded pixels must be IDENTICAL
+        assert np.array_equal(plain, rst)
+
+    def test_non_multiple_of_8_sizes(self):
+        img = _test_image(93, 77)
+        dec = jpeg_decode(jpeg_encode(img, quality=90))
+        assert dec.shape == (93, 77)
+        rgb = np.stack([img] * 3, axis=-1)
+        dec = jpeg_decode(jpeg_encode(rgb, quality=90, subsampling="420"))
+        assert dec.shape == (93, 77, 3)
+
+    def test_flat_image_compresses_tiny(self):
+        img = np.full((64, 64), 130, dtype=np.uint8)
+        enc = jpeg_encode(img, quality=85)
+        assert len(enc) < 1200
+        assert _rmse(jpeg_decode(enc), img) < 1.0
+
+
+class TestReferenceScanConformance:
+    """Independent decode: the input was produced by a real scanner/libjpeg
+    pipeline, so a clean structured decode of all ~131k blocks with
+    document-plausible statistics is evidence against systematic codec
+    errors (a huffman/DC-prediction bug corrupts everything downstream)."""
+
+    def test_decodes_with_header_dimensions(self):
+        data = open(REF_JPG, "rb").read()
+        out = jpeg_decode(data)
+        assert out.shape == (2550, 3300)  # from the SOF0 header
+        assert out.dtype == np.uint8
+
+    def test_scanned_page_statistics(self):
+        out = jpeg_decode(open(REF_JPG, "rb").read())
+        # a scanned building-code table: white paper, dark ink
+        assert 200 < out.mean() < 255
+        assert out.std() > 20
+        # page borders are margins: much brighter than the page average
+        border = np.concatenate(
+            [out[:40].ravel(), out[-40:].ravel(), out[:, :40].ravel()]
+        )
+        assert border.mean() > out.mean()
+        # both ink and paper present
+        assert (out < 100).mean() > 0.01
+        assert (out > 200).mean() > 0.5
+
+    def test_decode_deterministic(self):
+        data = open(REF_JPG, "rb").read()
+        a = jpeg_decode(data)
+        b = jpeg_decode(data)
+        assert np.array_equal(a, b)
+
+
+class TestDecodeExternalRouting:
+    def test_jpeg_codec_routes_to_pure_decoder(self):
+        from ocr_machine_ray.functions.images import decode_external
+
+        img = _test_image(32, 48)
+        out = decode_external(jpeg_encode(img, quality=95), "jpeg")
+        assert out.shape == (32, 48)
+        assert _rmse(out, img) < 8.0
+
+    def test_rgb_jpeg_returns_luma(self):
+        from ocr_machine_ray.functions.images import decode_external
+
+        rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+        rgb[..., 0] = 200  # pure red
+        out = decode_external(jpeg_encode(rgb, quality=95), "jpg")
+        assert out.ndim == 2
+        # BT.601 luma of (200, 0, 0) is ~60
+        assert abs(float(out.mean()) - 60) < 8

@@ -108,8 +108,13 @@ def test_truncated_idat():
 
 
 def test_other_codecs_still_stub():
+    # Baseline JPEG is real now (functions/jpeg.py); a truncated payload the
+    # codec rejects falls through to the PIL/cv2 gate and then the stub.
     with pytest.raises(NotImplementedError):
         decode_external(b"\xff\xd8\xff", "jpeg")
+    # Video demux remains a documented stub regardless of libraries.
+    with pytest.raises(NotImplementedError):
+        decode_external(b"\x00\x00\x00\x18ftypmp42", "mp4")
 
 
 class TestPnm:
