@@ -50,6 +50,7 @@ def _load() -> None:
     # VERDICT r2 action 9): similarity/graph/scrub/events/media/html/search
     # first, the heavily-sampled extraction/text families last. All 131
     # oracle-backed queries pass the full local gate regardless of order.
+    from .pipelines import queries_audio  # noqa: F401
     from .pipelines import queries_storage  # noqa: F401
     from .pipelines import queries_spans_native  # noqa: F401
     from .pipelines import queries_similarity  # noqa: F401
