@@ -169,3 +169,54 @@ def bloom_contains(bits: np.ndarray, keys: np.ndarray, log2_m: int) -> np.ndarra
     hit1 = bits[p1 >> np.uint64(3)] & (np.uint8(1) << (p1 & np.uint64(7)).astype(np.uint8))
     hit2 = bits[p2 >> np.uint64(3)] & (np.uint8(1) << (p2 & np.uint64(7)).astype(np.uint8))
     return (hit1 != 0) & (hit2 != 0)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable-by-ADDITION frequency sketch (Cormode &
+# Muthukrishnan 2005). The additive merge is what HLL's max-merge is for
+# distinct counts: every block reduces to one fixed-size matrix row, the
+# combine is elementwise sum, and point estimates never UNDER-count
+# (est >= true always; over-count <= e*N/width per row w.h.p., and the
+# depth-min tightens it). Deterministic splitmix64 row hashes — no RNG,
+# stable across runs and engines.
+# ---------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 4096
+_CMS_SALTS = (
+    np.uint64(0x9E3779B97F4A7C15)
+    * (np.arange(CMS_DEPTH, dtype=np.uint64) + np.uint64(1))
+)
+
+
+def _cms_mix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64).copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _cms_cols(keys: np.ndarray, row: int) -> np.ndarray:
+    return (
+        _cms_mix64(np.asarray(keys, dtype=np.uint64) ^ _CMS_SALTS[row])
+        % np.uint64(CMS_WIDTH)
+    ).astype(np.int64)
+
+
+def cms_build(keys: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """(depth, width) int64 count-min matrix for weighted uint64 keys."""
+    m = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    c = np.asarray(counts, dtype=np.int64)
+    for r in range(CMS_DEPTH):
+        np.add.at(m[r], _cms_cols(keys, r), c)
+    return m
+
+
+def cms_estimate(m: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Depth-min point estimates for uint64 keys against a merged matrix."""
+    ests = np.stack(
+        [m[r][_cms_cols(keys, r)] for r in range(CMS_DEPTH)], axis=0
+    )
+    return ests.min(axis=0)

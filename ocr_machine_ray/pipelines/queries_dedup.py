@@ -1478,3 +1478,76 @@ def q_dup_size_histogram(sf_dir: str):
             Sum("n_docs", alias_name="n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: duplicate CLUSTERS are the split
+# unit, not documents. A naive per-doc hash split leaks training text into
+# the eval sets whenever a duplicate pair straddles the boundary — the
+# classic train/test contamination path in web-scale corpora. Here every
+# doc inherits its exact-dup cluster keeper (min doc_id per content hash)
+# and the split is a Knuth-hash of the KEEPER, so a cluster lands in one
+# split atomically. Same mod-safe hash form as stratified_sample
+# (queries_text.py:600) — no int64/BIGINT overflow at any doc_id.
+# One aggregate shuffle + one hash join; nothing touches the driver.
+# ---------------------------------------------------------------------------
+_LEAK_KNUTH_RED = 2654435761 % 1000  # 761
+
+_LEAK_SPLIT_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL
+),
+keepers AS (
+  SELECT h, min(doc_id) AS keeper_doc FROM hashed GROUP BY h
+)
+SELECT hd.doc_id,
+       CAST(k.keeper_doc AS BIGINT) AS keeper_doc,
+       CASE WHEN ((k.keeper_doc % 1000) * {_LEAK_KNUTH_RED}) % 1000 < 700
+              THEN 'train'
+            WHEN ((k.keeper_doc % 1000) * {_LEAK_KNUTH_RED}) % 1000 < 850
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM hashed hd JOIN keepers k ON hd.h = k.h
+"""
+
+
+@query("leakage_safe_split", _LEAK_SPLIT_SQL)
+def q_leakage_safe_split(sf_dir: str):
+    from ray.data.aggregate import Min
+
+    hashed = read_documents(sf_dir).map_batches(
+        content_hash_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "content_hash"])
+    keepers = (
+        hashed.groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="keeper_doc"))
+        # hash-aggregate emits empty schema-less blocks that break FieldRef
+        # on the join probe side (ray 2.49) — collapse them first
+        .repartition(8)
+    )
+    joined = hashed.join(
+        keepers,
+        join_type="inner",
+        num_partitions=8,
+        on=("content_hash",),
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        k = batch["keeper_doc"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        bucket = ((k % 1000) * _LEAK_KNUTH_RED) % 1000
+        split = np.where(
+            bucket < 700, "train", np.where(bucket < 850, "val", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "keeper_doc": pa.array(k, type=pa.int64()),
+                "split": pa.array(split.tolist(), type=pa.string()),
+            }
+        )
+
+    return joined.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )

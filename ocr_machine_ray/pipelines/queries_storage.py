@@ -317,3 +317,92 @@ def q_distinct_hll(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters: the one-pass approximate sibling of the
+# exact two-pass Misra-Gries pipeline (queries_text.py heavy_hitters).
+# Each block ships ONE fixed-size CMS matrix (128 KiB) plus its top-64
+# local candidate tokens; the driver sums the matrices (additive merge),
+# unions the candidates, and reads depth-min estimates for them from the
+# merged sketch. One pass over the corpus, no token-stream shuffle at all
+# — at 10^12 tokens the reduce carries O(blocks) fixed-size rows. CMS
+# guarantees est >= true, so the true heavy set is always a subset of the
+# candidates-by-estimate cut (accuracy pinned by pytest; approximate by
+# nature, no SQL oracle).
+# ---------------------------------------------------------------------------
+_CMS_TOPK = 30
+_CMS_CAND_PER_BLOCK = 64
+
+
+@query("heavy_hitters_cms")
+def q_heavy_hitters_cms(sf_dir: str):
+    from ..corpus import FlatTokens
+    from ..functions.dedup import _token_hash64
+    from ..functions.sketch import cms_build, cms_estimate
+    from .extraction import read_documents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        if not len(ft.tokens):
+            return pa.table(
+                {
+                    "kind": pa.array([], type=pa.string()),
+                    "tok": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                    "payload": pa.array([], type=pa.binary()),
+                }
+            )
+        vals, counts = np.unique(ft.tokens, return_counts=True)
+        keys = np.array(
+            [_token_hash64(t) for t in vals], dtype=np.uint64
+        )
+        m = cms_build(keys, counts.astype(np.int64))
+        top = np.argsort(-counts, kind="stable")[:_CMS_CAND_PER_BLOCK]
+        kinds = ["cms"] + ["cand"] * len(top)
+        toks = [""] + [str(vals[i]) for i in top]
+        ns = [int(counts.sum())] + [int(counts[i]) for i in top]
+        payloads = [m.tobytes()] + [None] * len(top)
+        return pa.table(
+            {
+                "kind": pa.array(kinds, type=pa.string()),
+                "tok": pa.array(toks, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    rows = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one matrix + 64 tiny rows per block: driver-safe
+
+    from ..functions.sketch import CMS_DEPTH, CMS_WIDTH
+
+    merged = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    cands: set[str] = set()
+    for row in rows:
+        if row["kind"] == "cms":
+            merged += np.frombuffer(
+                row["payload"], dtype=np.int64
+            ).reshape(CMS_DEPTH, CMS_WIDTH)
+        else:
+            cands.add(row["tok"])
+    if not cands:
+        return pa.table(
+            {
+                "tok": pa.array([], type=pa.string()),
+                "est": pa.array([], type=pa.int64()),
+            }
+        )
+    cand_list = sorted(cands)
+    keys = np.array(
+        [_token_hash64(t) for t in cand_list], dtype=np.uint64
+    )
+    est = cms_estimate(merged, keys)
+    order = np.lexsort((np.array(cand_list), -est))[:_CMS_TOPK]
+    return pa.table(
+        {
+            "tok": pa.array([cand_list[i] for i in order]),
+            "est": pa.array(est[order], type=pa.int64()),
+        }
+    )

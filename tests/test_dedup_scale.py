@@ -373,3 +373,75 @@ def test_segment_dedup_fallback_matches_mask_path(
         .reset_index(drop=True)
     )
     assert fast.equals(slow)
+
+
+class TestLeakageSafeSplit:
+    def test_clusters_never_straddle_splits(self, ray_session, tmp_path):
+        """Planted exact-dup clusters whose members' NAIVE per-doc hash
+        buckets fall in different splits: the cluster-keeper split must
+        put every member on the keeper's side (no train/test leakage)."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_machine_ray.registry import oracle_sql, queries
+
+        # doc 1 -> bucket (1*761)%1000 = 761 ('val'); doc 430 -> 230
+        # ('train'): same text, so a per-doc split would leak.
+        texts = {
+            1: "shared dup text alpha",
+            430: "shared dup text alpha",
+            7: "shared dup text beta",
+            12: "shared dup text beta",
+            999: "shared dup text beta",
+            3: "unique text gamma",
+            8: "unique text delta",
+        }
+        ids = sorted(texts)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array(
+                    [len(texts[i]) for i in ids], type=pa.int64()
+                ),
+            }
+        )
+        d = tmp_path / "leak"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        got = (
+            queries()["leakage_safe_split"](str(d))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        by_doc = dict(zip(got["doc_id"], got["split"]))
+        keep = dict(zip(got["doc_id"], got["keeper_doc"]))
+        # cluster atomicity + keeper = min member
+        assert keep[1] == 1 and keep[430] == 1
+        assert by_doc[430] == by_doc[1]
+        assert keep[7] == keep[12] == keep[999] == 7
+        assert by_doc[12] == by_doc[7] and by_doc[999] == by_doc[7]
+        # the naive per-doc buckets genuinely disagree for cluster {1,430}
+        assert ((1 % 1000) * 761) % 1000 // 700 != (
+            ((430 % 1000) * 761) % 1000 // 700
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = (
+            con.execute(oracle_sql()["leakage_safe_split"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "keeper_doc", "split"]],
+            want[["doc_id", "keeper_doc", "split"]],
+        )

@@ -165,3 +165,55 @@ class TestHeavyHittersPathological:
         want = con.sql(oracle_sql()["heavy_hitters"]).df()
         assert sorted(got["tok"]) == sorted(want["tok"])
         assert sorted(got["n"]) == sorted(want["n"])
+
+
+class TestCountMin:
+    def test_never_underestimates_and_merge_is_sum(self):
+        import numpy as np
+
+        from ocr_machine_ray.functions.sketch import (
+            cms_build,
+            cms_estimate,
+        )
+
+        rng = np.random.default_rng(11)
+        # zipf-ish weights over 5000 distinct keys
+        keys = rng.integers(0, 2**63, 5000, dtype=np.int64).astype(
+            np.uint64
+        )
+        counts = (5000 / (np.arange(5000) + 1)).astype(np.int64) + 1
+        m = cms_build(keys, counts)
+        est = cms_estimate(m, keys)
+        assert (est >= counts).all()
+        # depth-min error bound: overestimate <= 2*N/width for the vast
+        # majority; assert the mean overshoot is tiny relative to N
+        n_total = counts.sum()
+        assert (est - counts).mean() <= 2 * n_total / 4096
+        # additive merge == build over the concatenation
+        half = 2500
+        m2 = cms_build(keys[:half], counts[:half]) + cms_build(
+            keys[half:], counts[half:]
+        )
+        assert np.array_equal(m, m2)
+
+    def test_query_recovers_exact_heavy_set(self, ray_session):
+        import duckdb
+
+        from ocr_machine_ray.registry import queries
+
+        sf = "/root/testdata/sf0.001"
+        got = queries()["heavy_hitters_cms"](sf).to_pandas()
+        exact = duckdb.sql(
+            "WITH toks AS (SELECT unnest(string_split_regex(trim(text), "
+            "'\\s+')) AS tok FROM "
+            f"read_parquet('{sf}/documents.parquet'))"
+            "SELECT tok, count(*) AS n FROM toks GROUP BY tok "
+            "ORDER BY n DESC, tok LIMIT 10"
+        ).df()
+        truth = dict(zip(exact["tok"], exact["n"]))
+        reported = dict(zip(got["tok"], got["est"]))
+        # the true top-10 all surface, and never under-counted
+        for tok, n in truth.items():
+            assert tok in reported
+            assert reported[tok] >= n
+            assert reported[tok] - n <= max(64, 0.02 * n + 64)
