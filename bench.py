@@ -119,6 +119,12 @@ BENCH_QUERIES = [
     "compaction_plan",
     "distinct_hll",
     "fuzzy_decontaminate",
+    # round-3 late additions (real codecs / WAV family / split / CMS)
+    "media_decode_classify_jpeg",
+    "audio_stats",
+    "audio_vad",
+    "leakage_safe_split",
+    "heavy_hitters_cms",
 ]
 
 

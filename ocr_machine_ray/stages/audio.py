@@ -1,6 +1,14 @@
 """Audio modality stages: synthetic PCM waveforms -> real WAV payloads ->
 actor-pool decode/analyze/resample.
 
+Relationship to the round-2 audio_features family (stages/media.py:405,
+headerless 8-bit PCM at 1 kHz, 'a-' refs, doc_id % 7): THIS module is the
+container-format path — int16 through the real RIFF/WAV codec
+(functions/wav.py), 'au-' refs, doc_id % 3 — so the engine exercises both
+raw-buffer and real-interchange-format audio plumbing. The AUDIO_*
+constant names repeat across the two modules deliberately (each family is
+self-contained); import from the module whose family you are extending.
+
 Same closed-loop design as the image/video families (stages/media.py): the
 waveform is drawn FROM a closed-form integer rule in ``doc_id``, encoded
 through the REAL WAV codec (functions/wav.py), and the downstream stages
