@@ -29,7 +29,7 @@ from ..stages.media import (
 from .extraction import spans_corpus
 
 
-def _media_rows(sf_dir: str):
+def _media_rows(sf_dir: str, n_blocks_out: int = 16):
     flat = spans_corpus(sf_dir, n_blocks=64).map_batches(
         explode_spans, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -37,10 +37,17 @@ def _media_rows(sf_dir: str):
         lambda t: t.filter(pc.equal(t["kind"], "media")),
         batch_format="pyarrow", batch_size=None,
     )
-    return media.map_batches(
+    synthed = media.map_batches(
         synth_media_batch, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
+    # Barrier before any downstream actor pool: without it Ray fuses the
+    # whole derive->synth chain INTO the actor operator, whose batch_size
+    # then counts DOCUMENT input rows (500 < 512 -> one serial bundle,
+    # measured 3.5s -> 1.1s for media_classify at sf0.01/32cpu). Codec
+    # queries pass a higher n_blocks_out for task parallelism of the
+    # encode/decode maps.
+    return synthed.repartition(n_blocks_out)
 
 
 # ---------------------------------------------------------------------------
@@ -159,7 +166,7 @@ def q_media_decode_classify(sf_dir: str):
             }
         )
 
-    encoded = _media_rows(sf_dir).map_batches(
+    encoded = _media_rows(sf_dir, n_blocks_out=64).map_batches(
         encode, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
@@ -167,7 +174,9 @@ def q_media_decode_classify(sf_dir: str):
         decode, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
-    return decoded.map_batches(
+    # second barrier: keep the codec task maps OUT of the actor operator
+    # (fused, they'd run inside <=5 oversized actor bundles)
+    return decoded.repartition(16).map_batches(
         PageClassifier,
         batch_format="pyarrow",
         batch_size=512,
@@ -228,7 +237,7 @@ def q_media_decode_classify_jpeg(sf_dir: str):
             }
         )
 
-    encoded = _media_rows(sf_dir).map_batches(
+    encoded = _media_rows(sf_dir, n_blocks_out=64).map_batches(
         encode, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
@@ -236,7 +245,10 @@ def q_media_decode_classify_jpeg(sf_dir: str):
         decode, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
-    return decoded.map_batches(
+    # second barrier: keep the codec task maps OUT of the actor operator
+    # (fused, they'd run inside <=5 oversized actor bundles — measured
+    # 22s -> 5.2s for this query at sf0.01/32cpu with the two barriers)
+    return decoded.repartition(16).map_batches(
         PageClassifier,
         batch_format="pyarrow",
         batch_size=512,
