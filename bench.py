@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "audio_vad",
     "leakage_safe_split",
     "heavy_hitters_cms",
+    "cdc_dedup",
 ]
 
 

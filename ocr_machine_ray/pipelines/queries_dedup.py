@@ -1551,3 +1551,155 @@ def q_leakage_safe_split(sf_dir: str):
     return joined.map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup accounting: chunk boundaries from a
+# gear-style rolling hash over the text, so an insertion/deletion only
+# perturbs boundaries NEAR the edit and every downstream chunk re-aligns —
+# the property that makes CDC the storage-layer dedup primitive (LBFS,
+# restic, borg; FastCDC 2016). This variant keeps the window NON-resetting
+# across boundaries, which makes boundaries purely content-local AND the
+# whole rule SQL-expressible: with boundary condition (w & 63) == 0 where
+# w = sum_{j=0..5} gear(c[i-j]) << j, the low 6 bits carry no influence
+# from chars older than the 6-window (left shifts only move bits UP), so
+# the oracle recomputes w with five LAG window functions. Dup accounting
+# is chunk-level exact dedup: global count per chunk string, per-doc
+# rollup of duplicated chunks/chars. Two shuffles + one join; the chunk
+# stream never reaches the driver. Shift-robustness is pinned by pytest
+# (tests/test_dedup_scale.py).
+# ---------------------------------------------------------------------------
+_CDC_A, _CDC_B = 167, 13
+_CDC_WIN = 6
+_CDC_MAXLEN = 4096  # oracle generate_series bound (corpus max ~600)
+
+_CDC_SQL = f"""
+WITH pos AS (
+  SELECT d.doc_id, t.i,
+         unicode(substr(d.text, CAST(t.i AS INT), 1)) AS c
+  FROM documents d CROSS JOIN generate_series(1, {_CDC_MAXLEN}) t(i)
+  WHERE d.text IS NOT NULL AND t.i <= len(d.text)
+),
+g AS (SELECT doc_id, i, c, (c * {_CDC_A} + {_CDC_B}) % 64 AS gv FROM pos),
+w AS (
+  SELECT doc_id, i, c,
+         (gv
+          + COALESCE(lag(gv, 1) OVER win, 0) * 2
+          + COALESCE(lag(gv, 2) OVER win, 0) * 4
+          + COALESCE(lag(gv, 3) OVER win, 0) * 8
+          + COALESCE(lag(gv, 4) OVER win, 0) * 16
+          + COALESCE(lag(gv, 5) OVER win, 0) * 32) % 64 AS wv
+  FROM g WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+),
+cid AS (
+  SELECT doc_id, i, c,
+         COALESCE(sum(CASE WHEN i >= {_CDC_WIN} AND wv = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_id
+  FROM w
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         string_agg(chr(c), '' ORDER BY i) AS chunk,
+         count(*) AS n_chars
+  FROM cid GROUP BY doc_id, chunk_id
+),
+marked AS (
+  SELECT doc_id, n_chars, count(*) OVER (PARTITION BY chunk) AS cnt
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_chunks,
+       CAST(sum(CASE WHEN cnt > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS dup_chars
+FROM marked GROUP BY doc_id
+"""
+
+
+def cdc_chunk_spans(text: str) -> list[tuple[int, int]]:
+    """(start, end) character spans of the CDC chunks of ``text``.
+
+    Vectorized: gear values for all codepoints at once, the 6-char window
+    sum via shifted adds, boundaries = zeros of the low-6-bit window.
+    """
+    n = len(text)
+    if n == 0:
+        return []
+    cp = np.frombuffer(
+        text.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    g = (cp * _CDC_A + _CDC_B) % 64
+    w = g.copy()
+    for j in range(1, _CDC_WIN):
+        w[j:] += g[:-j] << j
+    w &= 63
+    w[: _CDC_WIN - 1] = 1  # 1-based i >= 6 gate, as in the SQL
+    cut = (np.flatnonzero(w == 0) + 1).tolist()  # next-chunk start offsets
+    starts = [0] + [c for c in cut if c < n]
+    ends = starts[1:] + [n]
+    return list(zip(starts, ends))
+
+
+@query("cdc_dedup", _CDC_SQL)
+def q_cdc_dedup(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        ids, chunks, sizes = [], [], []
+        for d, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            for a, b in cdc_chunk_spans(t or ""):
+                ids.append(d)
+                chunks.append(t[a:b])
+                sizes.append(b - a)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "chunk": pa.array(chunks, type=pa.string()),
+                "n_chars": pa.array(sizes, type=pa.int64()),
+            }
+        )
+
+    chunks = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = (
+        chunks.groupby("chunk")
+        .aggregate(Count(alias_name="cnt"))
+        .repartition(8)  # collapse empty hash-aggregate blocks pre-join
+    )
+    joined = chunks.join(
+        counts, join_type="inner", num_partitions=8, on=("chunk",)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dup = pc.greater(batch["cnt"], 1)
+        dup_i = dup.cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "one": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+                "dup": dup_i,
+                "dupc": pc.multiply(
+                    dup_i, batch["n_chars"].cast(pa.int64())
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("doc_id")
+        .aggregate(
+            Sum("one", alias_name="n_chunks"),
+            Sum("dup", alias_name="dup_chunks"),
+            Sum("dupc", alias_name="dup_chars"),
+        )
+    )

@@ -445,3 +445,61 @@ class TestLeakageSafeSplit:
             got[["doc_id", "keeper_doc", "split"]],
             want[["doc_id", "keeper_doc", "split"]],
         )
+
+
+class TestCdcChunking:
+    def test_concat_identity_and_determinism(self):
+        from ocr_machine_ray.pipelines.queries_dedup import cdc_chunk_spans
+
+        text = "the quick brown fox jumps over the lazy dog " * 20
+        spans = cdc_chunk_spans(text)
+        assert spans == cdc_chunk_spans(text)
+        assert "".join(text[a:b] for a, b in spans) == text
+        assert [a for a, _ in spans[1:]] == [b for _, b in spans[:-1]]
+        assert len(spans) > 3  # the rule genuinely cuts
+
+    @staticmethod
+    def _entropy_text(n: int, seed: int = 5) -> str:
+        # high 6-gram diversity so the 1/64 boundary rate holds; a short
+        # PERIODIC text has only ~period distinct 6-grams and may contain
+        # no zero window at all (content-defined means exactly that)
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        chars = np.array(list("abcdefghijklmnopqrstuvwxyz0123456789 "))
+        return "".join(rng.choice(chars, n))
+
+    def test_shift_robustness(self):
+        """An insertion at the FRONT only perturbs chunks near the edit:
+        the non-resetting rolling window re-synchronizes within 6 chars,
+        so almost every original chunk string survives — the property
+        fixed-window chunking (segment_dedup) fundamentally lacks."""
+        from ocr_machine_ray.pipelines.queries_dedup import cdc_chunk_spans
+
+        base = self._entropy_text(4000)
+        shifted = "INSERTED PREFIX >>> " + base
+        c_base = {base[a:b] for a, b in cdc_chunk_spans(base)}
+        assert len(c_base) > 20
+        c_shift = {shifted[a:b] for a, b in cdc_chunk_spans(shifted)}
+        common = c_base & c_shift
+        assert len(common) >= 0.9 * len(c_base)
+
+        # fixed windows (stride 40) lose nearly everything under a
+        # 20-char shift — the contrast that motivates CDC
+        f_base = {base[i:i + 40] for i in range(0, len(base), 40)}
+        f_shift = {shifted[i:i + 40] for i in range(0, len(shifted), 40)}
+        assert len(f_base & f_shift) < 0.2 * len(f_base)
+
+    def test_window_locality_matches_sql_gate(self):
+        """Boundary decision at position i depends ONLY on chars
+        i-5..i: mutate a char 6+ positions earlier and the boundary
+        stays."""
+        from ocr_machine_ray.pipelines.queries_dedup import cdc_chunk_spans
+
+        text = self._entropy_text(2000, seed=9)
+        spans = cdc_chunk_spans(text)
+        cuts = [b for _, b in spans[:-1] if b > 20]
+        assert cuts
+        cut = cuts[0]
+        mutated = text[: cut - 10] + "@" + text[cut - 9:]
+        assert cut in [b for _, b in cdc_chunk_spans(mutated)]
