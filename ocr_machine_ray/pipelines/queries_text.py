@@ -4056,3 +4056,185 @@ def q_shard_skew_report(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece's second algorithm; Kudo 2018,
+# arXiv:1804.10959): the OTHER major subword family next to BPE above.
+# Training is EM over the segmentation lattice — E-step accumulates
+# expected piece counts with forward/backward over each word, M-step
+# re-normalizes, then low-utility pieces are pruned toward the target
+# vocab. Like bpe_train, the only corpus-sized pass is the distributed
+# (word, count) aggregate (_word_freq_ds); EM runs on that vocab-sized
+# table on the driver (at real scale: capped to the top-M words by
+# frequency, same sample-bounded policy as BPE_ROUNDS). Encoding is a
+# Viterbi pass per word, distributed via the tiny piece table captured in
+# the batch closure. Segmentation semantics are not SQL-expressible —
+# rows-only entry; optimality/monotonicity/determinism pinned by pytest.
+# ---------------------------------------------------------------------------
+UNIGRAM_VOCAB = 48
+UNIGRAM_EM_ROUNDS = 4
+UNIGRAM_MAX_PIECE = 6
+_UNI_FLOOR = 1e-10
+
+
+def _uni_lattice_expect(word: str, probs: dict[str, float]):
+    """Forward/backward expected counts + marginal likelihood of a word."""
+    import math
+
+    n = len(word)
+    fwd = [0.0] * (n + 1)
+    fwd[0] = 1.0
+    for i in range(1, n + 1):
+        s = 0.0
+        for j in range(max(0, i - UNIGRAM_MAX_PIECE), i):
+            p = probs.get(word[j:i])
+            if p:
+                s += fwd[j] * p
+        fwd[i] = s
+    if fwd[n] <= 0.0:
+        return {}, -math.inf
+    bwd = [0.0] * (n + 1)
+    bwd[n] = 1.0
+    for i in range(n - 1, -1, -1):
+        s = 0.0
+        for j in range(i + 1, min(n, i + UNIGRAM_MAX_PIECE) + 1):
+            p = probs.get(word[i:j])
+            if p:
+                s += p * bwd[j]
+        bwd[i] = s
+    z = fwd[n]
+    exp: dict[str, float] = {}
+    for i in range(n):
+        for j in range(i + 1, min(n, i + UNIGRAM_MAX_PIECE) + 1):
+            piece = word[i:j]
+            p = probs.get(piece)
+            if p:
+                exp[piece] = exp.get(piece, 0.0) + fwd[i] * p * bwd[j] / z
+    return exp, math.log(z)
+
+
+def unigram_train(
+    word_counts: list[tuple[str, int]],
+    vocab_size: int = UNIGRAM_VOCAB,
+    rounds: int = UNIGRAM_EM_ROUNDS,
+) -> dict[str, float]:
+    """EM-train unigram piece probabilities from a (word, count) table."""
+    seeds: dict[str, float] = {}
+    for w, c in word_counts:
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + UNIGRAM_MAX_PIECE) + 1):
+                seeds[w[i:j]] = seeds.get(w[i:j], 0.0) + c
+    if not seeds:
+        return {}
+    total = sum(seeds.values())
+    probs = {k: v / total for k, v in seeds.items()}
+    singles = {w[i] for w, _ in word_counts for i in range(len(w))}
+    for r in range(rounds):
+        expected: dict[str, float] = {}
+        for w, c in word_counts:
+            exp, _ = _uni_lattice_expect(w, probs)
+            for k, v in exp.items():
+                expected[k] = expected.get(k, 0.0) + c * v
+        z = sum(expected.values())
+        if z <= 0:
+            break
+        probs = {k: max(v / z, _UNI_FLOOR) for k, v in expected.items()}
+        # prune toward the target vocab, but single chars are never cut
+        # (they guarantee full coverage / no OOV)
+        if len(probs) > vocab_size:
+            multi = sorted(
+                ((k, v) for k, v in probs.items() if len(k) > 1),
+                key=lambda kv: (-kv[1], kv[0]),
+            )
+            keep = dict(multi[: max(0, vocab_size - len(singles))])
+            keep.update(
+                {s: probs.get(s, _UNI_FLOOR) for s in singles}
+            )
+            z2 = sum(keep.values())
+            probs = {k: v / z2 for k, v in keep.items()}
+    return probs
+
+
+def unigram_viterbi(word: str, probs: dict[str, float]):
+    """Max-probability segmentation -> (pieces, total_logprob)."""
+    import math
+
+    n = len(word)
+    best = [-math.inf] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - UNIGRAM_MAX_PIECE), i):
+            p = probs.get(word[j:i])
+            if p and best[j] + math.log(p) > best[i]:
+                best[i] = best[j] + math.log(p)
+                back[i] = j
+    if best[n] == -math.inf:
+        return [], -math.inf
+    pieces, i = [], n
+    while i > 0:
+        pieces.append(word[back[i]:i])
+        i = back[i]
+    return pieces[::-1], best[n]
+
+
+@query("unigram_tokenize")
+def q_unigram_tokenize(sf_dir: str):
+    """Per-doc unigram tokenization accounting: piece count and total
+    negative log-likelihood (milli-nats, integer) under the EM-trained
+    piece model. One distributed word-count pass + one distributed encode
+    pass; the model table is vocab-sized."""
+    from .extraction import read_documents
+
+    wc_rows = _word_freq_ds(sf_dir).take_all()  # vocab-sized by design
+    word_counts = sorted((r["word"], int(r["cnt"])) for r in wc_rows)
+    probs = unigram_train(word_counts)
+    # per-word encode memo: vocab-sized, computed once on the driver,
+    # shipped inside the closure (tiny) — the corpus pass stays vectorized
+    # over the memo
+    memo = {}
+    for w, _ in word_counts:
+        pieces, lp = unigram_viterbi(w, probs)
+        memo[w] = (len(pieces), int(round(-lp * 1000)))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ft = _FlatTokens(batch)
+        if not len(ft.tokens):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_pieces": pa.array([], type=pa.int64()),
+                    "nll_millinat": pa.array([], type=pa.int64()),
+                }
+            )
+        # memo lookups are the only per-token Python; doc rollup rides
+        # reduceat over the contiguous flat-token layout
+        uniq_t, inv = np.unique(np.asarray(ft.tokens), return_inverse=True)
+        pc_u = np.array(
+            [memo.get(t, (0, 0))[0] for t in uniq_t], dtype=np.int64
+        )
+        cost_u = np.array(
+            [memo.get(t, (0, 0))[1] for t in uniq_t], dtype=np.int64
+        )
+        counts, costs = pc_u[inv], cost_u[inv]
+        starts = np.cumsum(ft.counts) - ft.counts
+        valid = ft.counts > 0
+        row_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[valid]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    row_ids.astype(np.int64), type=pa.int64()
+                ),
+                "n_pieces": pa.array(
+                    np.add.reduceat(counts, starts[valid])
+                ),
+                "nll_millinat": pa.array(
+                    np.add.reduceat(costs, starts[valid])
+                ),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True
+    )

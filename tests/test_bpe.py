@@ -119,3 +119,92 @@ def test_bpe_token_counts_consistency(ray_session):
     merged = df.merge(docs, on="doc_id")
     max_chars = merged["text"].str.len()
     assert (merged["n_subwords"] <= max_chars + 1).all()
+
+
+class TestUnigramLM:
+    def test_viterbi_matches_bruteforce(self):
+        import itertools
+        import math
+
+        from ocr_machine_ray.pipelines.queries_text import (
+            UNIGRAM_MAX_PIECE,
+            unigram_viterbi,
+        )
+
+        probs = {
+            "a": 0.08, "b": 0.05, "c": 0.04, "ab": 0.2, "bc": 0.18,
+            "abc": 0.1, "cab": 0.12, "abca": 0.02,
+        }
+
+        def brute(word):
+            best, bl = None, -math.inf
+            n = len(word)
+            for cuts in itertools.product([0, 1], repeat=n - 1):
+                pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+                pieces = [word[a:b] for a, b in zip(pos, pos[1:])]
+                if any(
+                    p not in probs or len(p) > UNIGRAM_MAX_PIECE
+                    for p in pieces
+                ):
+                    continue
+                lp = sum(math.log(probs[p]) for p in pieces)
+                if lp > bl:
+                    best, bl = pieces, lp
+            return best, bl
+
+        for word in ("abc", "abcab", "cababc", "abcabca"):
+            vp, vl = unigram_viterbi(word, probs)
+            bp, bl = brute(word)
+            assert vp == bp
+            assert abs(vl - bl) < 1e-9
+
+    def test_em_monotone_likelihood_and_coverage(self):
+        from ocr_machine_ray.pipelines.queries_text import (
+            _uni_lattice_expect,
+            unigram_train,
+            unigram_viterbi,
+        )
+
+        wc = [("banana", 10), ("bandana", 6), ("ananas", 4), ("nab", 8)]
+
+        def corpus_ll(probs):
+            return sum(
+                c * _uni_lattice_expect(w, probs)[1] for w, c in wc
+            )
+
+        lls = []
+        for r in range(1, 5):
+            probs = unigram_train(wc, rounds=r)
+            lls.append(corpus_ll(probs))
+        # EM on the full lattice is monotone in likelihood (pruning may
+        # dip it, so compare only while vocab is uncut: vocab_size large)
+        big = [
+            corpus_ll(unigram_train(wc, vocab_size=10_000, rounds=r))
+            for r in range(1, 5)
+        ]
+        assert all(b2 >= b1 - 1e-9 for b1, b2 in zip(big, big[1:]))
+        # single-char coverage: every word still segmentable after prune
+        probs = unigram_train(wc, vocab_size=8)
+        for w, _ in wc:
+            pieces, lp = unigram_viterbi(w, probs)
+            assert "".join(pieces) == w
+
+    def test_query_runs_and_is_deterministic(self, ray_session):
+        from ocr_machine_ray.registry import queries
+
+        a = (
+            queries()["unigram_tokenize"]("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            queries()["unigram_tokenize"]("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(a) == 500
+        assert (a["n_pieces"] > 0).all()
+        assert (a["nll_millinat"] > 0).all()
+        assert a.equals(b)
