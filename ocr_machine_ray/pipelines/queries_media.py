@@ -198,17 +198,30 @@ def q_media_decode_classify_jpeg(sf_dir: str):
     import pyarrow as pa
 
     from ..functions.images import decode_external
-    from ..functions.jpeg import jpeg_encode
+    from ..functions.jpeg import jpeg_encode, jpeg_encode_batch
 
     def encode(batch: pa.Table) -> pa.Table:
-        enc = []
-        for b, w, h in zip(
-            batch["bytes"].to_pylist(),
-            batch["width"].to_pylist(),
-            batch["height"].to_pylist(),
-        ):
-            img = np.frombuffer(b, dtype=np.uint8).reshape(h, w)
-            enc.append(jpeg_encode(img, quality=85))
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        raw = batch["bytes"].to_pylist()
+        if len(set(ws)) <= 1 and len(set(hs)) <= 1 and raw:
+            # uniform page size: ONE vectorized pass over the whole stack
+            # (byte-identical to per-image encode, ~5x faster)
+            stack = np.stack(
+                [
+                    np.frombuffer(b, dtype=np.uint8).reshape(hs[0], ws[0])
+                    for b in raw
+                ]
+            )
+            enc = jpeg_encode_batch(stack, quality=85)
+        else:
+            enc = [
+                jpeg_encode(
+                    np.frombuffer(b, dtype=np.uint8).reshape(h, w),
+                    quality=85,
+                )
+                for b, w, h in zip(raw, ws, hs)
+            ]
         return pa.table(
             {
                 "media_ref": batch["media_ref"],

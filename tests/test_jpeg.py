@@ -161,3 +161,25 @@ class TestDecodeExternalRouting:
         assert out.ndim == 2
         # BT.601 luma of (200, 0, 0) is ~60
         assert abs(float(out.mean()) - 60) < 8
+
+
+def test_encode_batch_identical_to_single():
+    import numpy as np
+
+    from ocr_machine_ray.functions.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_batch,
+    )
+
+    rng = np.random.default_rng(42)
+    # mix of flat, structured, and noise pages; odd size exercises padding
+    stack = rng.integers(0, 256, (7, 57, 83), dtype=np.uint8)
+    stack[0] = 128
+    stack[1, ::4, :] = 0
+    batch = jpeg_encode_batch(stack, quality=85)
+    assert len(batch) == 7
+    for i in range(7):
+        assert batch[i] == jpeg_encode(stack[i], quality=85)
+        assert np.array_equal(jpeg_decode(batch[i]), jpeg_decode(jpeg_encode(stack[i], 85)))
+    assert jpeg_encode_batch(np.zeros((0, 8, 8), dtype=np.uint8)) == []
