@@ -138,17 +138,31 @@ def _canonical_codes(bits: list[int], vals: list[int]):
     return out
 
 
+# Plain dict cache, NOT functools.lru_cache: an lru_cache wrapper is
+# pickled by reference and breaks pickle-by-value shipping to Ray workers.
+# Building + .tolist() of the 64Ki-entry LUT costs ~1.6 ms — rebuilt per
+# image it dominated decode; the same Annex-K tables recur in practice.
+_DECODE_LUT_CACHE: dict[tuple, list[int]] = {}
+
+
 def _decode_lut(bits: list[int], vals: list[int]) -> list[int]:
     """16-bit-peek LUT as a plain Python list of (length << 8 | symbol):
     one index resolves both in the hot loop (list indexing beats numpy
     scalar indexing ~5x in CPython). Codes longer than the peek window
     can't occur (JPEG caps code length at 16); 0 marks invalid codes."""
+    key = (tuple(bits), tuple(vals))
+    cached = _DECODE_LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
     lut = np.zeros(1 << 16, dtype=np.int32)
     for code, ln, sym in _canonical_codes(bits, vals):
         lo = code << (16 - ln)
         hi = (code + 1) << (16 - ln)
         lut[lo:hi] = (ln << 8) | sym
-    return lut.tolist()
+    out = lut.tolist()
+    if len(_DECODE_LUT_CACHE) < 64:
+        _DECODE_LUT_CACHE[key] = out
+    return out
 
 
 def _encode_table(bits: list[int], vals: list[int]):
@@ -625,28 +639,35 @@ def jpeg_encode(
 # ---------------------------------------------------------------------------
 def _destuff(data: bytes):
     """Strip 0xFF00 stuffing; split at RSTn. Returns (segments, end_index)
-    where end_index points at the terminating marker's 0xFF."""
-    segs = []
-    cur = bytearray()
+    where end_index points at the terminating marker's 0xFF.
+
+    Jumps 0xFF-to-0xFF with bytes.find instead of walking every byte
+    (entropy data is mostly non-0xFF), accumulating split points; the
+    stuffing is stripped with one bytes.replace per segment."""
+    bounds = [0]  # raw-offset starts of segments
+    cuts = []     # (seg_end_raw, next_start_raw) at RST markers
     i = 0
     n = len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        nxt = data[i + 1] if i + 1 < n else 0xD9
-        if nxt == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif 0xD0 <= nxt <= 0xD7:
-            segs.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0:
+            i = n
             break
-    segs.append(bytes(cur))
+        nxt = data[j + 1] if j + 1 < n else 0xD9
+        if nxt == 0x00:
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            cuts.append((j, j + 2))
+            i = j + 2
+        else:
+            i = j
+            break
+    segs = []
+    start = 0
+    for end, nstart in cuts:
+        segs.append(data[start:end].replace(b"\xff\x00", b"\xff"))
+        start = nstart
+    segs.append(data[start:i].replace(b"\xff\x00", b"\xff"))
     return segs, i
 
 
@@ -823,27 +844,22 @@ def _decode_scan(segs, size, comps, scomp, qtabs, dc_luts, ac_luts, dri):
             else:
                 bi = (my * cv + dy) * bpr[ci] + mx * ch + dx
             zz = coef_rows[ci][bi]
-            # --- DC ---
-            while nbits < 16:
-                if di < dn:
-                    acc = (acc << 8) | data[di]
-                    di += 1
-                else:
-                    acc <<= 8
-                nbits += 8
+            # --- DC --- (invariant: one >=27-bit refill covers the 16-bit
+            # symbol peek AND the <=11-bit value read — three separate
+            # byte-at-a-time while loops collapse to one branch/coeff)
+            if nbits < 27:
+                chunk = data[di:di + 4]
+                di += len(chunk)
+                acc = (acc << 32) | (
+                    int.from_bytes(chunk, "big") << (32 - 8 * len(chunk))
+                )
+                nbits += 32
             e = dlut[(acc >> (nbits - 16)) & 0xFFFF]
             if e == 0:
                 raise JpegError("bad DC huffman code")
             s = e & 0xFF
             nbits -= e >> 8
             if s:
-                while nbits < s:
-                    if di < dn:
-                        acc = (acc << 8) | data[di]
-                        di += 1
-                    else:
-                        acc <<= 8
-                    nbits += 8
                 nbits -= s
                 v = (acc >> nbits) & ((1 << s) - 1)
                 diff = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
@@ -852,13 +868,14 @@ def _decode_scan(segs, size, comps, scomp, qtabs, dc_luts, ac_luts, dri):
             # --- AC ---
             j = 1
             while j < 64:
-                while nbits < 16:
-                    if di < dn:
-                        acc = (acc << 8) | data[di]
-                        di += 1
-                    else:
-                        acc <<= 8
-                    nbits += 8
+                if nbits < 27:
+                    chunk = data[di:di + 4]
+                    di += len(chunk)
+                    acc = (acc << 32) | (
+                        int.from_bytes(chunk, "big")
+                        << (32 - 8 * len(chunk))
+                    )
+                    nbits += 32
                 e = alut[(acc >> (nbits - 16)) & 0xFFFF]
                 if e == 0:
                     raise JpegError("bad AC huffman code")
@@ -873,13 +890,6 @@ def _decode_scan(segs, size, comps, scomp, qtabs, dc_luts, ac_luts, dri):
                 s = rs & 15
                 if j > 63:
                     raise JpegError("AC coefficient overflow")
-                while nbits < s:
-                    if di < dn:
-                        acc = (acc << 8) | data[di]
-                        di += 1
-                    else:
-                        acc <<= 8
-                    nbits += 8
                 nbits -= s
                 v = (acc >> nbits) & ((1 << s) - 1)
                 zz[j] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
@@ -893,8 +903,9 @@ def _decode_scan(segs, size, comps, scomp, qtabs, dc_luts, ac_luts, dri):
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         q = qtabs[tq]
         dq = (coef[ci] * q[np.newaxis, :])[:, _UNZIGZAG].reshape(-1, 8, 8)
-        pix = np.einsum("xu,nuv,yv->nxy", _DCT8.T, dq.astype(np.float64),
-                        _DCT8.T) + 128.0
+        pix = np.matmul(
+            np.matmul(_DCT8.T, dq.astype(np.float64)), _DCT8
+        ) + 128.0  # BLAS inverse DCT, not einsum
         cw = bpr[ci]
         cvh = coef[ci].shape[0] // cw
         plane = (
