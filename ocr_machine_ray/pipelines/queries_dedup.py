@@ -1515,6 +1515,18 @@ FROM hashed hd JOIN keepers k ON hd.h = k.h
 def q_leakage_safe_split(sf_dir: str):
     from ray.data.aggregate import Min
 
+    from .extraction import parquet_num_rows
+
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        # empty input would put schema-less blocks on the join probe side
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "keeper_doc": pa.array([], type=pa.int64()),
+                "split": pa.array([], type=pa.string()),
+            }
+        )
+
     hashed = read_documents(sf_dir).map_batches(
         content_hash_batch, batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["doc_id", "content_hash"])
@@ -1646,6 +1658,20 @@ def cdc_chunk_spans(text: str) -> list[tuple[int, int]]:
 @query("cdc_dedup", _CDC_SQL)
 def q_cdc_dedup(sf_dir: str):
     from ray.data.aggregate import Count, Sum
+
+    from .extraction import parquet_num_rows
+
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        # empty input: the chunk stream would emit schema-less blocks
+        # that break FieldRef resolution on the join probe side
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_chunks": pa.array([], type=pa.int64()),
+                "dup_chunks": pa.array([], type=pa.int64()),
+                "dup_chars": pa.array([], type=pa.int64()),
+            }
+        )
 
     def chunk_rows(batch: pa.Table) -> pa.Table:
         ids, chunks, sizes = [], [], []
