@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "leakage_safe_split",
     "heavy_hitters_cms",
     "cdc_dedup",
+    "doc_skyline",
+    "unigram_tokenize",
 ]
 
 

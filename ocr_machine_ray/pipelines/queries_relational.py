@@ -1344,3 +1344,110 @@ def q_global_rank_orders(sf_dir: str):
         )
 
     return ds.groupby("bucket").map_groups(rank_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Distributed skyline (Pareto frontier) over anti-correlated document
+# metrics: maximize BOTH token count and lexical diversity (distinct/total
+# in integer per-mille — longer docs repeat more, so the criteria genuinely
+# trade off; 53 of 500 corpus docs are Pareto-optimal). The classic
+# distributed shape (Borzsony/Kossmann/Stocker, ICDE 2001 lineage): each
+# block computes its LOCAL skyline — dominated points can never re-enter —
+# then the unioned candidates take one exact pass in a single task. Local
+# pruning bounds the merge input by sum of block-skyline sizes (worst case
+# fully anti-correlated data degrades to a single-task full skyline; that
+# bound is the documented cost, never wrong answers). The oracle is the
+# textbook NOT EXISTS dominance query.
+# ---------------------------------------------------------------------------
+_SKYLINE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT tok) * 1000 // count(*) AS BIGINT)
+           AS diversity
+  FROM toks GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens, t.diversity FROM m t WHERE NOT EXISTS (
+  SELECT 1 FROM m o
+  WHERE o.n_tokens >= t.n_tokens AND o.diversity >= t.diversity
+    AND (o.n_tokens > t.n_tokens OR o.diversity > t.diversity))
+"""
+
+
+def pareto_mask(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """Exact 2-D maxima mask, O(n log n): sort by (a desc, b desc); a
+    point survives iff it holds its a-group's max b AND beats the best b
+    of every strictly-larger a. Ties on (a, b) all survive (neither
+    dominates — the SQL's strict-in-one clause)."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-b, -a))
+    a_s, b_s = a[order], b[order]
+    new_grp = np.concatenate([[True], a_s[1:] != a_s[:-1]])
+    gid = np.cumsum(new_grp) - 1
+    gmax = b_s[new_grp]  # per-group max b (first in desc order)
+    prev_best = np.concatenate(
+        [[np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1]]
+    )
+    surv = (b_s == gmax[gid]) & (b_s > prev_best[gid])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = surv
+    return mask
+
+
+@query("doc_skyline", _SKYLINE_SQL)
+def q_doc_skyline(sf_dir: str):
+    import pandas as pd
+
+    from ..corpus import FlatTokens
+    from .extraction import read_documents
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "diversity": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ft = FlatTokens(batch)
+        if not len(ft.doc_ids):
+            return empty
+        g = pd.DataFrame(
+            {"d": ft.doc_ids, "t": ft.tokens}
+        ).groupby("d")["t"].agg(["count", "nunique"])
+        a = g["count"].to_numpy(dtype=np.int64)
+        b = g["nunique"].to_numpy(dtype=np.int64) * 1000 // a
+        keep = pareto_mask(a, b)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    g.index.to_numpy(dtype=np.int64)[keep]
+                ),
+                "n_tokens": pa.array(a[keep]),
+                "diversity": pa.array(b[keep]),
+            }
+        )
+
+    def final_skyline(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        a = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        b = batch["diversity"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(pareto_mask(a, b)))
+
+    cands = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        local_skyline, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # candidates are sum-of-block-skylines small: one exact merge task
+    return cands.repartition(1).map_batches(
+        final_skyline, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )

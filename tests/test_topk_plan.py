@@ -49,3 +49,54 @@ class TestPartialTopK:
         assert "block_top" in stats
         assert stats.index("block_top") < stats.rindex("Sort")
         assert ds.count() <= 20
+
+
+class TestSkyline:
+    def test_pareto_mask_matches_bruteforce_with_ties(self):
+        import numpy as np
+
+        from ocr_machine_ray.pipelines.queries_relational import pareto_mask
+
+        rng = np.random.default_rng(3)
+        # small value range forces many ties on both axes
+        a = rng.integers(0, 12, 300).astype(np.int64)
+        b = rng.integers(0, 12, 300).astype(np.int64)
+
+        def brute(a, b):
+            n = len(a)
+            out = np.ones(n, dtype=bool)
+            for i in range(n):
+                for j in range(n):
+                    if (
+                        a[j] >= a[i] and b[j] >= b[i]
+                        and (a[j] > a[i] or b[j] > b[i])
+                    ):
+                        out[i] = False
+                        break
+            return out
+
+        assert np.array_equal(pareto_mask(a, b), brute(a, b))
+
+    def test_local_prune_is_lossless(self):
+        """Points dominated inside any subset are dominated globally, so
+        block-local skyline + merge == direct skyline on the union."""
+        import numpy as np
+
+        from ocr_machine_ray.pipelines.queries_relational import pareto_mask
+
+        rng = np.random.default_rng(4)
+        a = rng.integers(0, 1000, 500).astype(np.int64)
+        b = (1000 - a) + rng.integers(-50, 50, 500)  # anti-correlated
+        direct = {(x, y) for x, y in zip(a[pareto_mask(a, b)],
+                                         b[pareto_mask(a, b)])}
+        merged_a, merged_b = [], []
+        for lo in range(0, 500, 77):  # uneven blocks
+            sa, sb = a[lo:lo + 77], b[lo:lo + 77]
+            m = pareto_mask(sa, sb)
+            merged_a.extend(sa[m])
+            merged_b.extend(sb[m])
+        ma = np.array(merged_a, dtype=np.int64)
+        mb = np.array(merged_b, dtype=np.int64)
+        final = {(x, y) for x, y in zip(ma[pareto_mask(ma, mb)],
+                                        mb[pareto_mask(ma, mb)])}
+        assert final == direct
