@@ -349,7 +349,10 @@ def q_strike_cv(sf_dir: str):
     regions = words.map_batches(
         render_word_regions_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    return regions.map_batches(
+    # barrier: without it Ray fuses derive->render INTO the actor operator
+    # and batch_size counts DOCUMENT input rows (serial-bundle collapse,
+    # same trap as _media_rows — measured 14.5s -> 7.9s cold at sf0.01)
+    return regions.repartition(32).map_batches(
         StrikeCV,
         batch_format="pyarrow",
         batch_size=1024,  # actor-pool boundary: input rows here ARE words
@@ -387,7 +390,7 @@ def q_strike_model(sf_dir: str):
     regions = words.map_batches(
         render_word_regions_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    scored = regions.map_batches(
+    scored = regions.repartition(32).map_batches(
         ModelScorer,
         batch_format="pyarrow",
         batch_size=512,  # actor-pool boundary: input rows here ARE words
