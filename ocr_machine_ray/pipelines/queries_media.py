@@ -705,3 +705,60 @@ def q_video_shot_detect(sf_dir: str):
         batch_size=256,  # large binary payloads: small batches
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# M20 real form — page compressor with the ACTUAL codec the reference uses
+# (fake_scan.py:216-272 re-encodes pages as JPEG q=40 and reports the size
+# reduction; the earlier quantize+RLE accounting stands in functions/
+# images.py:436). Per-page compressed sizes are codec-internal, so the
+# oracle value-checks the structural columns (page identity + raw size);
+# the compression ratios are pytest-pinned (every page compresses, the
+# stream decodes back to the same dimensions) — compressed sizes are
+# codec-internal, so this is a rows-only registry entry.
+# ---------------------------------------------------------------------------
+@query("page_compress_jpeg")
+def q_page_compress_jpeg(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.jpeg import jpeg_encode_batch
+
+    def compress(batch: pa.Table) -> pa.Table:
+        raw = batch["bytes"].to_pylist()
+        hs = batch["height"].to_pylist()
+        ws = batch["width"].to_pylist()
+        if raw:
+            stack = np.stack(
+                [
+                    np.frombuffer(b, dtype=np.uint8).reshape(hs[0], ws[0])
+                    for b in raw
+                ]
+            )
+            enc = jpeg_encode_batch(stack, quality=40)
+        else:
+            enc = []
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_ref": batch["media_ref"],
+                "raw_bytes": pa.array(
+                    [h * w for h, w in zip(hs, ws)], type=pa.int64()
+                ),
+                "jpeg_bytes": pa.array(
+                    [len(e) for e in enc], type=pa.int64()
+                ),
+                "ratio_bp": pa.array(
+                    [
+                        len(e) * 10000 // (h * w)
+                        for e, h, w in zip(enc, hs, ws)
+                    ],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return _media_rows(sf_dir, n_blocks_out=64).map_batches(
+        compress, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )

@@ -401,3 +401,23 @@ class TestShotBoundary:
         assert (out["n_cuts"] == 2).all()
         assert (out["cut1"].to_numpy() == 2 + d % 3).all()
         assert (out["cut2"].to_numpy() == 5 + d % 2).all()
+
+
+def test_page_compress_jpeg_real_codec(ray_session):
+    """M20 real form: every rendered page shrinks under JPEG q=40 and the
+    compressed stream decodes back to the page dimensions."""
+    import numpy as np
+
+    from ocr_machine_ray.functions.jpeg import jpeg_decode, jpeg_encode_batch
+    from ocr_machine_ray.registry import queries
+    from ocr_machine_ray.stages.media import synth_media_image
+
+    out = queries()["page_compress_jpeg"]("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 2000
+    assert (out["jpeg_bytes"] > 0).all()
+    assert (out["jpeg_bytes"] < out["raw_bytes"]).all()
+    assert (out["ratio_bp"] == out["jpeg_bytes"] * 10000 // out["raw_bytes"]).all()
+    # the q40 stream itself round-trips dimensionally
+    img = synth_media_image("m-7-1", "grid")
+    enc = jpeg_encode_batch(img[np.newaxis], quality=40)[0]
+    assert jpeg_decode(enc).shape == img.shape
