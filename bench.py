@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "cdc_dedup",
     "doc_skyline",
     "unigram_tokenize",
+    "page_compress_jpeg",
 ]
 
 
