@@ -372,9 +372,58 @@ def q_heavy_hitters_cms(sf_dir: str):
             }
         )
 
-    rows = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()  # one matrix + 64 tiny rows per block: driver-safe
+    from ..functions.sketch import CMS_DEPTH as _D
+    from ..functions.sketch import CMS_WIDTH as _W
+
+    def pre_merge(batch: pa.Table) -> pa.Table:
+        """Partition-level combine: sum the CMS matrices and keep the
+        top candidates by local count, so the driver sees O(partitions)
+        rows — at 10^6 blocks the per-block matrices alone would be
+        ~128 GB driver-side without this tree level."""
+        if batch.num_rows == 0:
+            return batch
+        acc = np.zeros((_D, _W), dtype=np.int64)
+        cand_rows: dict[str, int] = {}
+        n_cms = 0
+        for kind, tok, n, payload in zip(
+            batch["kind"].to_pylist(),
+            batch["tok"].to_pylist(),
+            batch["n"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind == "cms":
+                acc += np.frombuffer(payload, dtype=np.int64).reshape(
+                    _D, _W
+                )
+                n_cms += 1
+            else:
+                cand_rows[tok] = cand_rows.get(tok, 0) + n
+        top = sorted(cand_rows.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : 4 * _CMS_CAND_PER_BLOCK
+        ]
+        kinds = (["cms"] if n_cms else []) + ["cand"] * len(top)
+        toks = ([""] if n_cms else []) + [t for t, _ in top]
+        ns = ([0] if n_cms else []) + [c for _, c in top]
+        payloads = ([acc.tobytes()] if n_cms else []) + [None] * len(top)
+        return pa.table(
+            {
+                "kind": pa.array(kinds, type=pa.string()),
+                "tok": pa.array(toks, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    rows = (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)  # tree level: 8 partition-combined sketch rows
+        .map_batches(
+            pre_merge, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .take_all()
+    )  # O(partitions) matrices + capped candidates: driver-safe at scale
 
     from ..functions.sketch import CMS_DEPTH, CMS_WIDTH
 
