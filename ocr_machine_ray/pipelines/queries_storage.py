@@ -296,13 +296,44 @@ def q_distinct_hll(sf_dir: str):
             }
         )
 
+    def pre_merge(batch: pa.Table) -> pa.Table:
+        """Partition-level register-max combine (same tree level as the
+        CMS reduce below): the driver sees O(partitions) rows, not one
+        per block — 4 KiB x 10^6 blocks would be driver-hostile."""
+        if batch.num_rows == 0:
+            return batch
+        acc: dict[str, np.ndarray] = {}
+        for metric, regs in zip(
+            batch["metric"].to_pylist(), batch["regs"].to_pylist()
+        ):
+            r = np.frombuffer(regs, dtype=np.uint8)
+            if metric in acc:
+                np.maximum(acc[metric], r, out=acc[metric])
+            else:
+                acc[metric] = r.copy()
+        keys = sorted(acc)
+        return pa.table(
+            {
+                "metric": pa.array(keys),
+                "regs": pa.array(
+                    [acc[k].tobytes() for k in keys], type=pa.binary()
+                ),
+            }
+        )
+
     merged: dict[str, np.ndarray] = {
         "event_id": np.zeros(1 << _HLL_P, dtype=np.uint8),
         "user_id": np.zeros(1 << _HLL_P, dtype=np.uint8),
     }
-    for row in ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all():  # one 4 KiB row per (block, metric): driver-safe
+    for row in (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .map_batches(
+            pre_merge, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .take_all()
+    ):  # O(partitions) register rows: driver-safe at any corpus size
         np.maximum(
             merged[row["metric"]],
             np.frombuffer(row["regs"], dtype=np.uint8),
