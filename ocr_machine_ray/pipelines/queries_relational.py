@@ -1446,8 +1446,17 @@ def q_doc_skyline(sf_dir: str):
     cands = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         local_skyline, batch_format="pyarrow", zero_copy_batch=True
     )
-    # candidates are sum-of-block-skylines small: one exact merge task
-    return cands.repartition(1).map_batches(
-        final_skyline, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
+    # pruning is composable (lossless-prune pytest), so merge as a tree:
+    # block skylines -> 8 partition skylines -> one exact final task
+    return (
+        cands.repartition(8)
+        .map_batches(
+            final_skyline, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .repartition(1)
+        .map_batches(
+            final_skyline, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
     )
