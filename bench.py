@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "doc_skyline",
     "unigram_tokenize",
     "page_compress_jpeg",
+    "zone_map_prune_scan",
 ]
 
 

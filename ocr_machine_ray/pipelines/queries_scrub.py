@@ -797,3 +797,124 @@ def q_extract_quarantined(sf_dir: str):
         .map_batches(safe, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruned scan — the consumer side of zorder_layout: a predicate
+# (lang = 'en' AND n_chars BETWEEN 200 AND 400) is answered by first
+# checking each Z-order partition's zone maps (min/max chars + lang
+# presence) and scanning only surviving partitions. The oracle recomputes
+# the zone maps AND the exact per-partition match counts, so the output
+# proves the pruning is SOUND (pruned partitions hold zero matches) and
+# reports the skip ratio a Lance/Iceberg reader would realize. One scan,
+# one packed-key aggregate, partition-level (tiny) finish.
+# ---------------------------------------------------------------------------
+_PRUNE_LO, _PRUNE_HI = 200, 400
+
+_ZONE_PRUNE_SQL = f"""
+WITH m AS (
+  SELECT doc_id, n_chars,
+    CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+              WHEN 'fr' THEN 3 ELSE 4 END AS lc,
+    least(n_chars // 128, 7) AS lb
+  FROM documents
+),
+z AS (
+  SELECT lc, n_chars,
+    (lc % 2) + 2 * (lb % 2) + 4 * ((lc // 2) % 2) + 8 * ((lb // 2) % 2)
+      + 16 * ((lc // 4) % 2) + 32 * ((lb // 4) % 2) AS zkey
+  FROM m
+),
+part AS (SELECT zkey // 4 AS pid, lc, n_chars FROM z),
+zone AS (
+  SELECT pid, min(n_chars) AS mn, max(n_chars) AS mx,
+         max(CASE WHEN lc = 1 THEN 1 ELSE 0 END) AS has_en,
+         count(*) AS nrows,
+         sum(CASE WHEN lc = 1 AND n_chars BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}
+                  THEN 1 ELSE 0 END) AS nmatch
+  FROM part GROUP BY pid
+)
+SELECT CAST(pid AS BIGINT) AS partition_id,
+       (NOT (mx < {_PRUNE_LO} OR mn > {_PRUNE_HI} OR has_en = 0))
+         AS scanned,
+       CAST(nrows AS BIGINT) AS rows_in_partition,
+       CAST(nmatch AS BIGINT) AS rows_matched
+FROM zone
+"""
+
+
+@query("zone_map_prune_scan", _ZONE_PRUNE_SQL)
+def q_zone_map_prune_scan(sf_dir: str):
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .extraction import read_documents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lc = np.full(len(lang), 4, dtype=np.int64)
+        for code, l in enumerate(("de", "en", "es", "fr")):
+            lc[lang == l] = code
+        lb = np.minimum(nch // 128, 7)
+        zkey = (
+            (lc % 2) + 2 * (lb % 2) + 4 * ((lc // 2) % 2)
+            + 8 * ((lb // 2) % 2) + 16 * ((lc // 4) % 2)
+            + 32 * ((lb // 4) % 2)
+        )
+        pid = zkey // 4
+        vals, inv = np.unique(pid, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        mn = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(len(vals), np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn, inv, nch)
+        np.maximum.at(mx, inv, nch)
+        en = np.zeros(len(vals), dtype=np.int64)
+        np.maximum.at(en, inv, (lc == 1).astype(np.int64))
+        match = (
+            (lc == 1) & (nch >= _PRUNE_LO) & (nch <= _PRUNE_HI)
+        ).astype(np.int64)
+        nm = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(nm, inv, match)
+        return pa.table(
+            {
+                "pid": pa.array(vals),
+                "n": pa.array(n),
+                "mn": pa.array(mn),
+                "mx": pa.array(mx),
+                "has_en": pa.array(en),
+                "nmatch": pa.array(nm),
+            }
+        )
+
+    zones = (
+        read_documents(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pid")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+            Max("has_en", alias_name="has_en"),
+            Sum("nmatch", alias_name="nmatch"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mn = batch["mn"].to_numpy(zero_copy_only=False)
+        mx = batch["mx"].to_numpy(zero_copy_only=False)
+        en = batch["has_en"].to_numpy(zero_copy_only=False)
+        scanned = ~((mx < _PRUNE_LO) | (mn > _PRUNE_HI) | (en == 0))
+        return pa.table(
+            {
+                "partition_id": batch["pid"].cast(pa.int64()),
+                "scanned": pa.array(scanned),
+                "rows_in_partition": batch["n"].cast(pa.int64()),
+                "rows_matched": batch["nmatch"].cast(pa.int64()),
+            }
+        )
+
+    return zones.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -113,3 +113,21 @@ class TestUrlCanonicalize:
         # canonical forms follow the closed form the oracle uses
         for i, c in enumerate(canon):
             assert c == f"https://en.example.com/src1/{i % 50}"
+
+
+def test_zone_map_pruning_is_sound_and_useful(ray_session):
+    """Pruned partitions must hold ZERO matches (soundness), and the
+    layout must actually skip data for this predicate (usefulness)."""
+    from ocr_machine_ray.registry import queries
+
+    out = (
+        queries()["zone_map_prune_scan"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("partition_id")
+    )
+    pruned = out[~out["scanned"]]
+    assert (pruned["rows_matched"] == 0).all()
+    assert len(pruned) > 0  # the predicate genuinely skips partitions
+    assert out["rows_matched"].sum() > 0  # and genuinely matches rows
+    skipped_rows = pruned["rows_in_partition"].sum()
+    assert skipped_rows > 0.2 * out["rows_in_partition"].sum()
