@@ -1584,6 +1584,7 @@ def q_leakage_safe_split(sf_dir: str):
 _CDC_A, _CDC_B = 167, 13
 _CDC_WIN = 6
 _CDC_MAXLEN = 4096  # oracle generate_series bound (corpus max ~600)
+CDC_BCAST_CAP = 5_000_000  # distinct chunks above this: join, not broadcast
 
 _CDC_SQL = f"""
 WITH pos AS (
@@ -1697,7 +1698,55 @@ def q_cdc_dedup(sf_dir: str):
         chunks.groupby("chunk")
         .aggregate(Count(alias_name="cnt"))
         .repartition(8)  # collapse empty hash-aggregate blocks pre-join
+        .materialize()  # consumed twice below (size gate + rows)
     )
+
+    def doc_rollup(marked):
+        return (
+            marked.groupby("doc_id")
+            .aggregate(
+                Sum("one", alias_name="n_chunks"),
+                Sum("dup", alias_name="dup_chunks"),
+                Sum("dupc", alias_name="dup_chars"),
+            )
+        )
+
+    if counts.count() <= CDC_BCAST_CAP:
+        # the DUP subset (cnt > 1) is far smaller than the chunk stream:
+        # broadcast it and skip the hash join entirely (same gate policy
+        # as LM_BITS_BROADCAST_CAP — the join path carries web-scale
+        # chunk vocabularies with zero driver state)
+        import ray as _ray
+
+        cp = counts.to_pandas()
+        dup_ref = _ray.put(frozenset(cp.loc[cp["cnt"] > 1, "chunk"]))
+
+        def mark_bcast(batch: pa.Table) -> pa.Table:
+            import ray
+
+            dups = ray.get(dup_ref)
+            dup_i = np.fromiter(
+                (1 if c in dups else 0 for c in batch["chunk"].to_pylist()),
+                dtype=np.int64, count=batch.num_rows,
+            )
+            nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                    "dup": pa.array(dup_i),
+                    "dupc": pa.array(dup_i * nch),
+                }
+            )
+
+        return doc_rollup(
+            chunks.map_batches(
+                mark_bcast, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+
     joined = chunks.join(
         counts, join_type="inner", num_partitions=8, on=("chunk",)
     )
@@ -1718,14 +1767,8 @@ def q_cdc_dedup(sf_dir: str):
             }
         )
 
-    return (
+    return doc_rollup(
         joined.map_batches(
             partial, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("doc_id")
-        .aggregate(
-            Sum("one", alias_name="n_chunks"),
-            Sum("dup", alias_name="dup_chunks"),
-            Sum("dupc", alias_name="dup_chars"),
         )
     )

@@ -503,3 +503,21 @@ class TestCdcChunking:
         cut = cuts[0]
         mutated = text[: cut - 10] + "@" + text[cut - 9:]
         assert cut in [b for _, b in cdc_chunk_spans(mutated)]
+
+
+    def test_broadcast_and_join_paths_agree(self, ray_session, monkeypatch):
+        import pandas as pd
+
+        from ocr_machine_ray.pipelines import queries_dedup as qd
+
+        sf = "/root/testdata/sf0.001"
+        bcast = (
+            qd.q_cdc_dedup(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        monkeypatch.setattr(qd, "CDC_BCAST_CAP", 0)  # force the join path
+        join = (
+            qd.q_cdc_dedup(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(bcast, join)
