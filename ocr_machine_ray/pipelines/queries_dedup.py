@@ -1492,6 +1492,7 @@ def q_dup_size_histogram(sf_dir: str):
 # One aggregate shuffle + one hash join; nothing touches the driver.
 # ---------------------------------------------------------------------------
 _LEAK_KNUTH_RED = 2654435761 % 1000  # 761
+LEAK_BCAST_CAP = 5_000_000  # distinct hashes above this: join, not broadcast
 
 _LEAK_SPLIT_SQL = f"""
 WITH hashed AS (
@@ -1536,7 +1537,47 @@ def q_leakage_safe_split(sf_dir: str):
         # hash-aggregate emits empty schema-less blocks that break FieldRef
         # on the join probe side (ray 2.49) — collapse them first
         .repartition(8)
+        .materialize()  # consumed twice (size gate + rows/probe side)
     )
+
+    def _splits(k: np.ndarray) -> np.ndarray:
+        bucket = ((k % 1000) * _LEAK_KNUTH_RED) % 1000
+        return np.where(
+            bucket < 700, "train", np.where(bucket < 850, "val", "test")
+        )
+
+    if keepers.count() <= LEAK_BCAST_CAP:
+        # keeper map fits the broadcast gate: ship it once and skip the
+        # hash join (the join path carries larger corpora unchanged)
+        import ray as _ray
+
+        kp = keepers.to_pandas()
+        ref = _ray.put(
+            dict(zip(kp["content_hash"], kp["keeper_doc"].astype("int64")))
+        )
+
+        def assign_bcast(batch: pa.Table) -> pa.Table:
+            import ray
+
+            lut = ray.get(ref)
+            k = np.fromiter(
+                (lut[h] for h in batch["content_hash"].to_pylist()),
+                dtype=np.int64, count=batch.num_rows,
+            )
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "keeper_doc": pa.array(k, type=pa.int64()),
+                    "split": pa.array(
+                        _splits(k).tolist(), type=pa.string()
+                    ),
+                }
+            )
+
+        return hashed.map_batches(
+            assign_bcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     joined = hashed.join(
         keepers,
         join_type="inner",
@@ -1548,15 +1589,13 @@ def q_leakage_safe_split(sf_dir: str):
         k = batch["keeper_doc"].to_numpy(zero_copy_only=False).astype(
             np.int64
         )
-        bucket = ((k % 1000) * _LEAK_KNUTH_RED) % 1000
-        split = np.where(
-            bucket < 700, "train", np.where(bucket < 850, "val", "test")
-        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
                 "keeper_doc": pa.array(k, type=pa.int64()),
-                "split": pa.array(split.tolist(), type=pa.string()),
+                "split": pa.array(
+                    _splits(k).tolist(), type=pa.string()
+                ),
             }
         )
 

@@ -446,6 +446,26 @@ class TestLeakageSafeSplit:
             want[["doc_id", "keeper_doc", "split"]],
         )
 
+    def test_split_broadcast_and_join_paths_agree(
+        self, ray_session, monkeypatch
+    ):
+        import pandas as pd
+
+        from ocr_machine_ray.pipelines import queries_dedup as qd
+
+        sf = "/root/testdata/sf0.001"
+        bcast = (
+            qd.q_leakage_safe_split(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        monkeypatch.setattr(qd, "LEAK_BCAST_CAP", 0)
+        join = (
+            qd.q_leakage_safe_split(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(bcast, join)
+
+
 
 class TestCdcChunking:
     def test_concat_identity_and_determinism(self):
