@@ -284,3 +284,58 @@ class TestNewKernelProperties:
             assert set(out[f]) <= {0, 1}
         want = out[flags].min(axis=1)
         assert (out["passes"] == want).all()
+
+
+# ---------------------------------------------------------------------------
+# Codec properties: arbitrary image shapes / sample streams through the
+# real JPEG and WAV codecs.
+# ---------------------------------------------------------------------------
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    quality=st.integers(min_value=1, max_value=100),
+)
+def test_jpeg_any_shape_roundtrips(h, w, seed, quality):
+    from ocr_machine_ray.functions.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_batch,
+    )
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, (h, w), dtype=np.uint8
+    )
+    enc = jpeg_encode(img, quality=quality)
+    dec = jpeg_decode(enc)
+    assert dec.shape == (h, w)
+    assert dec.dtype == np.uint8
+    # lossy but sane: random pixels are the adversarial case for a DCT
+    # codec (all energy in high frequencies), so only a loose mean-error
+    # bound holds; value fidelity is pinned elsewhere on structured pages
+    # (tests/test_jpeg.py) where the classifier loop stays oracle-exact
+    if quality >= 85:
+        err = np.abs(dec.astype(np.int64) - img.astype(np.int64))
+        assert err.mean() < 90
+    # the batched encoder is byte-identical for any shape
+    assert jpeg_encode_batch(img[np.newaxis], quality=quality)[0] == enc
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=3000),
+    ch=st.integers(min_value=1, max_value=4),
+    sr=st.integers(min_value=1, max_value=192000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_any_stream_roundtrips(n, ch, sr, seed):
+    from ocr_machine_ray.functions.wav import wav_decode, wav_encode
+
+    rng = np.random.default_rng(seed)
+    shape = (n,) if ch == 1 else (n, ch)
+    v = rng.integers(-32768, 32768, shape, dtype=np.int16)
+    out, got_sr = wav_decode(wav_encode(v, sr))
+    assert got_sr == sr
+    assert out.shape == shape
+    assert np.array_equal(out, v)
