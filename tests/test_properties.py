@@ -339,3 +339,22 @@ def test_wav_any_stream_roundtrips(n, ch, sr, seed):
     assert got_sr == sr
     assert out.shape == shape
     assert np.array_equal(out, v)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    text=st.text(max_size=2000),  # arbitrary unicode incl. astral planes
+)
+def test_cdc_spans_partition_any_unicode(text):
+    from ocr_machine_ray.pipelines.queries_dedup import cdc_chunk_spans
+
+    spans = cdc_chunk_spans(text)
+    # spans exactly partition the text (character-indexed, so astral
+    # codepoints must count as ONE position — the utf-32 view guarantee)
+    assert "".join(text[a:b] for a, b in spans) == text
+    if text:
+        assert spans[0][0] == 0 and spans[-1][1] == len(text)
+        assert all(b > a for a, b in spans)
+        assert [a for a, _ in spans[1:]] == [b for _, b in spans[:-1]]
+    else:
+        assert spans == []
