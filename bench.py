@@ -256,12 +256,25 @@ def run_headline(sf_dir: str, replicas: int) -> dict:
     }
 
 
+QUERY_BUDGET_SEC = float(os.environ.get("GRAFT_QUERY_BUDGET_SEC", "1800"))
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
+    """Times the registry subset, min-of-2 per query, under a soft wall
+    budget: under a hypervisor storm every number inflates ~10x and an
+    unbounded loop can outlive the caller's timeout — dying mid-run loses
+    the WHOLE metric line. When the budget trips, remaining names are
+    reported as -1 (untimed) so the JSON still lands with the probes
+    embedded for adjudication."""
     from ocr_machine_ray import registry
 
     qs = registry.queries()
     times: dict[str, float] = {}
+    start = time.time()
     for name in BENCH_QUERIES:
+        if time.time() - start > QUERY_BUDGET_SEC:
+            times[name] = -1.0  # budget exhausted: untimed, not slow
+            continue
         best = None
         for _ in range(2):  # min-of-2: same burst defense as the headline
             t0 = time.time()
@@ -270,6 +283,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
                 res.count()  # consume without driver materialization
             wall = time.time() - t0
             best = wall if best is None else min(best, wall)
+            if time.time() - start > QUERY_BUDGET_SEC:
+                break
         times[name] = round(best, 3)
     return times
 
