@@ -259,22 +259,47 @@ def run_headline(sf_dir: str, replicas: int) -> dict:
 QUERY_BUDGET_SEC = float(os.environ.get("GRAFT_QUERY_BUDGET_SEC", "1800"))
 
 
-def run_queries(sf_dir: str) -> dict[str, float]:
+def light_probe() -> float:
+    """1/5-size host_probe (~0.06 s clean) cheap enough to run before EVERY
+    timed query: per-query contention stamps make an outlier adjudicable
+    (the round-3 90 s JPEG reading was undiagnosable because only the whole
+    run was probe-bracketed)."""
+    import numpy as np
+
+    x = (np.arange(10_000_000, dtype=np.int64) % 251).astype(np.uint8)
+    t0 = time.time()
+    acc = 0.0
+    for _ in range(2):
+        acc += float(x.astype(np.float64).sum())
+    assert acc > 0
+    return time.time() - t0
+
+
+def run_queries(sf_dir: str):
     """Times the registry subset, min-of-2 per query, under a soft wall
     budget: under a hypervisor storm every number inflates ~10x and an
     unbounded loop can outlive the caller's timeout — dying mid-run loses
-    the WHOLE metric line. When the budget trips, remaining names are
-    reported as -1 (untimed) so the JSON still lands with the probes
-    embedded for adjudication."""
+    the WHOLE metric line. When the budget trips, remaining names land in
+    the separate ``untimed`` list (NOT mixed into the timings dict, where
+    a sentinel would poison any consumer summing/averaging/min-ing).
+
+    Returns (times, meta, untimed): ``meta[name]`` carries the query's
+    start offset within the loop (``ts``) and a light host-contention
+    probe taken immediately before it (``probe``), so any per-query
+    outlier is attributable to a burst without re-running the bench."""
     from ocr_machine_ray import registry
 
     qs = registry.queries()
     times: dict[str, float] = {}
+    meta: dict[str, dict] = {}
+    untimed: list[str] = []
     start = time.time()
     for name in BENCH_QUERIES:
         if time.time() - start > QUERY_BUDGET_SEC:
-            times[name] = -1.0  # budget exhausted: untimed, not slow
+            untimed.append(name)  # budget exhausted: untimed, not slow
             continue
+        probe = round(light_probe(), 3)
+        ts = round(time.time() - start, 1)
         best = None
         for _ in range(2):  # min-of-2: same burst defense as the headline
             t0 = time.time()
@@ -286,7 +311,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
             if time.time() - start > QUERY_BUDGET_SEC:
                 break
         times[name] = round(best, 3)
-    return times
+        meta[name] = {"ts": ts, "probe": probe}
+    return times, meta, untimed
 
 
 def main_single() -> None:
@@ -327,9 +353,10 @@ def main_single() -> None:
     head_a = run_headline(SF_DIR, AMPLIFY)
     head_b = run_headline(SF_DIR, AMPLIFY)
     head = head_a if head_a["wall_sec"] <= head_b["wall_sec"] else head_b
-    queries = (
-        {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries(SF_DIR)
-    )
+    if os.environ.get("GRAFT_SKIP_QUERIES"):
+        queries, query_meta, untimed = {}, {}, []
+    else:
+        queries, query_meta, untimed = run_queries(SF_DIR)
     result = {
         "metric": "extraction wall sec (amplified corpus)",
         "value": round(head["wall_sec"], 3),
@@ -338,6 +365,8 @@ def main_single() -> None:
         "n_docs": head["n_docs"],
         "n_spans": head["n_spans"],
         "queries": queries,
+        "query_meta": query_meta,
+        "untimed": untimed,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "amplify": AMPLIFY,
@@ -355,7 +384,9 @@ def main_single() -> None:
     # line LAST (guaranteed parseable), with the full per-query detail on an
     # earlier line and mirrored to BENCH_LOCAL.json for humans.
     full = dict(result)
-    compact = {k: v for k, v in result.items() if k != "queries"}
+    compact = {
+        k: v for k, v in result.items() if k not in ("queries", "query_meta")
+    }
     # keep per-query timings in the parsed line but cap its byte size: emit
     # the slowest entries first and stop before the driver's tail window
     qitems = sorted(queries.items(), key=lambda kv: -kv[1])
@@ -370,6 +401,7 @@ def main_single() -> None:
         used += cost
     compact["queries"] = kept
     compact["n_queries_timed"] = len(queries)
+    compact["n_queries_untimed"] = len(untimed)
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),

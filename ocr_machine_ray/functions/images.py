@@ -21,7 +21,7 @@ import numpy as np
 # worker batch fns: a function-body `from .jpeg import ...` executes on the
 # worker at call time, where pickle-by-value shipped the CODE but the
 # package itself is not importable (foreign driver cwd).
-from .jpeg import JpegError, jpeg_decode
+from .jpeg import JpegError, jpeg_decode, jpeg_decode_batch
 from .png import png_decode, pnm_decode
 
 MEDIA_W, MEDIA_H = 96, 64  # synthetic page-crop size
@@ -467,14 +467,20 @@ def _decode_with_libs(payload: bytes) -> np.ndarray | None:
 
         import PIL.Image
 
-        with PIL.Image.open(io.BytesIO(payload)) as im:
-            return np.asarray(im.convert("L"), dtype=np.uint8)
+        try:
+            with PIL.Image.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("L"), dtype=np.uint8)
+        except Exception:
+            pass  # unidentifiable payload: same fallback as no-lib case
     if have_cv2():
         import cv2
 
-        arr = cv2.imdecode(
-            np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_GRAYSCALE
-        )
+        try:
+            arr = cv2.imdecode(
+                np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_GRAYSCALE
+            )
+        except Exception:
+            arr = None
         return None if arr is None else arr.astype(np.uint8)
     return None
 
@@ -524,6 +530,39 @@ def decode_external(payload: bytes, codec: str, fake: bool = False) -> np.ndarra
         f"codec {codec!r}: no imaging libraries in this environment; "
         "PIL/cv2 activate automatically when installed"
     )
+
+
+def decode_external_batch(
+    payloads: list[bytes], codec: str, fake: bool = False
+) -> list[np.ndarray]:
+    """Batch decode: same contract as [decode_external(p, codec) for p],
+    but for baseline JPEG the block-shaped reconstruction (dequantize /
+    IDCT / level-shift) is stacked across every image of the batch via
+    jpeg_decode_batch — the dominant cost of decoding many small pages.
+    Any payload the pure codec rejects falls back to the scalar path
+    (PIL/cv2 seam, then fake/raise), exactly as decode_external would."""
+    if codec.lower() in ("jpeg", "jpg") and payloads:
+        try:
+            imgs = jpeg_decode_batch(payloads)
+        except JpegError:
+            imgs = None  # >=1 malformed payload: scalar path per image
+        if imgs is not None:
+            out = []
+            for img in imgs:
+                if img.ndim == 3:  # BT.601 luma, as in decode_external
+                    f = img.astype(np.float64)
+                    img = np.clip(
+                        np.round(
+                            0.299 * f[..., 0]
+                            + 0.587 * f[..., 1]
+                            + 0.114 * f[..., 2]
+                        ),
+                        0,
+                        255,
+                    ).astype(np.uint8)
+                out.append(img)
+            return out
+    return [decode_external(p, codec, fake=fake) for p in payloads]
 
 
 # ---------------------------------------------------------------------------

@@ -672,7 +672,26 @@ def _destuff(data: bytes):
 
 
 def jpeg_decode(payload: bytes) -> np.ndarray:
-    """Decode baseline JPEG to (h, w) grayscale uint8 or (h, w, 3) RGB."""
+    """Decode baseline JPEG to (h, w) grayscale uint8 or (h, w, 3) RGB.
+
+    Every parse failure raises JpegError (the contract decode_external
+    relies on for its PIL/cv2/fake fall-through): malformed streams that
+    would otherwise surface IndexError / struct.error / KeyError from the
+    marker walk or the entropy decoder are wrapped here."""
+    try:
+        return _jpeg_decode_inner(payload)
+    except JpegError:
+        raise
+    except (IndexError, KeyError, ValueError, struct.error) as exc:
+        raise JpegError(f"malformed JPEG stream: {exc!r}") from exc
+
+
+def _jpeg_decode_inner(payload: bytes) -> np.ndarray:
+    coef, bpr, comps, qtabs, size = _parse_to_coef_inner(payload)
+    return _idct_assemble(coef, bpr, comps, qtabs, size)
+
+
+def _parse_to_coef_inner(payload: bytes):
     if payload[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
@@ -752,22 +771,39 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tabsel = seg[1 + 2 * c], seg[2 + 2 * c]
                 idx = next(
-                    k for k, cc in enumerate(comps) if cc[0] == cid
+                    (k for k, cc in enumerate(comps) if cc[0] == cid), None
                 )
+                if idx is None:
+                    raise JpegError(
+                        f"SOS references undeclared component id {cid}"
+                    )
                 scomp.append((idx, tabsel >> 4, tabsel & 15))
             if ns != len(comps):
                 raise JpegError("multi-scan files not supported (baseline "
                                 "interleaved or single-component only)")
+            for idx, td, ta in scomp:
+                if comps[idx][3] not in qtabs:
+                    raise JpegError(
+                        f"missing DQT table {comps[idx][3]} for scan"
+                    )
+                if td not in dc_luts or ta not in ac_luts:
+                    raise JpegError(
+                        f"missing DHT table (dc={td}, ac={ta}) for scan"
+                    )
             segs, end = _destuff(payload[i:])
-            pixels = _decode_scan(
-                segs, size, comps, scomp, qtabs, dc_luts, ac_luts, dri
+            coef, bpr = _decode_scan_coef(
+                segs, size, comps, scomp, dc_luts, ac_luts, dri
             )
-            return pixels
+            return coef, bpr, comps, qtabs, size
         # APPn / COM: skip
     raise JpegError("no SOS found")
 
 
-def _decode_scan(segs, size, comps, scomp, qtabs, dc_luts, ac_luts, dri):
+def _decode_scan_coef(segs, size, comps, scomp, dc_luts, ac_luts, dri):
+    """Entropy decode only: (coef per component, blocks-per-row list).
+    The block-shaped tail (dequant / IDCT / plane assembly) lives in
+    _idct_assemble so jpeg_decode_batch can run it ONCE across a whole
+    page batch instead of paying small-array numpy overhead per image."""
     h, w = size
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -897,7 +933,13 @@ def _decode_scan(segs, size, comps, scomp, qtabs, dc_luts, ac_luts, dri):
             acc &= (1 << nbits) - 1  # keep the int small
     for ci in range(len(comps)):
         coef[ci][:] = np.asarray(coef_rows[ci], dtype=np.int64)
+    return coef, bpr
 
+
+def _idct_assemble(coef, bpr, comps, qtabs, size):
+    h, w = size
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     # dequantize + IDCT all blocks per component (vectorized)
     planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
@@ -1002,3 +1044,61 @@ def jpeg_encode_batch(
         img_of_block=img,
     )
     return [header + s + b"\xff\xd9" for s in scans]
+
+
+def jpeg_decode_batch(payloads: list[bytes]) -> list[np.ndarray]:
+    """Decode MANY baseline JPEGs with the block-shaped reconstruction
+    stacked across the batch (the decode twin of jpeg_encode_batch).
+
+    The marker parse + Huffman symbol walk stay per-image (each stream's
+    bit state is sequential by construction), but for grayscale images the
+    dequantize / inverse DCT / level-shift / clip — several small-array
+    numpy ops per image that dominate decode wall on small pages — run as
+    ONE concatenated pass over every block of every image, grouped by
+    quantization table. Color / subsampled images fall back to the scalar
+    tail per image. Output is byte-identical to jpeg_decode per payload."""
+    n = len(payloads)
+    if n == 0:
+        return []
+    parsed = []
+    for p in payloads:
+        try:
+            parsed.append(_parse_to_coef_inner(p))
+        except JpegError:
+            raise
+        except (IndexError, KeyError, ValueError, struct.error) as exc:
+            raise JpegError(f"malformed JPEG stream: {exc!r}") from exc
+
+    out: list[np.ndarray | None] = [None] * n
+    # group grayscale images by quantization table; everything else takes
+    # the scalar tail (color assembly is not block-shaped after upsampling)
+    groups: dict[bytes, list[int]] = {}
+    for k, (coef, bpr, comps, qtabs, size) in enumerate(parsed):
+        if len(comps) == 1:
+            groups.setdefault(qtabs[comps[0][3]].tobytes(), []).append(k)
+        else:
+            out[k] = _idct_assemble(coef, bpr, comps, qtabs, size)
+    for _, idxs in groups.items():
+        q0 = parsed[idxs[0]][3][parsed[idxs[0]][2][0][3]]
+        allcoef = np.concatenate([parsed[k][0][0] for k in idxs], axis=0)
+        dq = (allcoef * q0[np.newaxis, :])[:, _UNZIGZAG].reshape(-1, 8, 8)
+        pix = np.matmul(
+            np.matmul(_DCT8.T, dq.astype(np.float64)), _DCT8
+        ) + 128.0
+        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        off = 0
+        for k in idxs:
+            coef, bpr, comps, qtabs, size = parsed[k]
+            h, w = size
+            cw = bpr[0]
+            cvh = coef[0].shape[0] // cw
+            nb = coef[0].shape[0]
+            plane = (
+                pix[off:off + nb]
+                .reshape(cvh, cw, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(cvh * 8, cw * 8)
+            )
+            out[k] = plane[:h, :w]
+            off += nb
+    return out  # type: ignore[return-value]

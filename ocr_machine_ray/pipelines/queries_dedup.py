@@ -1447,9 +1447,33 @@ FROM groups GROUP BY n_copies
 
 @query("dup_size_histogram", _DUP_HIST_SQL)
 def q_dup_size_histogram(sf_dir: str):
+    """Does NOT ride q_dedup_exact's plan (r3 regression: re-using that
+    query's lineage re-executed its full keeper aggregate for a histogram
+    that needs neither doc_id nor the Min): a text-only pruned read, a
+    per-batch (hash, count) pre-aggregate BEFORE the shuffle, one Sum
+    groupby per content hash, then the tiny histogram aggregate."""
     from ray.data.aggregate import Sum
 
-    groups = q_dedup_exact(sf_dir)
+    def hash_counts(batch: pa.Table) -> pa.Table:
+        hashed = content_hash_batch(batch)
+        # '|' separator convention not needed: md5 hexdigests are NUL-free
+        h = np.asarray(hashed["content_hash"].to_pylist())
+        vals, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "content_hash": pa.array(vals.tolist(), type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    groups = (
+        read_documents(sf_dir, ["text"])
+        .map_batches(
+            hash_counts, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("content_hash")
+        .aggregate(Sum("n", alias_name="n_copies"))
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -1622,7 +1646,12 @@ def q_leakage_safe_split(sf_dir: str):
 # ---------------------------------------------------------------------------
 _CDC_A, _CDC_B = 167, 13
 _CDC_WIN = 6
-_CDC_MAXLEN = 4096  # oracle generate_series bound (corpus max ~600)
+# Oracle generate_series bound. The ENGINE chunks full text regardless of
+# length; only the SQL oracle needs a finite series bound, so q_cdc_dedup
+# verifies max(n_chars) <= _CDC_MAXLEN up front (parquet stats, metadata
+# read) and fails LOUDLY on a longer corpus instead of letting the oracle
+# silently truncate and diverge.
+_CDC_MAXLEN = 4096
 CDC_BCAST_CAP = 5_000_000  # distinct chunks above this: join, not broadcast
 
 _CDC_SQL = f"""
@@ -1700,6 +1729,15 @@ def q_cdc_dedup(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     from .extraction import parquet_num_rows
+
+    max_len = _max_nchars_stat(sf_dir)
+    if max_len is not None and max_len > _CDC_MAXLEN:
+        raise ValueError(
+            f"cdc_dedup oracle bound exceeded: corpus max n_chars "
+            f"{max_len} > _CDC_MAXLEN {_CDC_MAXLEN}; the SQL oracle's "
+            f"generate_series would truncate documents while the engine "
+            f"chunks full text — raise _CDC_MAXLEN before comparing"
+        )
 
     if parquet_num_rows(sf_dir, "documents") == 0:
         # empty input: the chunk stream would emit schema-less blocks

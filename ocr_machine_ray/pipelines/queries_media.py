@@ -197,7 +197,7 @@ def q_media_decode_classify_jpeg(sf_dir: str):
     import numpy as np
     import pyarrow as pa
 
-    from ..functions.images import decode_external
+    from ..functions.images import decode_external_batch
     from ..functions.jpeg import jpeg_encode, jpeg_encode_batch
 
     def encode(batch: pa.Table) -> pa.Table:
@@ -231,9 +231,9 @@ def q_media_decode_classify_jpeg(sf_dir: str):
         )
 
     def decode(batch: pa.Table) -> pa.Table:
-        imgs = [
-            decode_external(b, "jpeg") for b in batch["jpg"].to_pylist()
-        ]
+        # stacked reconstruction across the whole page batch (the per-image
+        # list-comprehension decode was the registry's worst bench entry)
+        imgs = decode_external_batch(batch["jpg"].to_pylist(), "jpeg")
         return pa.table(
             {
                 "media_ref": batch["media_ref"],

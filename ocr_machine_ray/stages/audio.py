@@ -130,7 +130,7 @@ class AudioResampler:
         self.factor = factor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        new_n, checksum, out_len, out_wav = [], [], [], []
+        new_n, checksum, out_len = [], [], []
         for payload in batch["wav"].to_pylist():
             v16, sr = wav_decode(payload)
             dec = v16[:: self.factor]
@@ -139,7 +139,6 @@ class AudioResampler:
             new_n.append(d.shape[0])
             checksum.append(int(np.sum(d * (np.arange(d.shape[0]) + 1))))
             out_len.append(len(enc))
-            out_wav.append(enc)
         return pa.table(
             {
                 "audio_ref": batch["audio_ref"],

@@ -183,3 +183,122 @@ def test_encode_batch_identical_to_single():
         assert batch[i] == jpeg_encode(stack[i], quality=85)
         assert np.array_equal(jpeg_decode(batch[i]), jpeg_decode(jpeg_encode(stack[i], 85)))
     assert jpeg_encode_batch(np.zeros((0, 8, 8), dtype=np.uint8)) == []
+
+
+def test_decode_batch_identical_to_single():
+    from ocr_machine_ray.functions.jpeg import (
+        jpeg_decode,
+        jpeg_decode_batch,
+        jpeg_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    # mixed sizes AND mixed quality (different quant tables -> multiple
+    # stack groups), plus an RGB payload taking the scalar tail
+    payloads = [
+        jpeg_encode(rng.integers(0, 256, (41, 67), dtype=np.uint8), 85),
+        jpeg_encode(rng.integers(0, 256, (41, 67), dtype=np.uint8), 85),
+        jpeg_encode(rng.integers(0, 256, (64, 96), dtype=np.uint8), 85),
+        jpeg_encode(rng.integers(0, 256, (16, 16), dtype=np.uint8), 40),
+        jpeg_encode(
+            rng.integers(0, 256, (24, 24, 3), dtype=np.uint8),
+            90,
+            subsampling="420",
+        ),
+    ]
+    got = jpeg_decode_batch(payloads)
+    assert len(got) == len(payloads)
+    for g, p in zip(got, payloads):
+        assert np.array_equal(g, jpeg_decode(p))
+    assert jpeg_decode_batch([]) == []
+
+
+def test_decode_batch_reference_scan():
+    import os
+
+    if not os.path.exists(REF_JPG):
+        pytest.skip("reference scan not present")
+    with open(REF_JPG, "rb") as f:
+        payload = f.read()
+    single = jpeg_decode(payload)
+    (batched,) = __import__(
+        "ocr_machine_ray.functions.jpeg", fromlist=["jpeg_decode_batch"]
+    ).jpeg_decode_batch([payload])
+    assert np.array_equal(batched, single)
+
+
+class TestMalformedRaisesJpegError:
+    """decode_external's PIL/cv2/fake fall-through relies on EVERY parse
+    failure surfacing as JpegError — not StopIteration/KeyError/IndexError
+    from the marker walk or the entropy decoder (ADVICE r3)."""
+
+    def _valid(self) -> bytearray:
+        return bytearray(jpeg_encode(_test_image(16, 16)))
+
+    def test_sos_undeclared_component(self):
+        enc = self._valid()
+        i = enc.find(b"\xff\xda")
+        enc[i + 5] = 99  # component id in SOS no SOF0 declared
+        with pytest.raises(JpegError, match="undeclared component"):
+            jpeg_decode(bytes(enc))
+
+    def test_missing_dht(self):
+        enc = self._valid()
+        i = enc.find(b"\xff\xc4")
+        ln = int.from_bytes(enc[i + 2 : i + 4], "big")
+        del enc[i : i + 2 + ln]  # excise the (only) DHT segment
+        with pytest.raises(JpegError, match="missing DHT"):
+            jpeg_decode(bytes(enc))
+
+    def test_missing_dqt(self):
+        enc = self._valid()
+        i = enc.find(b"\xff\xdb")
+        ln = int.from_bytes(enc[i + 2 : i + 4], "big")
+        del enc[i : i + 2 + ln]
+        with pytest.raises(JpegError, match="missing DQT"):
+            jpeg_decode(bytes(enc))
+
+    def test_truncated_stream(self):
+        enc = bytes(self._valid())
+        with pytest.raises(JpegError):
+            jpeg_decode(enc[: len(enc) // 2])
+
+    def test_garbage_after_soi(self):
+        with pytest.raises(JpegError):
+            jpeg_decode(b"\xff\xd8" + bytes(range(256)) * 4)
+
+    def test_batch_malformed_falls_back_scalar(self):
+        # decode_external_batch must not die on one bad payload: the whole
+        # batch falls to the scalar path, where the bad one gets the fake
+        from ocr_machine_ray.functions.images import (
+            decode_external,
+            decode_external_batch,
+        )
+
+        good = bytes(self._valid())
+        bad = good[:40]
+        out = decode_external_batch([good, bad], "jpeg", fake=True)
+        assert np.array_equal(out[0], decode_external(good, "jpeg"))
+        assert np.array_equal(
+            out[1], decode_external(bad, "jpeg", fake=True)
+        )
+
+
+def test_decode_external_batch_matches_scalar():
+    from ocr_machine_ray.functions.images import (
+        decode_external,
+        decode_external_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    pays = [
+        jpeg_encode(rng.integers(0, 256, (32, 48), dtype=np.uint8), 85)
+        for _ in range(4)
+    ] + [
+        jpeg_encode(
+            rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), 85
+        )
+    ]
+    got = decode_external_batch(pays, "jpeg")
+    for g, p in zip(got, pays):
+        assert np.array_equal(g, decode_external(p, "jpeg"))
