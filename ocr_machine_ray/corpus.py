@@ -38,6 +38,8 @@ order-restoring recombination (``textract_agent.py:153-179``).
 from __future__ import annotations
 
 import numpy as np
+
+from .functions.malloc_tuning import tune_malloc
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -169,6 +171,7 @@ def derive_spans_batch(batch: pa.Table) -> pa.Table:
     null-masked Arrow ``take`` (no Python-object arrays); media_ref strings
     are built with the vectorized ``binary_join_element_wise`` kernel.
     """
+    tune_malloc()  # once per worker: keep freed numpy buffers mapped
     ft = FlatTokens(batch)
     doc_ids, i, counts = ft.doc_ids, ft.i, ft.counts
     n_docs = len(batch)

@@ -26,6 +26,8 @@ import struct
 
 import numpy as np
 
+from .malloc_tuning import tune_malloc
+
 # ---------------------------------------------------------------------------
 # Tables (ITU-T T.81 Annex K — the public "typical" tables)
 # ---------------------------------------------------------------------------
@@ -115,6 +117,9 @@ _DCT8 = np.zeros((8, 8), dtype=np.float64)
 for _u in range(8):
     _c = np.sqrt(0.125) if _u == 0 else 0.5
     _DCT8[_u] = _c * np.cos((2 * np.arange(8) + 1) * _u * np.pi / 16.0)
+# float32 twin for the ENCODE path (half the DRAM traffic; decode keeps
+# float64 so the reference-scan conformance statistics stay pinned)
+_DCT8_F32 = _DCT8.astype(np.float32)
 
 
 class JpegError(ValueError):
@@ -230,11 +235,18 @@ def _pad_to(img: np.ndarray, mh: int, mw: int) -> np.ndarray:
 
 
 def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
-    """All-blocks forward DCT + quantization -> (nblocks, 64) zigzag ints."""
-    blocks = _blockify(plane).astype(np.float64) - 128.0
-    coef = np.matmul(np.matmul(_DCT8, blocks), _DCT8.T)  # BLAS, not einsum
-    q = qtab.reshape(8, 8).astype(np.float64)
-    quant = np.round(coef / q).astype(np.int64)
+    """All-blocks forward DCT + quantization -> (nblocks, 64) zigzag ints.
+
+    float32 DCT + int16 coefficients (|quantized| <= 2032 at any quality):
+    uint8 pixels are exact in float32 and the per-block dot products are
+    8 terms, so precision is ample — and HALVING the bytes/element is what
+    keeps 32 concurrent encode tasks off the DRAM-bandwidth wall (the
+    float64/int64 pipeline ran 10-15x slower at full concurrency than
+    alone; uint8/int16 stages degraded <2x on the same host)."""
+    blocks = _blockify(plane).astype(np.float32) - np.float32(128.0)
+    coef = np.matmul(np.matmul(_DCT8_F32, blocks), _DCT8_F32.T)
+    q = qtab.reshape(8, 8).astype(np.float32)
+    quant = np.round(coef / q).astype(np.int16)
     return quant.reshape(-1, 64)[:, _ZIGZAG]
 
 
@@ -272,8 +284,12 @@ _POW2_16 = np.uint64(1) << np.arange(0, 17, dtype=np.uint64)
 
 
 def _bitlen_vec(v: np.ndarray) -> np.ndarray:
-    """Exact bit_length of |v| per element (int64 in, int64 out)."""
-    a = np.abs(v).astype(np.uint64)
+    """Exact bit_length of |v| per element (any int dtype in, int64 out)."""
+    a = np.abs(v)
+    # narrow inputs keep the narrow dtype (searchsorted handles mixed
+    # dtypes); the uint64 upcast only for values that could need it
+    if a.dtype.itemsize > 2:
+        a = a.astype(np.uint64)
     return np.searchsorted(_POW2_16[1:], a, side="right").astype(
         np.int64
     ) + (a > 0)
@@ -343,21 +359,26 @@ def _encode_scan_vec(
     s_dc = _bitlen_vec(diff)
     dc_bits = np.where(diff > 0, diff, diff + (1 << s_dc) - 1)
 
-    # ---- AC: nonzero runs, ZRL expansion, EOB flags
+    # ---- AC: nonzero runs, ZRL expansion, EOB flags. Value arrays are
+    # int16/int32 (|coef| <= 2032, runs <= 62): every byte of dtype here
+    # is DRAM traffic multiplied by task concurrency.
     ac = zzall[:, 1:]
     nzb, nzp = np.nonzero(ac)
-    prev = np.concatenate([[np.int64(-1)], nzp[:-1]])
+    nzp32 = nzp.astype(np.int32)
+    prev = np.concatenate([[np.int32(-1)], nzp32[:-1]])
     first = np.concatenate(
         [[True], nzb[1:] != nzb[:-1]]
     ) if len(nzb) else np.zeros(0, dtype=bool)
     prev[first] = -1
-    run = nzp - prev - 1
-    kz = run // 16  # ZRL count before this symbol
-    rem = run % 16
-    v = ac[nzb, nzp]
-    s_ac = _bitlen_vec(v)
+    run = nzp32 - prev - np.int32(1)
+    kz = run >> 4  # ZRL count before this symbol
+    rem = run & np.int32(15)
+    v = ac[nzb, nzp].astype(np.int16)
+    s_ac = _bitlen_vec(v).astype(np.int16)
     sym = (rem << 4) | s_ac
-    v_bits = np.where(v > 0, v, v + (1 << s_ac) - 1)
+    v_bits = np.where(
+        v > 0, v, v + ((np.int16(1) << s_ac) - np.int16(1))
+    )
 
     has_nz = np.zeros(B, dtype=bool)
     has_nz[nzb] = True
@@ -376,7 +397,7 @@ def _encode_scan_vec(
         cumw = np.cumsum(width)
         start_in_stream = cumw - width
         firsts = np.flatnonzero(first)
-        block_first_idx = np.zeros(len(nzb), dtype=np.int64)
+        block_first_idx = np.zeros(len(nzb), dtype=np.int32)
         block_first_idx[firsts] = start_in_stream[firsts]
         block_first_idx = np.maximum.accumulate(block_first_idx)
         item_off = 2 + start_in_stream - block_first_idx
@@ -388,8 +409,8 @@ def _encode_scan_vec(
     counts = 2 + ac_width + eob.astype(np.int64)
     base = np.cumsum(counts) - counts
     M = int(counts.sum())
-    a_bits = np.zeros(M, dtype=np.int64)
-    a_len = np.zeros(M, dtype=np.int64)
+    a_bits = np.zeros(M, dtype=np.int32)  # codes <= 16 bits, values <= 12
+    a_len = np.zeros(M, dtype=np.uint8)   # item bit-lengths <= 16
     a_bits[base] = dc_code[tsel, s_dc]
     a_len[base] = dc_len[tsel, s_dc]
     a_bits[base + 1] = dc_bits
@@ -415,14 +436,14 @@ def _encode_scan_vec(
     epos = base[eb] + counts[eb] - 1
     a_bits[epos] = ac_code[tsel[eb], 0x00]
     a_len[epos] = ac_len[tsel[eb], 0x00]
-    a_img = np.repeat(img_of_block, counts)
+    a_img = np.repeat(img_of_block.astype(np.int32), counts)
 
     # ---- per-image byte-aligned packing: scatter every code's bits into
     # one global bit array where each image starts on its own byte
     # boundary (pad bits are 1s, per T.81), then ONE packbits + ONE
     # stuffing pass, split at per-image byte offsets.
     n_img = int(img_of_block[-1]) + 1 if B else 0
-    cum = np.cumsum(a_len)
+    cum = np.cumsum(a_len, dtype=np.int64)  # uint8 input would wrap
     item_start = cum - a_len
     img_first = np.concatenate([[True], a_img[1:] != a_img[:-1]])
     first_idx = np.flatnonzero(img_first)
@@ -436,10 +457,6 @@ def _encode_scan_vec(
     tot_bits[img_ids_present] = img_total_bits
     padded = ((tot_bits + 7) // 8) * 8
     pad_base = np.concatenate([[0], np.cumsum(padded)[:-1]])
-    start_in_img = item_start - np.repeat(
-        img_start_bits, np.diff(np.concatenate([first_idx, [len(a_img)]]))
-    )
-    item_gstart = pad_base[a_img] + start_in_img
 
     # top-align each code in a uint16 and unpackbits MSB-first: the
     # item's bits are the first a_len columns. (The naive (M, 16) int64
@@ -448,13 +465,21 @@ def _encode_scan_vec(
     bitmat = np.unpackbits(
         sh.astype(">u2").view(np.uint8).reshape(-1, 2), axis=1
     )
-    mask = np.arange(16, dtype=np.int64)[None, :] < a_len[:, None]
+    mask = np.arange(16, dtype=np.uint8)[None, :] < a_len[:, None]
     flat_vals = bitmat[mask]  # row-major == stream order
-    positions = np.repeat(item_gstart, a_len) + (
-        np.arange(int(a_len.sum())) - np.repeat(item_start, a_len)
-    )
+    # flat_vals is ALREADY the concatenated bit stream: items are
+    # contiguous within an image, so destination gaps exist only at
+    # image boundaries (byte padding). Per-image slice copies replace
+    # the old positional scatter, whose three stream-length int64 index
+    # arrays (~24 B/bit) were the encoder's dominant memory traffic —
+    # the reason 32 concurrent encode tasks ran 10x slower than one
+    # (DRAM-bandwidth saturation), measured 72 -> ~14 ms/page.
     allbits = np.ones(int(padded.sum()), dtype=np.uint8)  # 1-padding
-    allbits[positions] = flat_vals
+    for ii, gi in enumerate(img_ids_present):
+        s = img_start_bits[ii]
+        t = s + img_total_bits[ii]
+        dst = pad_base[gi]
+        allbits[dst : dst + (t - s)] = flat_vals[s:t]
     packed = np.packbits(allbits)
 
     byte_bounds = np.concatenate([pad_base, [int(padded.sum())]]) // 8
@@ -492,6 +517,7 @@ def jpeg_encode(
     restart_interval: int = 0,
 ) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to baseline JPEG."""
+    tune_malloc()
     if img.dtype != np.uint8:
         raise ValueError("jpeg_encode expects uint8")
     gray = img.ndim == 2
@@ -678,6 +704,7 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     relies on for its PIL/cv2/fake fall-through): malformed streams that
     would otherwise surface IndexError / struct.error / KeyError from the
     marker walk or the entropy decoder are wrapped here."""
+    tune_malloc()
     try:
         return _jpeg_decode_inner(payload)
     except JpegError:
@@ -988,6 +1015,7 @@ def jpeg_encode_batch(
     per-image numpy overhead dominates jpeg_encode on small pages
     (~5.6 ms each); batching amortizes it to ~0.2 ms/page. Byte output
     is identical to calling jpeg_encode per image."""
+    tune_malloc()
     if stack.dtype != np.uint8 or stack.ndim != 3:
         raise ValueError("jpeg_encode_batch expects (N, H, W) uint8")
     n, h, w = stack.shape
@@ -1008,8 +1036,11 @@ def jpeg_encode_batch(
     header += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     header = bytes(header)
 
+    # float32 pixels / int16 coefficients end-to-end (see _fdct_quant):
+    # the float64/int64 version of this stage saturated DRAM bandwidth at
+    # 32-way task concurrency (10-15x per-task slowdown vs alone)
     ph, pw = ((h + 7) // 8) * 8, ((w + 7) // 8) * 8
-    padded = np.empty((n, ph, pw), dtype=np.float64)
+    padded = np.empty((n, ph, pw), dtype=np.float32)
     padded[:, :h, :w] = stack
     if ph > h:
         padded[:, h:, :w] = stack[:, h - 1:h, :]
@@ -1019,11 +1050,11 @@ def jpeg_encode_batch(
         padded.reshape(n, ph // 8, 8, pw // 8, 8)
         .transpose(0, 1, 3, 2, 4)
         .reshape(-1, 8, 8)
-    ) - 128.0
-    coef = np.matmul(np.matmul(_DCT8, blocks), _DCT8.T)  # BLAS, not einsum
-    q = qy.reshape(8, 8).astype(np.float64)
+    ) - np.float32(128.0)
+    coef = np.matmul(np.matmul(_DCT8_F32, blocks), _DCT8_F32.T)
+    q = qy.reshape(8, 8).astype(np.float32)
     zzall = (
-        np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, _ZIGZAG]
+        np.round(coef / q).astype(np.int16).reshape(-1, 64)[:, _ZIGZAG]
     )
 
     bpi = (ph // 8) * (pw // 8)  # blocks per image
@@ -1057,6 +1088,7 @@ def jpeg_decode_batch(payloads: list[bytes]) -> list[np.ndarray]:
     ONE concatenated pass over every block of every image, grouped by
     quantization table. Color / subsampled images fall back to the scalar
     tail per image. Output is byte-identical to jpeg_decode per payload."""
+    tune_malloc()
     n = len(payloads)
     if n == 0:
         return []

@@ -18,6 +18,8 @@ import zlib
 
 import numpy as np
 
+from .malloc_tuning import tune_malloc
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -33,6 +35,7 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 def png_encode(img: np.ndarray, level: int = 6) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to PNG bytes
     (filter type 0 scanlines — simple, deterministic)."""
+    tune_malloc()
     if img.dtype != np.uint8:
         raise ValueError("png_encode expects uint8")
     if img.ndim == 2:
@@ -112,6 +115,7 @@ def _unfilter(
 def png_decode(data: bytes) -> np.ndarray:
     """Decode PNG bytes to (h, w) or (h, w, 3) uint8. Supports bit depth
     8, color types 0 (gray) and 2 (RGB), no interlacing."""
+    tune_malloc()
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos = 8

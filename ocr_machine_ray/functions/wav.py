@@ -22,6 +22,8 @@ import struct
 
 import numpy as np
 
+from .malloc_tuning import tune_malloc
+
 
 class WavError(ValueError):
     """Raised for payloads this codec cannot parse (not RIFF/WAVE, or a
@@ -33,6 +35,7 @@ def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
 
     ``samples``: (n,) mono or (n, ch) interleaved-by-row int16 array.
     """
+    tune_malloc()
     arr = np.asarray(samples)
     if arr.dtype != np.int16:
         raise WavError(f"encode expects int16 samples, got {arr.dtype}")
@@ -72,6 +75,7 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int]:
     -128 then scaling is NOT applied — values are returned as
     ``(byte - 128)`` int16, preserving exactness).
     """
+    tune_malloc()
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise WavError("not a RIFF/WAVE payload")
     i, n = 12, len(payload)
