@@ -6,9 +6,11 @@ word crops, reference ``table_detector_agent.py:183-191``,
 ``create_bbox_chunked.py:25-26``).
 
 `decode_external` routes codec "png" to the REAL pure-numpy/zlib codec in
-functions/png.py; JPEG/video remain stubs — the Ray-side plumbing (schema,
-actor signature, batch sizing) is real and tested, and the codec call
-raises NotImplementedError unless a deterministic fake is requested.
+functions/png.py, baseline JPEG to the real codec in functions/jpeg.py,
+and MJPEG-in-AVI video to the real RIFF demux in functions/avi.py.
+Progressive JPEG / WebP / mp4 / webm sit behind the PIL/cv2 import-try
+seam: with no libs installed they fall to the deterministic fake
+(fake=True, plumbing tests) or raise NotImplementedError.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ import numpy as np
 # worker batch fns: a function-body `from .jpeg import ...` executes on the
 # worker at call time, where pickle-by-value shipped the CODE but the
 # package itself is not importable (foreign driver cwd).
+from .avi import AviError, avi_decode, is_avi
 from .jpeg import JpegError, jpeg_decode, jpeg_decode_batch
 from .png import png_decode, pnm_decode
 
@@ -494,8 +497,17 @@ def decode_external(payload: bytes, codec: str, fake: bool = False) -> np.ndarra
     Progressive JPEG / WebP / etc decode through PIL or cv2 WHEN INSTALLED
     (import-try gate); in this container neither is present, so those fall
     to the deterministic fake (fake=True, for plumbing tests) or raise.
-    Video remains a documented stub either way (frame demux needs a real
-    container parser)."""
+    Video: MJPEG-in-AVI is REAL (RIFF demux in functions/avi.py; this
+    entry point returns the decoded FIRST frame as the representative
+    raster — full-sequence demux is avi_decode + decode_external_batch);
+    mp4/webm stay behind the documented no-AV-libs seam."""
+    if codec.lower() in ("avi", "mjpeg", "video") and is_avi(payload):
+        try:
+            frames, _meta = avi_decode(payload)
+            if frames:
+                return decode_external(frames[0], "jpeg", fake=fake)
+        except (AviError, JpegError):
+            pass  # malformed container: fake/raise below
     if codec.lower() == "png":
         return png_decode(payload)
     if codec.lower() in ("pgm", "ppm", "pnm"):

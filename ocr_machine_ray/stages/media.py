@@ -13,6 +13,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..corpus import struck_mask
+from ..functions.avi import avi_decode, avi_encode, is_avi
 from ..functions.geometry import rule_and_derived_vertical
 from ..functions.images import (
     MEDIA_H,
@@ -25,10 +26,13 @@ from ..functions.images import (
     compress_quantize,
     cv_strike_verdict,
     cv_strike_verdict_stack,
+    decode_external_batch,
     synth_media_image,
     synth_word_image_stack,
     whiteout,
 )
+from ..functions.jpeg import jpeg_encode_batch
+from ..functions.malloc_tuning import tune_malloc
 from ..stages.strike import token_index_from_offset
 
 
@@ -325,21 +329,32 @@ def compression_report_batch(batch: pa.Table) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
-# Video-shaped payloads: frame sampling over opaque multi-frame binaries.
-# Deterministic synthetic "videos" (doc_id % VIDEO_MOD == VIDEO_RESIDUE
-# carries one, with 2 + doc_id % 5 frames of MEDIA_H x MEDIA_W grayscale);
-# the SAMPLER is the real operator — stride slicing over a binary column
-# using only (frame_size, n_frames) metadata, the actor-pool shape a real
-# video pipeline uses with a codec in the slot (video decode itself stays
-# behind decode_external's documented stub: no AV libs in this container).
+# Video payloads. Deterministic synthetic "videos" (doc_id % VIDEO_MOD ==
+# VIDEO_RESIDUE carries one, with 2 + doc_id % 5 frames of MEDIA_H x
+# MEDIA_W grayscale), muxed as a REAL MJPEG-in-AVI container — every frame
+# is a baseline JPEG through functions/jpeg.py and the RIFF/AVI wrapper is
+# functions/avi.py, so the samplers below exercise an actual demux +
+# entropy decode, the reference's rasterize/recompress front end as a video
+# format (fake_scan.py:216-272). The samplers stay container-AWARE rather
+# than container-only: a payload without the RIFF magic is treated as raw
+# concatenated frames via (frame_size, n_frames) metadata — the opaque-
+# binary multimodal column shape.
 # ---------------------------------------------------------------------------
 VIDEO_MOD = 11
 VIDEO_RESIDUE = 3
 FRAME_BYTES = MEDIA_H * MEDIA_W
+VIDEO_JPEG_Q = 90  # frame quality: mean-luma fidelity >> cut threshold
+
+
+def _mux_avi(frames_u8: list[np.ndarray]) -> bytes:
+    """Grayscale frame stack -> MJPEG AVI bytes (one JPEG chunk each)."""
+    stack = np.stack(frames_u8)
+    jpgs = jpeg_encode_batch(stack, quality=VIDEO_JPEG_Q)
+    return avi_encode(jpgs, width=stack.shape[2], height=stack.shape[1])
 
 
 def synth_video_batch(batch: pa.Table) -> pa.Table:
-    """documents rows -> video payload rows for docs matching the rule."""
+    """documents rows -> MJPEG-AVI payload rows for docs matching the rule."""
     doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     sel = np.flatnonzero(doc % VIDEO_MOD == VIDEO_RESIDUE)
     refs, payloads, n_frames = [], [], []
@@ -349,7 +364,7 @@ def synth_video_batch(batch: pa.Table) -> pa.Table:
             synth_media_image(f"v-{d}-{i}", "blank") for i in range(f)
         ]
         refs.append(f"v-{d}")
-        payloads.append(b"".join(img.tobytes() for img in frames))
+        payloads.append(_mux_avi(frames))
         n_frames.append(f)
     return pa.table(
         {
@@ -362,19 +377,37 @@ def synth_video_batch(batch: pa.Table) -> pa.Table:
 
 
 class FrameSampler:
-    """Actor-pool frame sampler: every `stride`-th frame sliced out of the
-    opaque payload by (frame_size, n_frames) metadata — zero-copy slices,
-    no decode. Swap a codec into the slot for real containers."""
+    """Actor-pool frame sampler. RIFF/AVI payloads take the REAL path:
+    container demux (functions/avi.py) -> every `stride`-th JPEG frame ->
+    batched entropy decode (jpeg_decode_batch), reporting the decoded
+    pixel bytes. Non-container payloads are raw concatenated frames
+    sliced by (frame_size, n_frames) metadata — the opaque-binary shape."""
 
     def __init__(self, stride: int = 2, frame_bytes: int = FRAME_BYTES):
+        tune_malloc()
         self.stride = stride
         self.frame_bytes = frame_bytes
+
+    def _sample_avi(self, buf: bytes, n: int) -> tuple[int, int]:
+        jpgs, meta = avi_decode(buf)
+        if meta["n_frames"] != n:
+            raise ValueError(
+                f"container frame count {meta['n_frames']} != metadata {n}"
+            )
+        picked = jpgs[:: self.stride]
+        imgs = decode_external_batch(picked, "jpeg")
+        return len(picked), sum(im.nbytes for im in imgs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         nf = batch["n_frames"].to_numpy(zero_copy_only=False)
         sampled, sampled_bytes = [], []
         for buf, n in zip(payloads, nf):
+            if is_avi(buf):
+                n_s, n_b = self._sample_avi(buf, int(n))
+                sampled.append(n_s)
+                sampled_bytes.append(n_b)
+                continue
             if len(buf) != int(n) * self.frame_bytes:
                 raise ValueError(
                     f"payload size {len(buf)} != {n} x {self.frame_bytes}"
@@ -522,7 +555,7 @@ def synth_scene_video_batch(batch: pa.Table) -> pa.Table:
             img += rng.integers(-6, 7, img.shape, dtype=np.int16)
             frames.append(img.clip(0, 255).astype(np.uint8))
         refs.append(f"sv-{d}")
-        payloads.append(b"".join(f.tobytes() for f in frames))
+        payloads.append(_mux_avi(frames))
         n_frames_out.append(n_frames)
     return pa.table(
         {
@@ -535,13 +568,16 @@ def synth_scene_video_batch(batch: pa.Table) -> pa.Table:
 
 
 class ShotBoundaryDetector:
-    """Actor-pool shot detector: per video, frame mean lumas from the raw
-    payload (one vectorized reshape+mean, no Python per-pixel work), then
-    |delta| > threshold marks a cut. Emits cut count and the first two cut
-    positions (-1 when absent) — fixed-width columns, no list types."""
+    """Actor-pool shot detector: per video, frame mean lumas, then
+    |delta| > threshold marks a cut. RIFF/AVI payloads take the real
+    demux + JPEG decode path (functions/avi.py + jpeg_decode_batch);
+    raw payloads reshape by (frame_size, n_frames) metadata. Emits cut
+    count and the first two cut positions (-1 when absent) — fixed-width
+    columns, no list types."""
 
     def __init__(self, frame_bytes: int = FRAME_BYTES,
                  threshold: int = SCENE_CUT_THRESHOLD):
+        tune_malloc()
         self.frame_bytes = frame_bytes
         self.threshold = threshold
 
@@ -550,9 +586,19 @@ class ShotBoundaryDetector:
         nf = batch["n_frames"].to_numpy(zero_copy_only=False)
         n_cuts, cut1, cut2 = [], [], []
         for buf, n in zip(payloads, nf):
-            frames = np.frombuffer(buf, dtype=np.uint8).reshape(
-                int(n), self.frame_bytes
-            )
+            if is_avi(buf):
+                jpgs, meta = avi_decode(buf)
+                if meta["n_frames"] != int(n):
+                    raise ValueError(
+                        f"container frame count {meta['n_frames']} != "
+                        f"metadata {int(n)}"
+                    )
+                imgs = decode_external_batch(jpgs, "jpeg")
+                frames = np.stack([im.ravel() for im in imgs])
+            else:
+                frames = np.frombuffer(buf, dtype=np.uint8).reshape(
+                    int(n), self.frame_bytes
+                )
             means = frames.mean(axis=1)
             deltas = np.abs(np.diff(means))
             cuts = np.flatnonzero(deltas > self.threshold) + 1
