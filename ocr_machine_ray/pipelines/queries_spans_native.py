@@ -143,3 +143,51 @@ def q_dedup_exact_spans(sf_dir: str):
             Count(alias_name="n_copies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token-frequency FROM the nested spans layout — the text family's
+# classic skewed-key wide aggregate (hot tokens dominate), now fed by
+# capped chunk rows: each chunk row combines its own text spans into
+# (tok, partial n) pairs BEFORE the shuffle, so the groupby moves
+# per-chunk distinct tokens, not one row per span, and chunking is
+# invisible in the result (counts are addition-combinable).
+# ---------------------------------------------------------------------------
+_SPANS_TOKFREQ_SQL = f"""
+{SQL_ALL_SPANS}
+SELECT text AS tok, CAST(count(*) AS BIGINT) AS n
+FROM all_spans WHERE kind = 'text'
+GROUP BY text
+"""
+
+
+def _tok_partial(batch: pa.Table) -> pa.Table:
+    """Per-chunk-row (token, count) combiner over text spans."""
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    kind = flat.field("kind").to_numpy(zero_copy_only=False)
+    text = np.asarray(flat.field("text").to_pylist(), dtype=object)
+    toks = text[kind == "text"]
+    uniq, cnt = np.unique(toks.astype(str), return_counts=True)
+    return pa.table(
+        {
+            "tok": pa.array(uniq.tolist(), type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+@query("token_freq_spans", _SPANS_TOKFREQ_SQL)
+def q_token_freq_spans(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    return (
+        _capped_spans(sf_dir)
+        .map_batches(_tok_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .repartition(4)  # hash-aggregate emits schema-less empty blocks
+    )

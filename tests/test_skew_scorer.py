@@ -275,3 +275,34 @@ class TestSpansNativeQueries:
         b = sig_map(7)
         c = sig_map(32)
         assert a.equals(b) and b.equals(c)
+
+    def test_token_freq_chunk_invariant(self, ray_session, sf_small):
+        """Token counts from the nested layout must not depend on where
+        chunk boundaries fall (counts are addition-combinable)."""
+        from ray.data.aggregate import Sum
+
+        from ocr_machine_ray.pipelines.queries_spans_native import (
+            _tok_partial,
+        )
+        from ocr_machine_ray.sources.readers import read_spans_corpus
+        from ocr_machine_ray.stages.skew import cap_spans_per_row
+
+        def freq(cap):
+            ds = read_spans_corpus(sf_small)
+            if cap:
+                ds = ds.map_batches(
+                    lambda t: cap_spans_per_row(t, cap),
+                    batch_format="pyarrow",
+                )
+            return (
+                ds.map_batches(_tok_partial, batch_format="pyarrow")
+                .groupby("tok")
+                .aggregate(Sum("n", alias_name="n"))
+                .to_pandas()
+                .sort_values("tok")
+                .reset_index(drop=True)
+            )
+
+        a, b = freq(None), freq(9)
+        assert a.equals(b)
+        assert int(a["n"].sum()) > 0
