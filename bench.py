@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "sessionize",
     "media_classify",
     "extract_spans_cv",
+    # round-4 additions
+    "token_freq_spans",
     # round-2 additions
     "page_orientation",
     "decontaminate",

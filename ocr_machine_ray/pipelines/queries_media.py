@@ -424,17 +424,23 @@ WHERE doc_id % {VIDEO_MOD} = {VIDEO_RESIDUE} AND text IS NOT NULL
 
 @query("video_frame_sample", _FRAME_SQL)
 def q_video_frame_sample(sf_dir: str):
-    from ..stages.media import FrameSampler, synth_video_batch
+    from ..stages.media import sample_frames_batch, synth_video_batch
     from .extraction import read_documents
 
-    videos = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        synth_video_batch, batch_format="pyarrow", zero_copy_batch=True
+    # Both legs are codec-heavy: frames are ENCODED in the synth map and
+    # entropy-DECODED in the sampler, so both run as WIDE task maps with a
+    # repartition barrier between (documents parquet reads as few blocks;
+    # without the pre-synth barrier all encoding lands in one task, and
+    # without separation Ray fuses the chain into whatever pool is last).
+    videos = (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .repartition(64)
+        .map_batches(
+            synth_video_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
-    return videos.map_batches(
-        FrameSampler,
-        batch_format="pyarrow",
-        batch_size=256,  # large binary payloads: small batches
-        concurrency=(1, 4),
+    return videos.repartition(32).map_batches(
+        sample_frames_batch, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -693,17 +699,21 @@ WHERE doc_id % {VIDEO_MOD} = {VIDEO_RESIDUE} AND text IS NOT NULL
 
 @query("video_shot_detect", _SHOT_SQL)
 def q_video_shot_detect(sf_dir: str):
-    from ..stages.media import ShotBoundaryDetector, synth_scene_video_batch
+    from ..stages.media import detect_shots_batch, synth_scene_video_batch
     from .extraction import read_documents
 
-    videos = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        synth_scene_video_batch, batch_format="pyarrow", zero_copy_batch=True
+    # same two-wide-task-map shape as video_frame_sample (encode in the
+    # synth leg, entropy decode in the detector leg)
+    videos = (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .repartition(64)
+        .map_batches(
+            synth_scene_video_batch, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     )
-    return videos.map_batches(
-        ShotBoundaryDetector,
-        batch_format="pyarrow",
-        batch_size=256,  # large binary payloads: small batches
-        concurrency=(1, 4),
+    return videos.repartition(32).map_batches(
+        detect_shots_batch, batch_format="pyarrow", batch_size=None
     )
 
 

@@ -376,6 +376,21 @@ def synth_video_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def sample_frames_batch(batch: pa.Table) -> pa.Table:
+    """Task-map form of FrameSampler: the demux + frame decode is
+    STATELESS (the JPEG peek-LUT cache is process-level), so a plain task
+    pool gives full-width parallelism with no pool sizing; the class form
+    below remains the actor-pool shape for deployments that hold real
+    codec state."""
+    return FrameSampler(stride=2)(batch)
+
+
+def detect_shots_batch(batch: pa.Table) -> pa.Table:
+    """Task-map form of ShotBoundaryDetector (same rationale as
+    sample_frames_batch)."""
+    return ShotBoundaryDetector()(batch)
+
+
 class FrameSampler:
     """Actor-pool frame sampler. RIFF/AVI payloads take the REAL path:
     container demux (functions/avi.py) -> every `stride`-th JPEG frame ->
