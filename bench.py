@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "extract_spans_cv",
     # round-4 additions
     "token_freq_spans",
+    "dsir_resample",
     # round-2 additions
     "page_orientation",
     "decontaminate",

@@ -9,6 +9,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..corpus import SQL_CATEGORY, SQL_TOKS
 from ..corpus import FlatTokens as _GopherFlatTokens
 from ..functions.text import (
     QUALITY_STOPWORDS as _GOPHER_STOPWORDS,
@@ -4237,4 +4238,190 @@ def q_unigram_tokenize(sf_dir: str):
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         encode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — public method): score every
+# document by hashed-unigram importance toward a TARGET domain (here the
+# corpus rule's 'tables' category stands in for the curated target set),
+# then keep the top 20%. Weights are fixed-point integer milli-bits
+# (the lm_score pattern) so engine and oracle agree bit-exactly:
+#   lambda_b = floor((log2((tgt_b+1)/(tgt_tot+B)) -
+#                     log2((raw_b+1)/(raw_tot+B))) * 1000 + 0.5)
+# Distribution shape: ONE counting scan pre-aggregated per batch into B=64
+# bucket rows (driver collects O(B)); the 64-entry lambda table rides into
+# the scoring scan as a closure broadcast; selection is per-block partial
+# top-K before the final tiny sort (top_orders pattern) — no stage moves
+# more than K x n_blocks candidate rows at any corpus size.
+# ---------------------------------------------------------------------------
+_DSIR_B = 64
+_DSIR_FRAC = 0.2
+
+_DSIR_SQL = f"""
+WITH {SQL_TOKS},
+{SQL_CATEGORY.strip().rstrip()},
+buck AS (
+  SELECT t.doc_id,
+         CAST(('0x' || substr(md5(t.tok), 1, 8))::UBIGINT % {_DSIR_B}
+              AS BIGINT) AS b
+  FROM toks t
+),
+raw AS (SELECT b, count(*) AS rn FROM buck GROUP BY b),
+tgt AS (
+  SELECT bu.b, count(*) AS tn
+  FROM buck bu JOIN doc_category c
+    ON c.doc_id = bu.doc_id AND c.category = 'tables'
+  GROUP BY bu.b
+),
+tot AS (
+  SELECT (SELECT count(*) FROM buck) AS rtot,
+         (SELECT coalesce(sum(tn), 0) FROM tgt) AS ttot
+),
+lam AS (
+  SELECT r.b,
+         CAST(floor((log2((coalesce(t.tn, 0) + 1.0) / (tot.ttot + {_DSIR_B}.0))
+                     - log2((r.rn + 1.0) / (tot.rtot + {_DSIR_B}.0)))
+                    * 1000 + 0.5) AS BIGINT) AS lam
+  FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tot
+),
+scores AS (
+  SELECT bu.doc_id, CAST(sum(l.lam) AS BIGINT) AS dsir_score_milli
+  FROM buck bu JOIN lam l ON l.b = bu.b
+  GROUP BY bu.doc_id
+),
+k AS (
+  SELECT CAST(ceil({_DSIR_FRAC} * count(*)) AS BIGINT) AS k
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, dsir_score_milli
+FROM (
+  SELECT s.*,
+         row_number() OVER (ORDER BY dsir_score_milli DESC, doc_id) AS rk
+  FROM scores s
+)
+WHERE rk <= (SELECT k FROM k)
+"""
+
+
+def _dsir_buckets(ft) -> np.ndarray:
+    """Hashed-unigram bucket per token (md5 prefix, vocab-level LUT)."""
+    import hashlib
+
+    toks = ft.tokens
+    uniq, inv = np.unique(toks.astype(str), return_inverse=True)
+    lut = np.fromiter(
+        (
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % _DSIR_B
+            for t in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    return lut[inv]
+
+
+@query("dsir_resample", _DSIR_SQL)
+def q_dsir_resample(sf_dir: str):
+    from ..corpus import FlatTokens, category_flags
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "dsir_score_milli": pa.array([], type=pa.int64()),
+        }
+    )
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return empty
+
+    from ray.data.aggregate import Sum
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        is_table, _, _ = category_flags(ft, len(batch))
+        b = _dsir_buckets(ft)
+        raw = np.bincount(b, minlength=_DSIR_B)
+        tgt = np.bincount(b[is_table[ft.row_idx]], minlength=_DSIR_B)
+        docs_n = np.zeros(_DSIR_B, dtype=np.int64)
+        docs_n[0] = len(batch)  # candidate-doc count rides bucket 0's row
+        return pa.table(
+            {
+                "b": pa.array(np.arange(_DSIR_B, dtype=np.int64)),
+                "raw_n": pa.array(raw.astype(np.int64)),
+                "tgt_n": pa.array(tgt.astype(np.int64)),
+                "docs_n": pa.array(docs_n),
+            }
+        )
+
+    counts = (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            counts_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("b")
+        .aggregate(
+            Sum("raw_n", alias_name="raw_n"),
+            Sum("tgt_n", alias_name="tgt_n"),
+            Sum("docs_n", alias_name="docs_n"),
+        )
+        .to_pandas()  # O(B) rows by construction
+    )
+    raw = np.zeros(_DSIR_B, dtype=np.int64)
+    tgt = np.zeros(_DSIR_B, dtype=np.int64)
+    if len(counts):
+        bb = counts["b"].to_numpy().astype(np.int64)
+        raw[bb] = counts["raw_n"].to_numpy().astype(np.int64)
+        tgt[bb] = counts["tgt_n"].to_numpy().astype(np.int64)
+    n_docs = int(counts["docs_n"].sum()) if len(counts) else 0
+    k = int(np.ceil(_DSIR_FRAC * n_docs))
+    if k == 0:
+        return empty
+    rtot, ttot = int(raw.sum()), int(tgt.sum())
+    lam = np.floor(
+        (
+            np.log2((tgt + 1.0) / (ttot + float(_DSIR_B)))
+            - np.log2((raw + 1.0) / (rtot + float(_DSIR_B)))
+        )
+        * 1000
+        + 0.5
+    ).astype(np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ft = FlatTokens(batch)
+        contrib = lam[_dsir_buckets(ft)]
+        sums = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(sums, ft.row_idx, contrib)
+        has_tok = ft.counts > 0  # tokenless docs: absent (SQL unnest drops)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(
+                    pa.array(has_tok)
+                ),
+                "dsir_score_milli": pa.array(sums[has_tok]),
+            }
+        )
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        s = batch["dsir_score_milli"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[order].astype(np.int64)),
+                "dsir_score_milli": pa.array(s[order].astype(np.int64)),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            partial_top, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .sort(
+            ["dsir_score_milli", "doc_id"], descending=[True, False]
+        )
+        .limit(k)
     )

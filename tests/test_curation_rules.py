@@ -179,3 +179,37 @@ def test_ann_topk_pq_recall(ray_session):
         recalls.append(len(a & b) / len(a))
     assert np.mean(recalls) >= 0.85, np.mean(recalls)
     assert np.min(recalls) >= 0.4, np.min(recalls)
+
+
+def test_dsir_selects_target_skewed_docs(ray_session, sf_small):
+    """Importance resampling must actually steer toward the target
+    domain: the selected 20% should contain 'tables'-category documents
+    at a higher rate than the corpus base rate, and the selection must be
+    deterministic across runs (fixed-point milli-bit weights, doc_id tie
+    break)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_machine_ray.corpus import FlatTokens, category_flags
+    from ocr_machine_ray.pipelines.queries_text import q_dsir_resample
+
+    a = q_dsir_resample(sf_small).to_pandas()
+    b = q_dsir_resample(sf_small).to_pandas()
+    assert a.equals(b)
+
+    docs = pq.read_table(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    ).filter(__import__("pyarrow").compute.field("text").is_valid())
+    ft = FlatTokens(docs)
+    is_table, _, _ = category_flags(ft, len(docs))
+    doc_ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+    table_ids = set(doc_ids[is_table].tolist())
+
+    n_docs = len(docs)
+    assert len(a) == int(np.ceil(0.2 * n_docs))
+    base_rate = len(table_ids) / n_docs
+    sel_rate = np.mean([d in table_ids for d in a["doc_id"]])
+    assert sel_rate > base_rate, (sel_rate, base_rate)
+    # scores come out ranked
+    s = a["dsir_score_milli"].to_numpy()
+    assert (np.diff(s) <= 0).all()
