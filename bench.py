@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     # round-4 additions
     "token_freq_spans",
     "dsir_resample",
+    "audio_spectrogram",
     # round-2 additions
     "page_orientation",
     "decontaminate",

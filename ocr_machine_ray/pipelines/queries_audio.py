@@ -149,3 +149,41 @@ def q_audio_resample(sf_dir: str):
         batch_size=256,
         concurrency=(1, 4),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectrogram features through a REAL FFT: per-frame rfft, one-sided power,
+# Parseval-recovered time-domain energy. The oracle value-checks that the
+# energy recovered THROUGH the frequency domain equals the closed-form
+# integer sum(v^2) over full frames — a genuine end-to-end check of the
+# DSP kernel (any fft/windowing/one-sided-weighting bug breaks equality).
+# dominant_bin is frequency-domain-only (no SQL form) and is pinned by
+# pytest against a textbook O(n^2) DFT.
+# ---------------------------------------------------------------------------
+_SPECTRO_SQL = f"""
+{_SAMPLES_CTE}
+SELECT 'au-' || CAST(doc_id AS VARCHAR) AS audio_ref,
+       doc_id,
+       CAST(count(*) // 160 AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN i < (n_samples // 160) * 160
+                     THEN v * v ELSE 0 END) AS BIGINT) AS spectral_sq
+FROM samples GROUP BY doc_id
+"""
+
+
+@query("audio_spectrogram", _SPECTRO_SQL)
+def q_audio_spectrogram(sf_dir: str):
+    from ..stages.audio import SpectrogramAnalyzer
+
+    return (
+        _audio_rows(sf_dir)
+        .map_batches(
+            SpectrogramAnalyzer,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 4),
+        )
+        .select_columns(
+            ["audio_ref", "doc_id", "n_frames", "spectral_sq"]
+        )
+    )

@@ -153,3 +153,97 @@ def test_analyzer_and_resampler_stages():
             np.sum(v * (np.arange(v.shape[0]) + 1))
         )
         assert res["wav_bytes_len"][j].as_py() == 44 + 2 * v.shape[0]
+
+
+class TestSpectrogram:
+    def test_parseval_through_fft(self):
+        """spectral_sq recovered through rfft equals the direct
+        time-domain integer energy over full frames."""
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_machine_ray.functions.wav import wav_encode
+        from ocr_machine_ray.stages.audio import (
+            AUDIO_FRAME,
+            SpectrogramAnalyzer,
+        )
+
+        rng = np.random.default_rng(11)
+        clips = [
+            rng.integers(-2048, 2048, 7 * AUDIO_FRAME + 53).astype(np.int16),
+            np.zeros(3 * AUDIO_FRAME, dtype=np.int16),
+        ]
+        batch = pa.table(
+            {
+                "audio_ref": pa.array(["a", "b"]),
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "wav": pa.array(
+                    [wav_encode(c, 8000) for c in clips], type=pa.binary()
+                ),
+            }
+        )
+        out = SpectrogramAnalyzer()(batch).to_pandas()
+        for row, clip in zip(out.itertuples(), clips):
+            full = (len(clip) // AUDIO_FRAME) * AUDIO_FRAME
+            direct = int(np.sum(clip[:full].astype(np.int64) ** 2))
+            assert row.spectral_sq == direct
+        assert out["dominant_bin"].tolist()[1] == -1  # silent clip
+
+    def test_dominant_bin_vs_textbook_dft(self):
+        """The argmax power bin from the rfft path must agree with a
+        textbook O(n^2) DFT implemented independently — and for a pure
+        sine at an exact bin frequency, with that bin."""
+        import numpy as np
+        import pyarrow as pa
+
+        from ocr_machine_ray.functions.wav import wav_encode
+        from ocr_machine_ray.stages.audio import (
+            AUDIO_FRAME,
+            SpectrogramAnalyzer,
+        )
+
+        F = AUDIO_FRAME
+        t = np.arange(4 * F)
+        clips = {
+            "sine_bin7": (1000 * np.sin(2 * np.pi * 7 * t / F)),
+            "sine_bin23": (800 * np.sin(2 * np.pi * 23 * t / F)),
+            "noise": np.random.default_rng(3).integers(-500, 500, 4 * F),
+        }
+        batch = pa.table(
+            {
+                "audio_ref": pa.array(list(clips)),
+                "doc_id": pa.array(
+                    range(len(clips)), type=pa.int64()
+                ),
+                "wav": pa.array(
+                    [
+                        wav_encode(
+                            np.round(c).astype(np.int16), 8000
+                        )
+                        for c in clips.values()
+                    ],
+                    type=pa.binary(),
+                ),
+            }
+        )
+        out = SpectrogramAnalyzer()(batch).to_pandas()
+        got = dict(zip(out["audio_ref"], out["dominant_bin"]))
+        assert got["sine_bin7"] == 7
+        assert got["sine_bin23"] == 23
+
+        # independent reference: textbook DFT sum, one-sided power,
+        # summed over frames, argmax over k >= 1
+        def textbook_bin(clip):
+            x = np.round(clip).astype(np.int16).astype(np.float64)
+            nf = len(x) // F
+            band = np.zeros(F // 2)  # k = 1 .. F//2
+            for fi in range(nf):
+                seg = x[fi * F:(fi + 1) * F]
+                for k in range(1, F // 2 + 1):
+                    re = np.sum(seg * np.cos(-2 * np.pi * k * np.arange(F) / F))
+                    im = np.sum(seg * np.sin(-2 * np.pi * k * np.arange(F) / F))
+                    band[k - 1] += re * re + im * im
+            return int(band.argmax()) + 1
+
+        for name, clip in clips.items():
+            assert got[name] == textbook_bin(clip), name
