@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "token_freq_spans",
     "dsir_resample",
     "audio_spectrogram",
+    "interleaved_pairs",
     # round-2 additions
     "page_orientation",
     "decontaminate",

@@ -772,3 +772,93 @@ def q_page_compress_jpeg(sf_dir: str):
         compress, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved image-text training pairs (the MMC4/OBELICS assembly shape —
+# public multimodal-corpus construction): for every media span, gather the
+# text spans within +-CTX_WINDOW offsets of it in the SAME document as
+# before/after context strings. Offsets are dense positions, so context
+# lookup is pure index arithmetic inside the document's own span list —
+# batch-local, zero shuffle, exactly the flagship's one-doc-per-row
+# locality (media spacing is 11 > CTX_WINDOW, so a window never contains
+# another media span).
+# ---------------------------------------------------------------------------
+CTX_WINDOW = 8
+
+_INTERLEAVED_SQL = f"""
+{SQL_ALL_SPANS}
+SELECT m.doc_id, m.media_ref, CAST(m.off AS BIGINT) AS off,
+       coalesce(string_agg(t.text, ' ' ORDER BY t.off)
+                FILTER (WHERE t.off < m.off), '') AS ctx_before,
+       coalesce(string_agg(t.text, ' ' ORDER BY t.off)
+                FILTER (WHERE t.off > m.off), '') AS ctx_after,
+       CAST(count(t.text) AS BIGINT) AS n_ctx
+FROM (SELECT * FROM all_spans WHERE kind = 'media') m
+LEFT JOIN (SELECT * FROM all_spans WHERE kind = 'text') t
+  ON t.doc_id = m.doc_id
+ AND t.off BETWEEN m.off - {CTX_WINDOW} AND m.off + {CTX_WINDOW}
+GROUP BY m.doc_id, m.media_ref, m.off
+"""
+
+
+def _interleaved_pairs_batch(batch):
+    """Nested spans rows -> (media, ctx_before, ctx_after) pair rows.
+
+    Spans arrive offset-ordered and offsets are dense, so a span's offset
+    IS its index in the document's span list — context gathering is two
+    list slices per media span, no search."""
+    import pyarrow as pa
+
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    counts = __import__("numpy").diff(
+        spans.offsets.to_numpy(zero_copy_only=False)
+    )
+    kinds = flat.field("kind").to_pylist()
+    texts = flat.field("text").to_pylist()
+    refs = flat.field("media_ref").to_pylist()
+    doc_ids = batch["doc_id"].to_pylist()
+
+    out = {"doc_id": [], "media_ref": [], "off": [],
+           "ctx_before": [], "ctx_after": [], "n_ctx": []}
+    pos = 0
+    for d, n in zip(doc_ids, counts):
+        n = int(n)
+        dk = kinds[pos:pos + n]
+        dt = texts[pos:pos + n]
+        dr = refs[pos:pos + n]
+        pos += n
+        for m in range(n):
+            if dk[m] != "media":
+                continue
+            lo = max(0, m - CTX_WINDOW)
+            hi = min(n, m + CTX_WINDOW + 1)
+            before = [dt[j] for j in range(lo, m) if dk[j] == "text"]
+            after = [dt[j] for j in range(m + 1, hi) if dk[j] == "text"]
+            out["doc_id"].append(d)
+            out["media_ref"].append(dr[m])
+            out["off"].append(m)
+            out["ctx_before"].append(" ".join(before))
+            out["ctx_after"].append(" ".join(after))
+            out["n_ctx"].append(len(before) + len(after))
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "media_ref": pa.array(out["media_ref"], type=pa.string()),
+            "off": pa.array(out["off"], type=pa.int64()),
+            "ctx_before": pa.array(out["ctx_before"], type=pa.string()),
+            "ctx_after": pa.array(out["ctx_after"], type=pa.string()),
+            "n_ctx": pa.array(out["n_ctx"], type=pa.int64()),
+        }
+    )
+
+
+@query("interleaved_pairs", _INTERLEAVED_SQL)
+def q_interleaved_pairs(sf_dir: str):
+    return spans_corpus(sf_dir).map_batches(
+        _interleaved_pairs_batch, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
