@@ -51,6 +51,9 @@ _SAMPLE_PRIORITY = [
     "segment_dedup", "dedup_edit_distance", "incremental_neardup",
     "dup_size_histogram", "leakage_safe_split", "cdc_dedup",
     "fuzzy_decontaminate", "shard_skew_report", "unigram_tokenize",
+    # round-4 additions (also never driver-sampled)
+    "token_freq_spans", "dsir_resample", "audio_spectrogram",
+    "interleaved_pairs",
 ]
 
 
