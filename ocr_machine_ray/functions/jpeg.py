@@ -1003,6 +1003,10 @@ def _idct_assemble(coef, bpr, comps, qtabs, size):
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+_ENC_CHUNK_PAGES = 96   # encode working set ~ a few MB per chunk
+_DEC_CHUNK_PAGES = 128  # decode stacks are lighter (coef store only)
+
+
 def jpeg_encode_batch(
     stack: np.ndarray, quality: int = 85
 ) -> list[bytes]:
@@ -1023,6 +1027,19 @@ def jpeg_encode_batch(
         return []
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    # Chunk big stacks: DC chains reset per image, so chunk outputs
+    # concatenate byte-identically — and a 6x smaller working set means a
+    # COLD worker faults ~1/6 the pages on its first chunk and reuses
+    # them for the rest (the 10 s straggler tasks in a fresh Ray worker
+    # pool were first-touch page faults, not codec arithmetic). Batching
+    # efficiency is already saturated well below the chunk size.
+    if n > _ENC_CHUNK_PAGES:
+        out: list[bytes] = []
+        for s in range(0, n, _ENC_CHUNK_PAGES):
+            out.extend(
+                jpeg_encode_batch(stack[s : s + _ENC_CHUNK_PAGES], quality)
+            )
+        return out
     qy = _quality_scale(_QUANT_LUMA, quality)
 
     header = bytearray(b"\xff\xd8")
@@ -1092,6 +1109,13 @@ def jpeg_decode_batch(payloads: list[bytes]) -> list[np.ndarray]:
     n = len(payloads)
     if n == 0:
         return []
+    if n > _DEC_CHUNK_PAGES:
+        out_all: list[np.ndarray] = []
+        for s in range(0, n, _DEC_CHUNK_PAGES):
+            out_all.extend(
+                jpeg_decode_batch(payloads[s : s + _DEC_CHUNK_PAGES])
+            )
+        return out_all
     parsed = []
     for p in payloads:
         try:
