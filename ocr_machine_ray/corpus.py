@@ -90,6 +90,7 @@ class FlatTokens:
                  "_tokens_np")
 
     def __init__(self, batch: pa.Table):
+        tune_malloc()  # text-family worker entry: keep freed buffers mapped
         toks = pc.split_pattern_regex(
             pc.utf8_trim(batch["text"], characters=ASCII_WS),
             TOKEN_SPLIT_RE,
