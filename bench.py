@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "dsir_resample",
     "audio_spectrogram",
     "interleaved_pairs",
+    "merge_upsert",
     # round-2 additions
     "page_orientation",
     "decontaminate",

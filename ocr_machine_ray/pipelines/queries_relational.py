@@ -1460,3 +1460,159 @@ def q_doc_skyline(sf_dir: str):
             batch_size=None,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO / upsert (the Delta/Iceberg MERGE shape): an updates stream —
+# per-customer urgent-order repricings, plus brand-new rows for a
+# deterministic subset — merges into the customer base table with
+# update / insert / keep row dispositions. The updates side is built by a
+# pre-aggregated shuffle (per-batch urgent counts -> one Sum groupby);
+# the merge itself is ONE full-outer hash join keyed on the merge key,
+# partition count scaled to base-table size. Insert keys are offset by
+# 10^9 (customer keys are dense from 1; the offset stays collision-free
+# past sf10^4 — assert-guarded).
+# ---------------------------------------------------------------------------
+_MERGE_INS_OFFSET = 1_000_000_000
+
+_MERGE_UPSERT_SQL = f"""
+WITH upd AS (
+  SELECT o_custkey AS k, CAST(100000 + count(*) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+),
+ins AS (
+  SELECT k + {_MERGE_INS_OFFSET} AS k, CAST(12345 AS BIGINT) AS v
+  FROM upd WHERE v % 3 = 0
+),
+allu AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT CAST(coalesce(u.k, b.c_custkey) AS BIGINT) AS c_custkey,
+       CAST(coalesce(u.v, round(b.c_acctbal * 100)) AS BIGINT)
+         AS acctbal_cents,
+       CASE WHEN u.k IS NULL THEN 'keep'
+            WHEN b.c_custkey IS NULL THEN 'insert'
+            ELSE 'update' END AS op
+FROM customer b FULL OUTER JOIN allu u ON u.k = b.c_custkey
+"""
+
+
+@query("merge_upsert", _MERGE_UPSERT_SQL)
+def q_merge_upsert(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .extraction import parquet_num_rows
+
+    empty = pa.table(
+        {
+            "c_custkey": pa.array([], type=pa.int64()),
+            "acctbal_cents": pa.array([], type=pa.int64()),
+            "op": pa.array([], type=pa.string()),
+        }
+    )
+    n_cust = parquet_num_rows(sf_dir, "customer")
+    n_ord = parquet_num_rows(sf_dir, "orders")
+    if n_cust == 0 and n_ord == 0:
+        return empty
+
+    def urgent_partial(batch: pa.Table) -> pa.Table:
+        key = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pri = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        k = key[pri == "1-URGENT"].astype(np.int64)
+        uniq, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(uniq),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def mk_updates(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.size and int(k.max()) >= _MERGE_INS_OFFSET:
+            raise ValueError(
+                "merge_upsert insert-key offset would collide; raise "
+                "_MERGE_INS_OFFSET for this corpus"
+            )
+        v = 100000 + batch["n"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ins = v % 3 == 0
+        return pa.table(
+            {
+                "k": pa.array(
+                    np.concatenate([k, k[ins] + _MERGE_INS_OFFSET])
+                ),
+                "v": pa.array(
+                    np.concatenate(
+                        [v, np.full(int(ins.sum()), 12345, dtype=np.int64)]
+                    )
+                ),
+            }
+        )
+
+    updates = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(
+            urgent_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+        .repartition(4)  # hash-aggregate empty-block trap before the join
+        .map_batches(
+            mk_updates, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def base_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pa.array(
+                    batch["c_custkey"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "bal_cents": pa.array(
+                    _cents(
+                        batch["c_acctbal"].to_numpy(zero_copy_only=False)
+                    )
+                ),
+            }
+        )
+
+    base = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        base_cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = base.join(
+        updates,
+        join_type="full_outer",
+        num_partitions=int(max(2, min(64, n_cust // 100_000 + 2))),
+        on=("c_custkey",),
+        right_on=("k",),
+    )
+
+    def dispatch(batch: pa.Table) -> pa.Table:
+        # the hash join coalesces the merge key into the LEFT key column;
+        # side presence is read off the value columns' validity
+        bal = batch["bal_cents"]
+        v = batch["v"]
+        has_u = pc.is_valid(v)
+        has_b = pc.is_valid(bal)
+        op = pc.if_else(
+            pc.invert(has_u),
+            pa.scalar("keep"),
+            pc.if_else(
+                pc.invert(has_b), pa.scalar("insert"), pa.scalar("update")
+            ),
+        )
+        return pa.table(
+            {
+                "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+                "acctbal_cents": pc.coalesce(
+                    pc.cast(v, pa.int64()), pc.cast(bal, pa.int64())
+                ),
+                "op": pc.cast(op, pa.string()),
+            }
+        )
+
+    return merged.map_batches(
+        dispatch, batch_format="pyarrow", zero_copy_batch=True
+    )
