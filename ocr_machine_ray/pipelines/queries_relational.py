@@ -1560,6 +1560,9 @@ def q_merge_upsert(sf_dir: str):
         .map_batches(
             mk_updates, batch_format="pyarrow", zero_copy_batch=True
         )
+        .materialize()  # small (<= one row per repriced customer + inserts);
+        # consumed twice below (count + join), and a ZERO-row aggregate
+        # emits schema-less blocks the join's right side cannot key on
     )
 
     def base_cents(batch: pa.Table) -> pa.Table:
@@ -1581,6 +1584,17 @@ def q_merge_upsert(sf_dir: str):
     base = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
         base_cents, batch_format="pyarrow", zero_copy_batch=True
     )
+    if updates.count() == 0:  # no urgent orders anywhere: all rows keep
+        return base.map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": t["c_custkey"],
+                    "acctbal_cents": t["bal_cents"],
+                    "op": pa.array(["keep"] * len(t), type=pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     merged = base.join(
         updates,
         join_type="full_outer",
