@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "audio_spectrogram",
     "interleaved_pairs",
     "merge_upsert",
+    "psi_drift",
     # round-2 additions
     "page_orientation",
     "decontaminate",

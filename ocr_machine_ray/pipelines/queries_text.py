@@ -4425,3 +4425,104 @@ def q_dsir_resample(sf_dir: str):
         )
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitoring between crawl snapshots (the PSI /
+# population-stability-index check every recurring ingestion pipeline
+# runs): length-bucket distributions of the OLD vs NEW snapshot (same
+# deterministic snapshot rule as snapshot_diff), add-one smoothed,
+# per-bin PSI contribution in fixed-point integer micro-nats —
+#   psi_micro_b = floor((pn - po) * ln(pn / po) * 1e6 + 0.5)
+# — so engine and oracle agree bit-exactly (the lm_score milli-bits
+# pattern). ONE counting scan pre-aggregated per batch into <=10 bin
+# rows; the final PSI map runs on the single 10-row block.
+# ---------------------------------------------------------------------------
+_PSI_BINS = 10
+
+_PSI_SQL = f"""
+WITH base AS (
+  SELECT doc_id, least(length(text) // 100, {_PSI_BINS - 1}) AS bin
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (
+  SELECT bin,
+         sum(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END) AS n_old,
+         sum(CASE WHEN doc_id % 10 >= 2 THEN 1 ELSE 0 END) AS n_new
+  FROM base GROUP BY bin
+),
+tot AS (SELECT sum(n_old) AS so, sum(n_new) AS sn FROM counts)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n_old AS BIGINT) AS n_old,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(floor(
+         (((n_new + 1.0) / (sn + {_PSI_BINS}.0))
+          - ((n_old + 1.0) / (so + {_PSI_BINS}.0)))
+         * ln(((n_new + 1.0) / (sn + {_PSI_BINS}.0))
+              / ((n_old + 1.0) / (so + {_PSI_BINS}.0)))
+         * 1000000 + 0.5) AS BIGINT) AS psi_micro
+FROM counts CROSS JOIN tot
+"""
+
+
+@query("psi_drift", _PSI_SQL)
+def q_psi_drift(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ln = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+        b = np.minimum(ln // 100, _PSI_BINS - 1).astype(np.int64)
+        r = doc % 10
+        old_n = np.bincount(b[r < 8], minlength=_PSI_BINS)
+        new_n = np.bincount(b[r >= 2], minlength=_PSI_BINS)
+        present = (old_n > 0) | (new_n > 0)
+        # only bins any doc in THIS BATCH fell into (bins nobody hits
+        # anywhere must not appear, matching the SQL GROUP BY)
+        idx = np.flatnonzero(present)
+        return pa.table(
+            {
+                "bin": pa.array(idx.astype(np.int64)),
+                "n_old": pa.array(old_n[idx].astype(np.int64)),
+                "n_new": pa.array(new_n[idx].astype(np.int64)),
+            }
+        )
+
+    def psi_final(batch: pa.Table) -> pa.Table:
+        n_old = batch["n_old"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        n_new = batch["n_new"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        so, sn = n_old.sum(), n_new.sum()
+        po = (n_old + 1.0) / (so + float(_PSI_BINS))
+        pn = (n_new + 1.0) / (sn + float(_PSI_BINS))
+        psi = np.floor((pn - po) * np.log(pn / po) * 1000000 + 0.5)
+        return pa.table(
+            {
+                "bin": batch["bin"],
+                "n_old": batch["n_old"],
+                "n_new": batch["n_new"],
+                "psi_micro": pa.array(psi.astype(np.int64)),
+            }
+        )
+
+    return (
+        read_documents(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            bin_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bin")
+        .aggregate(
+            Sum("n_old", alias_name="n_old"),
+            Sum("n_new", alias_name="n_new"),
+        )
+        .repartition(1)  # <=10 rows; PSI needs the whole bin table
+        .map_batches(
+            psi_final, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )

@@ -53,7 +53,7 @@ _SAMPLE_PRIORITY = [
     "fuzzy_decontaminate", "shard_skew_report", "unigram_tokenize",
     # round-4 additions (also never driver-sampled)
     "token_freq_spans", "dsir_resample", "audio_spectrogram",
-    "interleaved_pairs", "merge_upsert",
+    "interleaved_pairs", "merge_upsert", "psi_drift",
 ]
 
 
