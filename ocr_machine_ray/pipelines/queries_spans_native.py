@@ -17,6 +17,15 @@ import pandas as pd
 import pyarrow as pa
 
 from ..corpus import SQL_ALL_SPANS
+from ..functions.dedup import (
+    _MH_A,
+    _MH_B,
+    BAND_SIZE,
+    MINHASH_SEEDS,
+    N_BANDS,
+    SHINGLE_N,
+)
+from ..functions.text import QUALITY_STOPWORDS
 from ..registry import query
 from ..sources.readers import read_spans_corpus
 from ..stages.explode import explode_spans
@@ -191,3 +200,269 @@ def q_token_freq_spans(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
         .repartition(4)  # hash-aggregate emits schema-less empty blocks
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH bands computed FROM the nested spans layout, chunk-EXACT for
+# word 3-shingles (dedup family joins the spans-native set). The cap splits
+# a document's token stream mid-shingle, so per-chunk minima alone would
+# miss every shingle that straddles a chunk boundary. Pattern: boundary-
+# token exchange — each chunk row emits (a) per-seed minima over its
+# INTERNAL shingles (windows fully inside the chunk, vectorized exactly
+# like the flat path's one-md5-per-unique-shingle kernel) and (b) its first
+# two / last two tokens. A per-doc map_groups over the chunk PARTIAL rows
+# (O(chunks per doc), never the text itself) reconstructs the <=2 shingles
+# per boundary from the exchanged tokens, folds their hashes into the
+# minima, and emits band keys. Result is byte-identical to the flat
+# `minhash_bands` query, so it reuses that oracle verbatim.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_text_tokens(batch: pa.Table):
+    """Flatten a capped-spans batch to per-chunk-row text-token segments.
+
+    Returns (doc_id_per_row, chunk_off_per_row, tokens object array,
+    row_starts) where row_starts[k]..row_starts[k+1] indexes row k's text
+    tokens in offset order (the nested layout is offset-ordered by
+    construction — corpus.derive_spans_batch scatters to dense positions).
+    Rows with zero text spans are dropped (they carry no token adjacency:
+    the corpus emits at least one text span per non-null document, so a
+    zero-text chunk can only be a media-only tail slice).
+    """
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    counts = np.diff(spans.offsets.to_numpy(zero_copy_only=False))
+    row_of_span = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    is_text = np.asarray(
+        pa.compute.equal(flat.field("kind"), "text").to_numpy(
+            zero_copy_only=False
+        )
+    )
+    toks = np.asarray(flat.field("text").to_pylist(), dtype=object)[is_text]
+    t_rows = row_of_span[is_text]
+    t_off = flat.field("offset").to_numpy(zero_copy_only=False)[is_text]
+    n_rows = len(batch)
+    n_toks = np.bincount(t_rows, minlength=n_rows).astype(np.int64)
+    row_starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_toks, out=row_starts[1:])
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    chunk_off = np.full(n_rows, np.iinfo(np.int64).max, dtype=np.int64)
+    if len(t_off):
+        np.minimum.at(chunk_off, t_rows, t_off)
+    keep = n_toks > 0
+    return doc_ids, chunk_off, toks, row_starts, n_toks, keep
+
+
+def _hash_shingles(shingles: list[str]) -> np.ndarray:
+    """(n, MINHASH_SEEDS) uint64 permuted hashes — identical arithmetic to
+    functions/dedup._signatures_from_pairs and the HUGEINT SQL."""
+    n = len(shingles)
+    buf = bytearray(n * 8)
+    mv = memoryview(buf)
+    for u, sh in enumerate(shingles):
+        mv[u * 8 : u * 8 + 8] = hashlib.md5(sh.encode()).digest()[:8]
+    base = np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+    with np.errstate(over="ignore"):
+        return base[:, None] * _MH_A[None, :] + _MH_B[None, :]
+
+
+_U64_MAX = np.iinfo(np.uint64).max
+
+
+def _mh_chunk_partial(batch: pa.Table) -> pa.Table:
+    """Per-chunk-row MinHash partial: internal-window per-seed minima +
+    boundary tokens (all tokens when the chunk holds <= 4)."""
+    doc_ids, chunk_off, toks, row_starts, n_toks, keep = _chunk_text_tokens(
+        batch
+    )
+    n_rows = len(n_toks)
+    # internal windows: token triples not crossing a row boundary
+    shingles: list[str] = []
+    win_rows: list[int] = []
+    for r in range(n_rows):
+        lo, hi = row_starts[r], row_starts[r + 1]
+        for g in range(lo, hi - SHINGLE_N + 1):
+            shingles.append(" ".join(toks[g : g + SHINGLE_N]))
+            win_rows.append(r)
+    minima = np.full((n_rows, MINHASH_SEEDS), _U64_MAX, dtype=np.uint64)
+    if shingles:
+        uniq, inv = np.unique(np.asarray(shingles, dtype=object), return_inverse=True)
+        vals = _hash_shingles(uniq.tolist())
+        np.minimum.at(minima, np.asarray(win_rows), vals[inv])
+    btoks = []
+    for r in range(n_rows):
+        lo, hi = row_starts[r], row_starts[r + 1]
+        n = hi - lo
+        if n <= 4:
+            btoks.append(toks[lo:hi].tolist())
+        else:
+            btoks.append([toks[lo], toks[lo + 1], toks[hi - 2], toks[hi - 1]])
+    k = np.flatnonzero(keep)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[k], type=pa.int64()),
+            "chunk_off": pa.array(chunk_off[k], type=pa.int64()),
+            "n_toks": pa.array(n_toks[k], type=pa.int64()),
+            "btoks": pa.array([btoks[r] for r in k], type=pa.list_(pa.string())),
+            "minima": pa.array(
+                [minima[r].tolist() for r in k], type=pa.list_(pa.uint64())
+            ),
+        }
+    )
+
+
+def _mh_combine_doc(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc combine of chunk partials: min over chunk minima, plus the
+    hashes of boundary-straddling shingles rebuilt from exchanged tokens
+    (and the whole-text fallback shingle when the doc has < SHINGLE_N
+    tokens, matching the flat path / SQL)."""
+    df = df.sort_values("chunk_off")
+    ns = df["n_toks"].to_numpy().astype(np.int64)
+    base = np.zeros(len(ns) + 1, dtype=np.int64)
+    np.cumsum(ns, out=base[1:])
+    n = int(base[-1])
+    gpos: dict[int, str] = {}
+    for c, (nt, bt) in enumerate(zip(ns, df["btoks"])):
+        bt = list(bt)
+        pos = range(nt) if nt <= 4 else (0, 1, nt - 2, nt - 1)
+        for p, t in zip(pos, bt):
+            gpos[int(base[c]) + p] = t
+    sig = np.full(MINHASH_SEEDS, _U64_MAX, dtype=np.uint64)
+    if n < SHINGLE_N:
+        extra = [" ".join(gpos[g] for g in range(n))]
+    else:
+        mins = np.stack(
+            [np.asarray(m, dtype=np.uint64) for m in df["minima"]]
+        )
+        sig = mins.min(axis=0)
+        js = sorted(
+            {
+                j
+                for p in base[1:-1]
+                for j in (int(p) - 2, int(p) - 1)
+                if 0 <= j <= n - SHINGLE_N
+            }
+        )
+        extra = [
+            " ".join(gpos[j + k] for k in range(SHINGLE_N)) for j in js
+        ]
+    if extra:
+        sig = np.minimum(sig, _hash_shingles(extra).min(axis=0))
+    keys = [
+        hashlib.md5(
+            "|".join(
+                str(int(v)) for v in sig[b * BAND_SIZE : (b + 1) * BAND_SIZE]
+            ).encode()
+        ).hexdigest()
+        for b in range(N_BANDS)
+    ]
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(df["doc_id"].iloc[0], N_BANDS).astype(np.int64),
+            "band": np.arange(N_BANDS, dtype=np.int64),
+            "band_key": keys,
+        }
+    )
+
+
+def q_minhash_bands_spans(sf_dir: str):
+    return (
+        _capped_spans(sf_dir)
+        .map_batches(_mh_chunk_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("doc_id")
+        .map_groups(_mh_combine_doc, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality counters FROM the nested spans layout. Sums
+# (n_tokens, total_token_len, n_stopword) are addition-combinable; the
+# immediate-repetition counter is NOT (a repeat pair can straddle a chunk
+# boundary), so each chunk also exchanges its first/last token and the
+# per-doc combine counts boundary repeats between consecutive chunks.
+# Reuses the flat quality_stats oracle verbatim.
+# ---------------------------------------------------------------------------
+
+
+def _quality_chunk_partial(batch: pa.Table) -> pa.Table:
+    doc_ids, chunk_off, toks, row_starts, n_toks, keep = _chunk_text_tokens(
+        batch
+    )
+    n_rows = len(n_toks)
+    tok_rows = np.repeat(np.arange(n_rows, dtype=np.int64), n_toks)
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                       count=len(toks))
+    total_len = np.bincount(tok_rows, weights=lens, minlength=n_rows).astype(
+        np.int64
+    )
+    stop = np.isin(toks.astype(str), QUALITY_STOPWORDS)
+    n_stop = np.bincount(tok_rows[stop], minlength=n_rows).astype(np.int64)
+    # internal immediate repeats (token == predecessor within the chunk)
+    rep = np.zeros(n_rows, dtype=np.int64)
+    if len(toks) > 1:
+        same = (toks[1:] == toks[:-1]) & (tok_rows[1:] == tok_rows[:-1])
+        np.add.at(rep, tok_rows[1:][same], 1)
+    first = np.empty(n_rows, dtype=object)
+    last = np.empty(n_rows, dtype=object)
+    for r in range(n_rows):
+        lo, hi = row_starts[r], row_starts[r + 1]
+        if hi > lo:
+            first[r], last[r] = toks[lo], toks[hi - 1]
+    k = np.flatnonzero(keep)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[k], type=pa.int64()),
+            "chunk_off": pa.array(chunk_off[k], type=pa.int64()),
+            "n_tokens": pa.array(n_toks[k], type=pa.int64()),
+            "total_token_len": pa.array(total_len[k], type=pa.int64()),
+            "n_stopword": pa.array(n_stop[k], type=pa.int64()),
+            "n_repeat": pa.array(rep[k], type=pa.int64()),
+            "first_tok": pa.array(first[k].tolist(), type=pa.string()),
+            "last_tok": pa.array(last[k].tolist(), type=pa.string()),
+        }
+    )
+
+
+def _quality_combine_doc(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values("chunk_off")
+    n_rep = int(df["n_repeat"].sum())
+    lasts = df["last_tok"].to_numpy()
+    firsts = df["first_tok"].to_numpy()
+    if len(df) > 1:
+        n_rep += int((lasts[:-1] == firsts[1:]).sum())
+    return pd.DataFrame(
+        {
+            "doc_id": [int(df["doc_id"].iloc[0])],
+            "n_tokens": [int(df["n_tokens"].sum())],
+            "total_token_len": [int(df["total_token_len"].sum())],
+            "n_stopword": [int(df["n_stopword"].sum())],
+            "n_repeat": [n_rep],
+        }
+    )
+
+
+def q_quality_stats_spans(sf_dir: str):
+    return (
+        _capped_spans(sf_dir)
+        .map_batches(_quality_chunk_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("doc_id")
+        .map_groups(_quality_combine_doc, batch_format="pandas")
+    )
+
+
+def _register_shared_oracle_variants() -> None:
+    """Register the two chunk-exact spans-native queries under the SAME
+    oracles as their flat counterparts (imported lazily to avoid a module
+    cycle at registry load time)."""
+    from .queries_dedup import _MINHASH_BANDS_SQL
+    from .queries_text import _QUALITY_SQL
+
+    query("minhash_bands_spans", _MINHASH_BANDS_SQL)(q_minhash_bands_spans)
+    query("quality_stats_spans", _QUALITY_SQL)(q_quality_stats_spans)
+
+
+_register_shared_oracle_variants()

@@ -1,0 +1,115 @@
+"""Chunk-exactness of the spans-native MinHash / quality queries.
+
+The claim under test: for ANY span cap (including pathological caps that
+slice documents into 1-2-token chunks, where a 3-shingle can straddle three
+chunks), the boundary-token exchange reconstructs EXACTLY the shingle /
+adjacency universe of the unchunked document — per-seed minima, band keys,
+and repeat counters are byte-identical to the flat path's.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocr_machine_ray.corpus import derive_spans_batch
+from ocr_machine_ray.functions.dedup import minhash_bands_batch
+from ocr_machine_ray.functions.text import quality_stats_batch
+from ocr_machine_ray.pipelines.queries_spans_native import (
+    _mh_chunk_partial,
+    _mh_combine_doc,
+    _quality_chunk_partial,
+    _quality_combine_doc,
+)
+from ocr_machine_ray.stages.skew import cap_spans_per_row
+
+# token streams chosen to hit every boundary case: repeats at chunk edges,
+# docs below the 3-token shingle fallback, stopwords, single-char tokens,
+# and streams long enough to cross the media-span interleave (every 10th)
+_DOCS = pd.DataFrame(
+    {
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "a a a a a a a a a a a a a a",  # all-repeat, media span mid-run
+            "one two",  # below SHINGLE_N: whole-text fallback shingle
+            "solo",  # single token
+            "x y z",  # exactly SHINGLE_N
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon",
+            "edge edge mid mid mid edge edge",  # repeats at cap boundaries
+            "the a the a the a the a the a the",  # stopwords everywhere
+        ],
+    }
+)
+
+
+def _spans_table() -> pa.Table:
+    return derive_spans_batch(pa.Table.from_pandas(_DOCS))
+
+
+def _combine(partial: pa.Table, combiner) -> pd.DataFrame:
+    df = partial.to_pandas()
+    out = pd.concat(
+        [combiner(g) for _, g in df.groupby("doc_id", sort=True)],
+        ignore_index=True,
+    )
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("cap", [1, 2, 3, 5, 7, 1000])
+def test_minhash_bands_chunk_exact(cap):
+    capped = cap_spans_per_row(_spans_table(), cap)
+    got = _combine(_mh_chunk_partial(capped), _mh_combine_doc)
+    want = (
+        minhash_bands_batch(pa.Table.from_pandas(_DOCS))
+        .to_pandas()
+        .sort_values(["doc_id", "band", "band_key"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values(["doc_id", "band", "band_key"]).reset_index(
+            drop=True
+        ),
+        want,
+        check_dtype=False,
+    )
+
+
+@pytest.mark.parametrize("cap", [1, 2, 3, 5, 7, 1000])
+def test_quality_stats_chunk_exact(cap):
+    capped = cap_spans_per_row(_spans_table(), cap)
+    got = _combine(_quality_chunk_partial(capped), _quality_combine_doc)
+    want = (
+        quality_stats_batch(pa.Table.from_pandas(_DOCS))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True)[want.columns],
+        want,
+        check_dtype=False,
+    )
+
+
+def test_partial_batch_splits_do_not_matter():
+    """Partials computed from ONE batch of all chunk rows equal partials
+    from per-row batches (the map_batches boundary is invisible)."""
+    capped = cap_spans_per_row(_spans_table(), 3)
+    whole = _mh_chunk_partial(capped).to_pandas()
+    pieces = pd.concat(
+        [
+            _mh_chunk_partial(capped.slice(i, 1)).to_pandas()
+            for i in range(capped.num_rows)
+        ],
+        ignore_index=True,
+    )
+    key = ["doc_id", "chunk_off"]
+    pd.testing.assert_frame_equal(
+        whole.sort_values(key).reset_index(drop=True),
+        pieces.sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )
