@@ -137,6 +137,9 @@ BENCH_QUERIES = [
     "unigram_tokenize",
     "page_compress_jpeg",
     "zone_map_prune_scan",
+    # round-4 continuation (chunk-exact spans-native variants)
+    "minhash_bands_spans",
+    "quality_stats_spans",
 ]
 
 

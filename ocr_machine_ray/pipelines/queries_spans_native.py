@@ -25,6 +25,7 @@ from ..functions.dedup import (
     N_BANDS,
     SHINGLE_N,
 )
+from ..functions.malloc_tuning import tune_malloc
 from ..functions.text import QUALITY_STOPWORDS
 from ..registry import query
 from ..sources.readers import read_spans_corpus
@@ -229,6 +230,7 @@ def _chunk_text_tokens(batch: pa.Table):
     the corpus emits at least one text span per non-null document, so a
     zero-text chunk can only be a media-only tail slice).
     """
+    tune_malloc()  # token/shingle hot path: keep freed numpy buffers mapped
     spans = batch["spans"]
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
@@ -279,18 +281,22 @@ def _mh_chunk_partial(batch: pa.Table) -> pa.Table:
     )
     n_rows = len(n_toks)
     # internal windows: token triples not crossing a row boundary
-    shingles: list[str] = []
-    win_rows: list[int] = []
-    for r in range(n_rows):
-        lo, hi = row_starts[r], row_starts[r + 1]
-        for g in range(lo, hi - SHINGLE_N + 1):
-            shingles.append(" ".join(toks[g : g + SHINGLE_N]))
-            win_rows.append(r)
+    # (vectorized: a window starting at flat position g stays inside its
+    # row iff tokens g and g+2 belong to the same row)
+    tok_rows = np.repeat(np.arange(n_rows, dtype=np.int64), n_toks)
     minima = np.full((n_rows, MINHASH_SEEDS), _U64_MAX, dtype=np.uint64)
-    if shingles:
-        uniq, inv = np.unique(np.asarray(shingles, dtype=object), return_inverse=True)
-        vals = _hash_shingles(uniq.tolist())
-        np.minimum.at(minima, np.asarray(win_rows), vals[inv])
+    if len(toks) >= SHINGLE_N:
+        valid = np.flatnonzero(tok_rows[: -(SHINGLE_N - 1)]
+                               == tok_rows[SHINGLE_N - 1 :])
+        shingles = [
+            f"{toks[g]} {toks[g + 1]} {toks[g + 2]}" for g in valid
+        ]
+        if shingles:
+            uniq, inv = np.unique(
+                np.asarray(shingles, dtype=object), return_inverse=True
+            )
+            vals = _hash_shingles(uniq.tolist())
+            np.minimum.at(minima, tok_rows[valid], vals[inv])
     btoks = []
     for r in range(n_rows):
         lo, hi = row_starts[r], row_starts[r + 1]
