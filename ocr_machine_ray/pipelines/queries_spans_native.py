@@ -319,12 +319,12 @@ def _mh_chunk_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def _mh_combine_doc(df: pd.DataFrame) -> pd.DataFrame:
-    """Per-doc combine of chunk partials: min over chunk minima, plus the
-    hashes of boundary-straddling shingles rebuilt from exchanged tokens
-    (and the whole-text fallback shingle when the doc has < SHINGLE_N
-    tokens, matching the flat path / SQL)."""
-    df = df.sort_values("chunk_off")
+def _doc_boundary_state(df: pd.DataFrame):
+    """Shared combine-side machinery: from a doc's sorted chunk partials
+    (n_toks, btoks) reconstruct total token count ``n``, chunk base
+    positions, and the sparse global-position -> token map of exchanged
+    boundary tokens (every token within SHINGLE_N-1 of a chunk edge is in
+    the map by construction)."""
     ns = df["n_toks"].to_numpy().astype(np.int64)
     base = np.zeros(len(ns) + 1, dtype=np.int64)
     np.cumsum(ns, out=base[1:])
@@ -335,6 +335,31 @@ def _mh_combine_doc(df: pd.DataFrame) -> pd.DataFrame:
         pos = range(nt) if nt <= 4 else (0, 1, nt - 2, nt - 1)
         for p, t in zip(pos, bt):
             gpos[int(base[c]) + p] = t
+    return n, base, gpos
+
+
+def _straddle_shingles(n: int, base: np.ndarray, gpos: dict) -> list[str]:
+    """The shingles whose 3-token window crosses a chunk boundary: window
+    start j sees boundary p iff j in {p-2, p-1} (clipped to valid starts);
+    all needed tokens are in the exchanged-boundary map."""
+    js = sorted(
+        {
+            j
+            for p in base[1:-1]
+            for j in (int(p) - 2, int(p) - 1)
+            if 0 <= j <= n - SHINGLE_N
+        }
+    )
+    return [" ".join(gpos[j + k] for k in range(SHINGLE_N)) for j in js]
+
+
+def _mh_combine_doc(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc combine of chunk partials: min over chunk minima, plus the
+    hashes of boundary-straddling shingles rebuilt from exchanged tokens
+    (and the whole-text fallback shingle when the doc has < SHINGLE_N
+    tokens, matching the flat path / SQL)."""
+    df = df.sort_values("chunk_off")
+    n, base, gpos = _doc_boundary_state(df)
     sig = np.full(MINHASH_SEEDS, _U64_MAX, dtype=np.uint64)
     if n < SHINGLE_N:
         extra = [" ".join(gpos[g] for g in range(n))]
@@ -343,17 +368,7 @@ def _mh_combine_doc(df: pd.DataFrame) -> pd.DataFrame:
             [np.asarray(m, dtype=np.uint64) for m in df["minima"]]
         )
         sig = mins.min(axis=0)
-        js = sorted(
-            {
-                j
-                for p in base[1:-1]
-                for j in (int(p) - 2, int(p) - 1)
-                if 0 <= j <= n - SHINGLE_N
-            }
-        )
-        extra = [
-            " ".join(gpos[j + k] for k in range(SHINGLE_N)) for j in js
-        ]
+        extra = _straddle_shingles(n, base, gpos)
     if extra:
         sig = np.minimum(sig, _hash_shingles(extra).min(axis=0))
     keys = [
@@ -472,3 +487,189 @@ def _register_shared_oracle_variants() -> None:
 
 
 _register_shared_oracle_variants()
+
+
+# ---------------------------------------------------------------------------
+# Decontamination FROM the nested spans layout — third family on the
+# boundary-exchange pattern. The flat `decontaminate` counts every 3-gram
+# OCCURRENCE of a training doc that appears in the benchmark gram set;
+# occurrence counts are addition-combinable, so each chunk row counts its
+# INTERNAL matched windows against the broadcast benchmark set and
+# exchanges boundary tokens; the per-doc combine rebuilds the (<= 2 per
+# boundary) straddling grams, and a final vectorized stage scores them
+# against the same broadcast set — no chunk text ever re-joins. The
+# benchmark side (1/_BENCH_MOD of docs) is itself assembled chunk-exactly:
+# per-chunk internal grams + straddle grams from the same combine
+# machinery. Reuses the flat oracle verbatim.
+# ---------------------------------------------------------------------------
+
+
+def _internal_grams(toks: np.ndarray, n_toks: np.ndarray):
+    """(grams list, owning row array) for windows fully inside a chunk."""
+    n_rows = len(n_toks)
+    tok_rows = np.repeat(np.arange(n_rows, dtype=np.int64), n_toks)
+    if len(toks) < SHINGLE_N:
+        return [], np.empty(0, dtype=np.int64)
+    valid = np.flatnonzero(
+        tok_rows[: -(SHINGLE_N - 1)] == tok_rows[SHINGLE_N - 1 :]
+    )
+    grams = [f"{toks[g]} {toks[g + 1]} {toks[g + 2]}" for g in valid]
+    return grams, tok_rows[valid]
+
+
+def _boundary_cols(toks: np.ndarray, row_starts: np.ndarray) -> list:
+    """Per-chunk exchanged boundary tokens (all when the chunk has <= 4)."""
+    out = []
+    for r in range(len(row_starts) - 1):
+        lo, hi = row_starts[r], row_starts[r + 1]
+        n = hi - lo
+        if n <= 4:
+            out.append(toks[lo:hi].tolist())
+        else:
+            out.append([toks[lo], toks[lo + 1], toks[hi - 2], toks[hi - 1]])
+    return out
+
+
+def q_decontaminate_spans(sf_dir: str):
+    import pyarrow.compute as pc
+    import ray
+
+    from .queries_text import _BENCH_MOD
+
+    bench_mod = _BENCH_MOD
+    capped = _capped_spans(sf_dir)
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % bench_mod == 0))
+        doc_ids, chunk_off, toks, row_starts, n_toks, keep = (
+            _chunk_text_tokens(sub)
+        )
+        grams, gram_rows = _internal_grams(toks, n_toks)
+        per_row = [[] for _ in range(len(n_toks))]
+        for g, r in zip(grams, gram_rows):
+            per_row[r].append(g)
+        k = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[k], type=pa.int64()),
+                "chunk_off": pa.array(chunk_off[k], type=pa.int64()),
+                "n_toks": pa.array(n_toks[k], type=pa.int64()),
+                "btoks": pa.array(
+                    _boundary_cols(toks, row_starts), type=pa.list_(pa.string())
+                ).take(pa.array(k)),
+                "grams": pa.array(
+                    [per_row[r] for r in k], type=pa.list_(pa.string())
+                ),
+            }
+        )
+
+    def bench_combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("chunk_off")
+        n, base, gpos = _doc_boundary_state(df)
+        grams: set[str] = set()
+        for g in df["grams"]:
+            grams.update(list(g))
+        if n >= SHINGLE_N:
+            grams.update(_straddle_shingles(n, base, gpos))
+        return pd.DataFrame({"gram": sorted(grams)})
+
+    # small side (1/bench_mod of the corpus): distinct grams, chunk-exact,
+    # deduped per doc then once on the driver before the broadcast
+    gram_rows = (
+        capped.map_batches(bench_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("doc_id")
+        .map_groups(bench_combine, batch_format="pandas")
+        .take_all()
+    )
+    bench = pa.array(
+        np.unique(np.array([r["gram"] for r in gram_rows], dtype=object)),
+        type=pa.string(),
+    )
+    ref = ray.put(bench)
+
+    # plain task fns closing over the broadcast ref (ray.get per task is a
+    # zero-copy plasma read): an actor pool here would swallow the fused
+    # synthesis chain at pool width — the fusion-collapse trap — while a
+    # task map keeps the whole chain at session width
+    def internal_hits(batch: pa.Table) -> pa.Table:
+        bench_set = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % bench_mod != 0))
+        doc_ids, chunk_off, toks, row_starts, n_toks, keep = (
+            _chunk_text_tokens(sub)
+        )
+        grams, gram_rows = _internal_grams(toks, n_toks)
+        hits = np.zeros(len(n_toks), dtype=np.int64)
+        if grams:
+            hit = pc.is_in(
+                pa.array(grams, type=pa.string()), value_set=bench_set
+            ).to_numpy(zero_copy_only=False)
+            np.add.at(hits, gram_rows[hit], 1)
+        # token-bearing chunk rows only: the corpus guarantees >=1 token
+        # per doc, so every doc keeps at least one row (LEFT-JOIN shape)
+        k = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[k], type=pa.int64()),
+                "chunk_off": pa.array(chunk_off[k], type=pa.int64()),
+                "n_toks": pa.array(n_toks[k], type=pa.int64()),
+                "btoks": pa.array(
+                    _boundary_cols(toks, row_starts),
+                    type=pa.list_(pa.string()),
+                ).take(pa.array(k)),
+                "n_internal": pa.array(hits[k], type=pa.int64()),
+            }
+        )
+
+    def decon_combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("chunk_off")
+        n, base, gpos = _doc_boundary_state(df)
+        straddle = (
+            _straddle_shingles(n, base, gpos) if n >= SHINGLE_N else []
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": [int(df["doc_id"].iloc[0])],
+                "n_internal": [int(df["n_internal"].sum())],
+                "straddle": [straddle],
+            }
+        )
+
+    def straddle_hits(batch: pd.DataFrame) -> pd.DataFrame:
+        bench_set = ray.get(ref)
+        lens = batch["straddle"].map(len).to_numpy(dtype=np.int64)
+        flat = [g for lst in batch["straddle"] for g in lst]
+        extra = np.zeros(len(batch), dtype=np.int64)
+        if flat:
+            hit = pc.is_in(
+                pa.array(flat, type=pa.string()), value_set=bench_set
+            ).to_numpy(zero_copy_only=False)
+            rows = np.repeat(np.arange(len(batch)), lens)
+            np.add.at(extra, rows[hit], 1)
+        n = batch["n_internal"].to_numpy(dtype=np.int64) + extra
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_matched": n,
+                "contaminated": n > 0,
+            }
+        )
+
+    return (
+        capped.map_batches(internal_hits, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("doc_id")
+        .map_groups(decon_combine, batch_format="pandas")
+        .map_batches(straddle_hits, batch_format="pandas")
+    )
+
+
+def _register_decontaminate_spans() -> None:
+    from .queries_text import _DECONTAM_SQL
+
+    query("decontaminate_spans", _DECONTAM_SQL)(q_decontaminate_spans)
+
+
+_register_decontaminate_spans()

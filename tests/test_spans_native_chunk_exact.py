@@ -113,3 +113,52 @@ def test_partial_batch_splits_do_not_matter():
         pieces.sort_values(key).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+@pytest.mark.parametrize("cap", [1, 2, 3, 5, 1000])
+def test_window_partition_invariant(cap):
+    """Internal windows + boundary-straddling windows partition the doc's
+    full 3-gram window set exactly (no loss, no double count) — the
+    invariant decontaminate_spans' occurrence accounting rests on."""
+    from ocr_machine_ray.pipelines.queries_spans_native import (
+        _boundary_cols,
+        _chunk_text_tokens,
+        _doc_boundary_state,
+        _internal_grams,
+        _straddle_shingles,
+    )
+
+    capped = cap_spans_per_row(_spans_table(), cap)
+    doc_ids, chunk_off, toks, row_starts, n_toks, keep = _chunk_text_tokens(
+        capped
+    )
+    grams, gram_rows = _internal_grams(toks, n_toks)
+    k = np.flatnonzero(keep)
+    bcols = _boundary_cols(toks, row_starts)
+    df = pd.DataFrame(
+        {
+            "doc_id": doc_ids[k],
+            "chunk_off": chunk_off[k],
+            "n_toks": n_toks[k],
+            "btoks": [bcols[r] for r in k],
+        }
+    )
+    internal_by_doc: dict[int, list] = {}
+    for g, r in zip(grams, gram_rows):
+        internal_by_doc.setdefault(int(doc_ids[r]), []).append(g)
+
+    from ocr_machine_ray.corpus import FlatTokens
+
+    ft = FlatTokens(pa.Table.from_pandas(_DOCS))
+    all_toks = np.asarray(ft.tokens_arrow.to_pylist(), dtype=object)
+    for doc_id, g in df.groupby("doc_id", sort=True):
+        g = g.sort_values("chunk_off")
+        n, base, gpos = _doc_boundary_state(g)
+        straddle = _straddle_shingles(n, base, gpos) if n >= 3 else []
+        got = sorted(internal_by_doc.get(int(doc_id), []) + straddle)
+        dtoks = all_toks[ft.doc_ids == doc_id]
+        want = sorted(
+            f"{dtoks[j]} {dtoks[j + 1]} {dtoks[j + 2]}"
+            for j in range(len(dtoks) - 2)
+        )
+        assert got == want, (doc_id, cap)
