@@ -137,9 +137,11 @@ BENCH_QUERIES = [
     "unigram_tokenize",
     "page_compress_jpeg",
     "zone_map_prune_scan",
-    # round-4 continuation (chunk-exact spans-native variants)
+    # round-4 continuation (chunk-exact spans-native variants + mining)
     "minhash_bands_spans",
     "quality_stats_spans",
+    "decontaminate_spans",
+    "bitext_mine",
 ]
 
 

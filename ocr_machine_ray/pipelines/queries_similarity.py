@@ -1214,3 +1214,236 @@ def q_ann_topk_pq(sf_dir: str):
     return partials.groupby("query_id").map_groups(
         lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (the CCMatrix/LASER shape): two embedding
+# sets ("languages" — vec_id parity here), mined pairs are the
+# mutual-best matches under the RATIO margin
+#   margin(x, y) = cos(x, y) / ((avgtopk(x->TGT) + avgtopk(y->SRC)) / 2)
+# which normalizes away hubness (a vector close to everything scores no
+# pair highly). Baseline is brute-force with the TGT matrix broadcast
+# (ray.put once, read per actor/task) exactly like ann_topk; the IVF/LSH
+# variants above are the documented scale path for the candidate step.
+# Both directions stream their side once; the mutual-best check is ONE
+# groupby(tid) over forward winners + per-batch backward partials (no
+# driver-side join).
+# ---------------------------------------------------------------------------
+_BITEXT_K = 4
+
+_BITEXT_SQL = f"""
+WITH src AS (
+  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+tgt AS (
+  SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+c AS (
+  SELECT sid, tid, list_cosine_similarity(src.e, tgt.e) AS cs
+  FROM src CROSS JOIN tgt
+),
+ax AS (
+  SELECT sid, avg(cs) AS a FROM (
+    SELECT sid, cs,
+           row_number() OVER (PARTITION BY sid ORDER BY cs DESC, tid) AS rn
+    FROM c) t WHERE rn <= {_BITEXT_K} GROUP BY sid
+),
+ay AS (
+  SELECT tid, avg(cs) AS a FROM (
+    SELECT tid, cs,
+           row_number() OVER (PARTITION BY tid ORDER BY cs DESC, sid) AS rn
+    FROM c) t WHERE rn <= {_BITEXT_K} GROUP BY tid
+),
+m AS (
+  SELECT c.sid, c.tid, c.cs / ((ax.a + ay.a) / 2) AS margin
+  FROM c JOIN ax USING (sid) JOIN ay USING (tid)
+),
+fwd AS (
+  SELECT sid, tid, margin,
+         row_number() OVER (PARTITION BY sid
+                            ORDER BY margin DESC, tid) AS rn
+  FROM m
+),
+bwd AS (
+  SELECT sid, tid,
+         row_number() OVER (PARTITION BY tid
+                            ORDER BY margin DESC, sid) AS rn
+  FROM m
+)
+SELECT f.sid AS src_id, f.tid AS tgt_id
+FROM fwd f JOIN bwd b ON b.sid = f.sid AND b.tid = f.tid
+WHERE f.rn = 1 AND b.rn = 1
+"""
+
+
+def _normed(M: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.where(norms == 0, 1.0, norms)
+
+
+def _load_parity_side(sf_dir: str, parity: int):
+    """Driver-side load of ONE parity class (the broadcast side; the other
+    side streams). Column-pruned read; vectors sorted by vec_id so that
+    argmax tie-breaks resolve to the lowest id, matching the SQL."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = ids % 2 == parity
+    ids = ids[sel]
+    if len(ids) == 0:
+        return ids, np.empty((0, EMB_DIM), dtype=np.float64)
+    M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[sel]).astype(
+        np.float64
+    )
+    order = np.argsort(ids)
+    return ids[order], _normed(M[order])
+
+
+def _topk_mean(S: np.ndarray, k: int) -> np.ndarray:
+    """Row-wise mean of the k largest entries (k clipped to width)."""
+    k = min(k, S.shape[1])
+    if k == S.shape[1]:
+        return S.mean(axis=1)
+    part = np.partition(S, S.shape[1] - k, axis=1)[:, -k:]
+    return part.mean(axis=1)
+
+
+@query("bitext_mine", _BITEXT_SQL)
+def q_bitext_mine(sf_dir: str):
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from .extraction import parquet_num_rows
+
+    def empty():
+        return pa.table(
+            {
+                "src_id": pa.array([], type=pa.int64()),
+                "tgt_id": pa.array([], type=pa.int64()),
+            }
+        )
+
+    if parquet_num_rows(sf_dir, "embeddings") == 0:
+        return empty()
+    s_ids, Sn = _load_parity_side(sf_dir, 0)
+    t_ids, Tn = _load_parity_side(sf_dir, 1)
+    if len(s_ids) == 0 or len(t_ids) == 0:
+        return empty()
+    src_ref = ray.put((s_ids, Sn))
+    tgt_ref = ray.put((t_ids, Tn))
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def batch_side(batch: pa.Table, parity: int):
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % 2 == parity
+        ids = ids[sel]
+        if len(ids) == 0:
+            return ids, None
+        M = np.stack(
+            batch["embedding"].to_numpy(zero_copy_only=False)[sel]
+        ).astype(np.float64)
+        order = np.argsort(ids)  # lowest-id-first for argmax tie-breaks
+        return ids[order], _normed(M[order])
+
+    # pass 1: stream TGT against the broadcast SRC -> avg-top-k per tgt
+    def ay_partial(batch: pa.Table) -> pa.Table:
+        ids, Yn = batch_side(batch, 1)
+        if Yn is None:
+            return pa.table(
+                {
+                    "tid": pa.array([], type=pa.int64()),
+                    "ay": pa.array([], type=pa.float64()),
+                }
+            )
+        _, Sn_b = ray.get(src_ref)
+        a = _topk_mean(Yn @ Sn_b.T, _BITEXT_K)
+        return pa.table(
+            {
+                "tid": pa.array(ids, type=pa.int64()),
+                "ay": pa.array(a, type=pa.float64()),
+            }
+        )
+
+    ay_rows = emb.map_batches(
+        ay_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    ay = np.empty(len(t_ids), dtype=np.float64)
+    pos = {int(v): i for i, v in enumerate(t_ids)}
+    for r in ay_rows:
+        ay[pos[int(r["tid"])]] = r["ay"]
+    ay_ref = ray.put(ay)
+
+    # pass 2: stream SRC against the broadcast TGT; per src row the
+    # forward winner, per tgt column a backward PARTIAL winner
+    def margin_partial(batch: pa.Table) -> pa.Table:
+        ids, Xn = batch_side(batch, 0)
+        cols = {
+            "kind": pa.array([], type=pa.int8()),
+            "sid": pa.array([], type=pa.int64()),
+            "tid": pa.array([], type=pa.int64()),
+            "margin": pa.array([], type=pa.float64()),
+        }
+        if Xn is None:
+            return pa.table(cols)
+        tg_ids, Tn_b = ray.get(tgt_ref)
+        ay_b = ray.get(ay_ref)
+        S = Xn @ Tn_b.T  # (nx, nt)
+        ax = _topk_mean(S, _BITEXT_K)
+        M = S / ((ax[:, None] + ay_b[None, :]) / 2.0)
+        fj = np.argmax(M, axis=1)  # ties -> first = lowest tid
+        bi = np.argmax(M, axis=0)  # ties -> first = lowest sid
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(len(ids), dtype=np.int8),
+                            np.ones(len(tg_ids), dtype=np.int8),
+                        ]
+                    )
+                ),
+                "sid": pa.array(
+                    np.concatenate([ids, ids[bi]]), type=pa.int64()
+                ),
+                "tid": pa.array(
+                    np.concatenate([tg_ids[fj], tg_ids]), type=pa.int64()
+                ),
+                "margin": pa.array(
+                    np.concatenate(
+                        [M[np.arange(len(ids)), fj], M[bi, np.arange(len(tg_ids))]]
+                    ),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    def mutual_best(g: pd.DataFrame) -> pd.DataFrame:
+        bwd = g[g["kind"] == 1].sort_values(
+            ["margin", "sid"], ascending=[False, True]
+        )
+        if len(bwd) == 0:
+            return pd.DataFrame({"src_id": [], "tgt_id": []})
+        winner = int(bwd["sid"].iloc[0])
+        fwd = g[(g["kind"] == 0) & (g["sid"] == winner)]
+        return pd.DataFrame(
+            {
+                "src_id": fwd["sid"].astype(np.int64),
+                "tgt_id": fwd["tid"].astype(np.int64),
+            }
+        )
+
+    return (
+        emb.map_batches(
+            margin_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("tid")
+        .map_groups(mutual_best, batch_format="pandas")
+    )

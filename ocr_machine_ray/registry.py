@@ -54,6 +54,8 @@ _SAMPLE_PRIORITY = [
     # round-4 additions (also never driver-sampled)
     "token_freq_spans", "dsir_resample", "audio_spectrogram",
     "interleaved_pairs", "merge_upsert", "psi_drift",
+    "minhash_bands_spans", "quality_stats_spans", "decontaminate_spans",
+    "bitext_mine",
 ]
 
 
