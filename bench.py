@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "quality_stats_spans",
     "decontaminate_spans",
     "bitext_mine",
+    "curation_pipeline_spans",
 ]
 
 

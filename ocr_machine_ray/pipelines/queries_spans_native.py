@@ -16,7 +16,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..corpus import SQL_ALL_SPANS
+from ..corpus import (
+    CATEGORY_MIN_COUNT,
+    DIAGRAM_TOKEN,
+    SQL_ALL_SPANS,
+    SQL_CATEGORY,
+    TABLE_TOKEN,
+)
 from ..functions.dedup import (
     _MH_A,
     _MH_B,
@@ -223,12 +229,14 @@ def _chunk_text_tokens(batch: pa.Table):
     """Flatten a capped-spans batch to per-chunk-row text-token segments.
 
     Returns (doc_id_per_row, chunk_off_per_row, tokens object array,
-    row_starts) where row_starts[k]..row_starts[k+1] indexes row k's text
-    tokens in offset order (the nested layout is offset-ordered by
-    construction — corpus.derive_spans_batch scatters to dense positions).
-    Rows with zero text spans are dropped (they carry no token adjacency:
-    the corpus emits at least one text span per non-null document, so a
-    zero-text chunk can only be a media-only tail slice).
+    row_starts, n_toks, keep, t_off) where row_starts[k]..row_starts[k+1]
+    indexes row k's text tokens in offset order (the nested layout is
+    offset-ordered by construction — corpus.derive_spans_batch scatters to
+    dense positions) and ``t_off`` carries each token's absolute span
+    offset. Rows with zero text spans are flagged false in ``keep`` (they
+    carry no token adjacency: the corpus emits at least one text span per
+    non-null document, so a zero-text chunk can only be a media-only tail
+    slice).
     """
     tune_malloc()  # token/shingle hot path: keep freed numpy buffers mapped
     spans = batch["spans"]
@@ -254,7 +262,7 @@ def _chunk_text_tokens(batch: pa.Table):
     if len(t_off):
         np.minimum.at(chunk_off, t_rows, t_off)
     keep = n_toks > 0
-    return doc_ids, chunk_off, toks, row_starts, n_toks, keep
+    return doc_ids, chunk_off, toks, row_starts, n_toks, keep, t_off
 
 
 def _hash_shingles(shingles: list[str]) -> np.ndarray:
@@ -276,7 +284,7 @@ _U64_MAX = np.iinfo(np.uint64).max
 def _mh_chunk_partial(batch: pa.Table) -> pa.Table:
     """Per-chunk-row MinHash partial: internal-window per-seed minima +
     boundary tokens (all tokens when the chunk holds <= 4)."""
-    doc_ids, chunk_off, toks, row_starts, n_toks, keep = _chunk_text_tokens(
+    doc_ids, chunk_off, toks, row_starts, n_toks, keep, _ = _chunk_text_tokens(
         batch
     )
     n_rows = len(n_toks)
@@ -409,7 +417,7 @@ def q_minhash_bands_spans(sf_dir: str):
 
 
 def _quality_chunk_partial(batch: pa.Table) -> pa.Table:
-    doc_ids, chunk_off, toks, row_starts, n_toks, keep = _chunk_text_tokens(
+    doc_ids, chunk_off, toks, row_starts, n_toks, keep, _ = _chunk_text_tokens(
         batch
     )
     n_rows = len(n_toks)
@@ -542,7 +550,7 @@ def q_decontaminate_spans(sf_dir: str):
     def bench_partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         sub = batch.filter(pa.array(ids % bench_mod == 0))
-        doc_ids, chunk_off, toks, row_starts, n_toks, keep = (
+        doc_ids, chunk_off, toks, row_starts, n_toks, keep, _ = (
             _chunk_text_tokens(sub)
         )
         grams, gram_rows = _internal_grams(toks, n_toks)
@@ -597,7 +605,7 @@ def q_decontaminate_spans(sf_dir: str):
         bench_set = ray.get(ref)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         sub = batch.filter(pa.array(ids % bench_mod != 0))
-        doc_ids, chunk_off, toks, row_starts, n_toks, keep = (
+        doc_ids, chunk_off, toks, row_starts, n_toks, keep, _ = (
             _chunk_text_tokens(sub)
         )
         grams, gram_rows = _internal_grams(toks, n_toks)
@@ -673,3 +681,183 @@ def _register_decontaminate_spans() -> None:
 
 
 _register_decontaminate_spans()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation over the NESTED layout — the composite recipe
+# (Gopher quality gate -> exact content dedup -> per-category accounting)
+# computed entirely from capped chunk rows, every gate chunk-exact:
+# counters and the position-salted dedup signature are sums, the
+# most-frequent-token rule merges per-chunk token histograms (O(doc
+# vocab) rows through the combine, never the text), and the M5 routing
+# category falls out of the same histograms. Three shuffles total:
+# doc-combine, signature groupby, category aggregate.
+# ---------------------------------------------------------------------------
+_STOP_SQL = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+_CURATION_SPANS_SQL = f"""
+{SQL_ALL_SPANS},
+{SQL_CATEGORY},
+tok_stats AS (
+  SELECT doc_id,
+         count(*) AS n_words,
+         sum(strlen(text)) AS total_len,
+         sum(CASE WHEN text IN ({_STOP_SQL}) THEN 1 ELSE 0 END) AS n_stop,
+         sum(CASE WHEN strlen(text) <= 3 THEN 1 ELSE 0 END) AS n_short,
+         sum(CAST(('0x' || substr(md5(text || '@' || off), 1, 10))::UBIGINT
+                  AS BIGINT)) AS sig
+  FROM all_spans WHERE kind = 'text' GROUP BY doc_id
+),
+modes AS (
+  SELECT doc_id, max(c) AS mode_cnt FROM (
+    SELECT doc_id, text, count(*) AS c
+    FROM all_spans WHERE kind = 'text' GROUP BY doc_id, text
+  ) t GROUP BY doc_id
+),
+pass AS (
+  SELECT s.doc_id, s.n_words, s.sig
+  FROM tok_stats s JOIN modes m USING (doc_id)
+  WHERE s.n_words BETWEEN 30 AND 80
+    AND 10 * s.total_len >= 43 * s.n_words
+    AND 10 * s.total_len <= 48 * s.n_words
+    AND s.n_stop >= 2
+    AND 100 * s.n_short <= 25 * s.n_words
+    AND 100 * m.mode_cnt <= 10 * s.n_words
+),
+kept AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY sig)
+SELECT c.category, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_words) AS BIGINT) AS total_words
+FROM kept k JOIN pass p USING (doc_id) JOIN doc_category c USING (doc_id)
+GROUP BY c.category
+"""
+
+
+def _curation_chunk_partial(batch: pa.Table) -> pa.Table:
+    doc_ids, chunk_off, toks, row_starts, n_toks, keep, t_off = (
+        _chunk_text_tokens(batch)
+    )
+    n_rows = len(n_toks)
+    tok_rows = np.repeat(np.arange(n_rows, dtype=np.int64), n_toks)
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                       count=len(toks))
+    total_len = np.bincount(tok_rows, weights=lens, minlength=n_rows).astype(
+        np.int64
+    )
+    stop = np.isin(toks.astype(str), QUALITY_STOPWORDS)
+    n_stop = np.bincount(tok_rows[stop], minlength=n_rows).astype(np.int64)
+    n_short = np.bincount(
+        tok_rows[lens <= 3], minlength=n_rows
+    ).astype(np.int64)
+    sig_vals = np.fromiter(
+        (
+            int(hashlib.md5(f"{t}@{o}".encode()).hexdigest()[:10], 16)
+            for t, o in zip(toks, t_off)
+        ),
+        dtype=np.int64,
+        count=len(toks),
+    )
+    sig_part = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(sig_part, tok_rows, sig_vals)
+    # per-chunk token histogram (mode rule + routing category both merge
+    # from these in the per-doc combine)
+    hist_toks, hist_counts = [], []
+    for r in range(n_rows):
+        lo, hi = row_starts[r], row_starts[r + 1]
+        u, c = np.unique(toks[lo:hi].astype(str), return_counts=True)
+        hist_toks.append(u.tolist())
+        hist_counts.append(c.astype(np.int64).tolist())
+    k = np.flatnonzero(keep)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[k], type=pa.int64()),
+            "chunk_off": pa.array(chunk_off[k], type=pa.int64()),
+            "n_words": pa.array(n_toks[k], type=pa.int64()),
+            "total_len": pa.array(total_len[k], type=pa.int64()),
+            "n_stop": pa.array(n_stop[k], type=pa.int64()),
+            "n_short": pa.array(n_short[k], type=pa.int64()),
+            "sig_part": pa.array(sig_part[k], type=pa.int64()),
+            "hist_toks": pa.array(
+                [hist_toks[r] for r in k], type=pa.list_(pa.string())
+            ),
+            "hist_counts": pa.array(
+                [hist_counts[r] for r in k], type=pa.list_(pa.int64())
+            ),
+        }
+    )
+
+
+def _curation_combine_doc(df: pd.DataFrame) -> pd.DataFrame:
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=np.int64),
+            "sig": pd.Series([], dtype=np.int64),
+            "category": pd.Series([], dtype=object),
+            "n_words": pd.Series([], dtype=np.int64),
+        }
+    )
+    n_words = int(df["n_words"].sum())
+    total_len = int(df["total_len"].sum())
+    n_stop = int(df["n_stop"].sum())
+    n_short = int(df["n_short"].sum())
+    sig = int(df["sig_part"].sum())
+    hist: dict[str, int] = {}
+    for ts, cs in zip(df["hist_toks"], df["hist_counts"]):
+        for t, c in zip(ts, cs):
+            hist[t] = hist.get(t, 0) + int(c)
+    mode_cnt = max(hist.values()) if hist else 0
+    if not (
+        30 <= n_words <= 80
+        and 43 * n_words <= 10 * total_len <= 48 * n_words
+        and n_stop >= 2
+        and 100 * n_short <= 25 * n_words
+        and 100 * mode_cnt <= 10 * n_words
+    ):
+        return empty
+    if hist.get(TABLE_TOKEN, 0) >= CATEGORY_MIN_COUNT:
+        category = "tables"
+    elif hist.get(DIAGRAM_TOKEN, 0) >= CATEGORY_MIN_COUNT:
+        category = "diagrams"
+    else:
+        category = "other"
+    return pd.DataFrame(
+        {
+            "doc_id": [int(df["doc_id"].iloc[0])],
+            "sig": [sig],
+            "category": [category],
+            "n_words": [n_words],
+        }
+    )
+
+
+def _sig_keeper(g: pd.DataFrame) -> pd.DataFrame:
+    return g.sort_values("doc_id").head(1)[["category", "n_words"]]
+
+
+@query("curation_pipeline_spans", _CURATION_SPANS_SQL)
+def q_curation_pipeline_spans(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from .extraction import parquet_num_rows
+
+    if parquet_num_rows(sf_dir, "documents") == 0:
+        return pa.table(
+            {
+                "category": pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "total_words": pa.array([], type=pa.int64()),
+            }
+        )
+    return (
+        _capped_spans(sf_dir)
+        .map_batches(_curation_chunk_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("doc_id")
+        .map_groups(_curation_combine_doc, batch_format="pandas")
+        .groupby("sig")
+        .map_groups(_sig_keeper, batch_format="pandas")
+        .groupby("category")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_words", alias_name="total_words"),
+        )
+    )

@@ -55,7 +55,7 @@ _SAMPLE_PRIORITY = [
     "token_freq_spans", "dsir_resample", "audio_spectrogram",
     "interleaved_pairs", "merge_upsert", "psi_drift",
     "minhash_bands_spans", "quality_stats_spans", "decontaminate_spans",
-    "bitext_mine",
+    "bitext_mine", "curation_pipeline_spans",
 ]
 
 

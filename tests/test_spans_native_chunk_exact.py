@@ -129,7 +129,7 @@ def test_window_partition_invariant(cap):
     )
 
     capped = cap_spans_per_row(_spans_table(), cap)
-    doc_ids, chunk_off, toks, row_starts, n_toks, keep = _chunk_text_tokens(
+    doc_ids, chunk_off, toks, row_starts, n_toks, keep, _ = _chunk_text_tokens(
         capped
     )
     grams, gram_rows = _internal_grams(toks, n_toks)
