@@ -396,13 +396,110 @@ def _mh_combine_doc(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# Doc-bucketed combine: Ray's map_groups calls the UDF once PER GROUP,
+# and a per-doc pandas call costs ~0.6 ms single-process (measured 3 ms
+# under 32-way concurrency — 243 s of remote time for an 80k-doc stress).
+# Grouping on doc_id // _COMBINE_BUCKET instead hands the combiner a
+# bucket of complete documents at once and the whole bucket vectorizes:
+# per-doc reductions are np.minimum/add.reduceat over rows sorted by
+# (doc_id, chunk_off), boundary windows batch across docs, and only the
+# unique straddle shingles are hashed.
+_COMBINE_BUCKET = 256
+
+
+def _mh_combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["doc_id", "chunk_off"])
+    doc = df["doc_id"].to_numpy()
+    ns = df["n_toks"].to_numpy().astype(np.int64)
+    change = np.concatenate([[True], doc[1:] != doc[:-1]])
+    starts = np.flatnonzero(change)
+    d_of_row = np.cumsum(change) - 1
+    n_docs = len(starts)
+    docs = doc[starts].astype(np.int64)
+    n_per_doc = np.add.reduceat(ns, starts)
+    cum = np.cumsum(ns) - ns
+    base = cum - cum[starts][d_of_row]  # row's token base within its doc
+    mins = np.stack(list(df["minima"])).astype(np.uint64)
+    sig = np.minimum.reduceat(mins, starts, axis=0)
+    # sparse (doc, global token pos) -> token map from exchanged boundaries
+    gpos: dict[tuple[int, int], str] = {}
+    btoks_col = df["btoks"].to_numpy()
+    for r in range(len(df)):
+        nt = int(ns[r])
+        pos = range(nt) if nt <= 4 else (0, 1, nt - 2, nt - 1)
+        b, d = int(base[r]), int(d_of_row[r])
+        for p, t in zip(pos, btoks_col[r]):
+            gpos[(d, b + p)] = t
+    # straddling windows: starts p-2, p-1 around each chunk boundary p
+    sh_doc: list[int] = []
+    sh_str: list[str] = []
+    for r in np.flatnonzero(~change):
+        d = int(d_of_row[r])
+        n = int(n_per_doc[d])
+        if n < SHINGLE_N:
+            continue
+        p = int(base[r])
+        for j in (p - 2, p - 1):
+            if 0 <= j <= n - SHINGLE_N:
+                sh_doc.append(d)
+                sh_str.append(
+                    " ".join(gpos[(d, j + k)] for k in range(SHINGLE_N))
+                )
+    # whole-text fallback for docs below the shingle width
+    for d in np.flatnonzero(n_per_doc < SHINGLE_N):
+        d = int(d)
+        sh_doc.append(d)
+        sh_str.append(
+            " ".join(gpos[(d, g)] for g in range(int(n_per_doc[d])))
+        )
+    if sh_str:
+        uniq, inv = np.unique(np.asarray(sh_str, dtype=object),
+                              return_inverse=True)
+        vals = _hash_shingles(uniq.tolist())
+        np.minimum.at(sig, np.asarray(sh_doc), vals[inv])
+    keys = [
+        hashlib.md5(
+            "|".join(
+                str(int(v)) for v in sig[d, b * BAND_SIZE : (b + 1) * BAND_SIZE]
+            ).encode()
+        ).hexdigest()
+        for d in range(n_docs)
+        for b in range(N_BANDS)
+    ]
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(docs, N_BANDS),
+            "band": np.tile(np.arange(N_BANDS, dtype=np.int64), n_docs),
+            "band_key": keys,
+        }
+    )
+
+
+def _with_bucket(t: pa.Table) -> pa.Table:
+    b = t["doc_id"].to_numpy(zero_copy_only=False) // _COMBINE_BUCKET
+    return t.append_column("bucket", pa.array(b, type=pa.int64()))
+
+
+# consolidate partial blocks before the groupby Sort: Ray 2.49's
+# all-to-all pays a fixed per-(input x output)-block cost, and 256 tiny
+# partial blocks cost ~12s of pure overhead at the 80k-doc stress
+# (measured: partials-only 4.5s, +groupby 17.4s, +repartition(32) 5.0s)
+_REDUCE_BLOCKS = 32
+
+
 def q_minhash_bands_spans(sf_dir: str):
     return (
         _capped_spans(sf_dir)
-        .map_batches(_mh_chunk_partial, batch_format="pyarrow",
-                     zero_copy_batch=True)
-        .groupby("doc_id")
-        .map_groups(_mh_combine_doc, batch_format="pandas")
+        .map_batches(
+            lambda t: _with_bucket(_mh_chunk_partial(t)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .repartition(_REDUCE_BLOCKS)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _mh_combine_bucket(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
     )
 
 

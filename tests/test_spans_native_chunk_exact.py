@@ -162,3 +162,24 @@ def test_window_partition_invariant(cap):
             for j in range(len(dtoks) - 2)
         )
         assert got == want, (doc_id, cap)
+
+
+@pytest.mark.parametrize("cap", [1, 2, 3, 5, 7, 1000])
+def test_minhash_bucket_combine_matches_doc_combine(cap):
+    """The vectorized multi-doc bucket combiner is byte-identical to the
+    per-doc reference combiner (and hence to the flat path)."""
+    from ocr_machine_ray.pipelines.queries_spans_native import (
+        _mh_combine_bucket,
+    )
+
+    capped = cap_spans_per_row(_spans_table(), cap)
+    part = _mh_chunk_partial(capped).to_pandas()
+    got = (
+        _mh_combine_bucket(part)
+        .sort_values(["doc_id", "band"])
+        .reset_index(drop=True)
+    )
+    want = _combine(_mh_chunk_partial(capped), _mh_combine_doc).sort_values(
+        ["doc_id", "band"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)

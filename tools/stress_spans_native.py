@@ -44,7 +44,8 @@ def main() -> int:
     from ocr_machine_ray.pipelines.queries_spans_native import (
         SPAN_NATIVE_CAP,
         _mh_chunk_partial,
-        _mh_combine_doc,
+        _mh_combine_bucket,
+        _with_bucket,
     )
     from ocr_machine_ray.stages.skew import cap_spans_per_row
 
@@ -59,10 +60,16 @@ def main() -> int:
             lambda t: cap_spans_per_row(t, SPAN_NATIVE_CAP),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        .map_batches(_mh_chunk_partial, batch_format="pyarrow",
-                     zero_copy_batch=True)
-        .groupby("doc_id")
-        .map_groups(_mh_combine_doc, batch_format="pandas")
+        .map_batches(
+            lambda t: _with_bucket(_mh_chunk_partial(t)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .repartition(32)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _mh_combine_bucket(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
     )
     # stream-consume: per-block counts only, nothing materializes
     n_rows = 0
