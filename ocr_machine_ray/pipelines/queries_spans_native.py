@@ -407,44 +407,71 @@ def _mh_combine_doc(df: pd.DataFrame) -> pd.DataFrame:
 _COMBINE_BUCKET = 256
 
 
+class _BucketLayout:
+    """Shared multi-doc combine machinery over a bucket's chunk partials
+    (rows pre-sorted by (doc_id, chunk_off)): doc segmentation for
+    np.*.reduceat, per-row token base positions, the exchanged boundary
+    token map, and the boundary-straddling shingles — all per BUCKET, so
+    per-doc Python overhead never scales with corpus size."""
+
+    __slots__ = ("df", "doc", "ns", "change", "starts", "d_of_row",
+                 "docs", "n_per_doc", "base")
+
+    def __init__(self, df: pd.DataFrame):
+        df = df.sort_values(["doc_id", "chunk_off"])
+        self.df = df
+        self.doc = df["doc_id"].to_numpy()
+        self.ns = df["n_toks"].to_numpy().astype(np.int64)
+        self.change = np.concatenate(
+            [[True], self.doc[1:] != self.doc[:-1]]
+        )
+        self.starts = np.flatnonzero(self.change)
+        self.d_of_row = np.cumsum(self.change) - 1
+        self.docs = self.doc[self.starts].astype(np.int64)
+        self.n_per_doc = np.add.reduceat(self.ns, self.starts)
+        cum = np.cumsum(self.ns) - self.ns
+        self.base = cum - cum[self.starts][self.d_of_row]
+
+    def gpos(self) -> dict:
+        """(doc index, global token pos) -> token, from boundary tokens."""
+        out: dict[tuple[int, int], str] = {}
+        btoks_col = self.df["btoks"].to_numpy()
+        for r in range(len(self.df)):
+            nt = int(self.ns[r])
+            pos = range(nt) if nt <= 4 else (0, 1, nt - 2, nt - 1)
+            b, d = int(self.base[r]), int(self.d_of_row[r])
+            for p, t in zip(pos, btoks_col[r]):
+                out[(d, b + p)] = t
+        return out
+
+    def straddles(self, gpos: dict):
+        """(doc index list, shingle list) for windows crossing any chunk
+        boundary: starts p-2, p-1 around each boundary p."""
+        sh_doc: list[int] = []
+        sh_str: list[str] = []
+        for r in np.flatnonzero(~self.change):
+            d = int(self.d_of_row[r])
+            n = int(self.n_per_doc[d])
+            if n < SHINGLE_N:
+                continue
+            p = int(self.base[r])
+            for j in (p - 2, p - 1):
+                if 0 <= j <= n - SHINGLE_N:
+                    sh_doc.append(d)
+                    sh_str.append(
+                        " ".join(gpos[(d, j + k)] for k in range(SHINGLE_N))
+                    )
+        return sh_doc, sh_str
+
+
 def _mh_combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.sort_values(["doc_id", "chunk_off"])
-    doc = df["doc_id"].to_numpy()
-    ns = df["n_toks"].to_numpy().astype(np.int64)
-    change = np.concatenate([[True], doc[1:] != doc[:-1]])
-    starts = np.flatnonzero(change)
-    d_of_row = np.cumsum(change) - 1
-    n_docs = len(starts)
-    docs = doc[starts].astype(np.int64)
-    n_per_doc = np.add.reduceat(ns, starts)
-    cum = np.cumsum(ns) - ns
-    base = cum - cum[starts][d_of_row]  # row's token base within its doc
+    lay = _BucketLayout(df)
+    df, starts, n_docs = lay.df, lay.starts, len(lay.starts)
+    docs, n_per_doc = lay.docs, lay.n_per_doc
     mins = np.stack(list(df["minima"])).astype(np.uint64)
     sig = np.minimum.reduceat(mins, starts, axis=0)
-    # sparse (doc, global token pos) -> token map from exchanged boundaries
-    gpos: dict[tuple[int, int], str] = {}
-    btoks_col = df["btoks"].to_numpy()
-    for r in range(len(df)):
-        nt = int(ns[r])
-        pos = range(nt) if nt <= 4 else (0, 1, nt - 2, nt - 1)
-        b, d = int(base[r]), int(d_of_row[r])
-        for p, t in zip(pos, btoks_col[r]):
-            gpos[(d, b + p)] = t
-    # straddling windows: starts p-2, p-1 around each chunk boundary p
-    sh_doc: list[int] = []
-    sh_str: list[str] = []
-    for r in np.flatnonzero(~change):
-        d = int(d_of_row[r])
-        n = int(n_per_doc[d])
-        if n < SHINGLE_N:
-            continue
-        p = int(base[r])
-        for j in (p - 2, p - 1):
-            if 0 <= j <= n - SHINGLE_N:
-                sh_doc.append(d)
-                sh_str.append(
-                    " ".join(gpos[(d, j + k)] for k in range(SHINGLE_N))
-                )
+    gpos = lay.gpos()
+    sh_doc, sh_str = lay.straddles(gpos)
     # whole-text fallback for docs below the shingle width
     for d in np.flatnonzero(n_per_doc < SHINGLE_N):
         d = int(d)
@@ -570,13 +597,45 @@ def _quality_combine_doc(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _quality_combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized multi-doc combine (same bucket trick as minhash): sums
+    reduce with np.add.reduceat; boundary repeats are the rows that are
+    not first-of-doc whose first token equals the previous row's last."""
+    df = df.sort_values(["doc_id", "chunk_off"])
+    doc = df["doc_id"].to_numpy()
+    change = np.concatenate([[True], doc[1:] != doc[:-1]])
+    starts = np.flatnonzero(change)
+    firsts = df["first_tok"].to_numpy()
+    lasts = df["last_tok"].to_numpy()
+    brep = np.zeros(len(df), dtype=np.int64)
+    if len(df) > 1:
+        brep[1:] = (~change[1:] & (firsts[1:] == lasts[:-1])).astype(
+            np.int64
+        )
+    out = {"doc_id": doc[starts].astype(np.int64)}
+    for col in ("n_tokens", "total_token_len", "n_stopword"):
+        out[col] = np.add.reduceat(
+            df[col].to_numpy().astype(np.int64), starts
+        )
+    out["n_repeat"] = np.add.reduceat(
+        df["n_repeat"].to_numpy().astype(np.int64) + brep, starts
+    )
+    return pd.DataFrame(out)
+
+
 def q_quality_stats_spans(sf_dir: str):
     return (
         _capped_spans(sf_dir)
-        .map_batches(_quality_chunk_partial, batch_format="pyarrow",
-                     zero_copy_batch=True)
-        .groupby("doc_id")
-        .map_groups(_quality_combine_doc, batch_format="pandas")
+        .map_batches(
+            lambda t: _with_bucket(_quality_chunk_partial(t)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .repartition(_REDUCE_BLOCKS)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _quality_combine_bucket(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
     )
 
 
@@ -728,46 +787,42 @@ def q_decontaminate_spans(sf_dir: str):
             }
         )
 
-    def decon_combine(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("chunk_off")
-        n, base, gpos = _doc_boundary_state(df)
-        straddle = (
-            _straddle_shingles(n, base, gpos) if n >= SHINGLE_N else []
+    def decon_combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Bucket-vectorized combine that also folds in the straddle-gram
+        hits (bench set read once per bucket from plasma), so the combine
+        IS the final stage."""
+        lay = _BucketLayout(df)
+        n_internal = np.add.reduceat(
+            lay.df["n_internal"].to_numpy().astype(np.int64), lay.starts
         )
-        return pd.DataFrame(
-            {
-                "doc_id": [int(df["doc_id"].iloc[0])],
-                "n_internal": [int(df["n_internal"].sum())],
-                "straddle": [straddle],
-            }
-        )
-
-    def straddle_hits(batch: pd.DataFrame) -> pd.DataFrame:
-        bench_set = ray.get(ref)
-        lens = batch["straddle"].map(len).to_numpy(dtype=np.int64)
-        flat = [g for lst in batch["straddle"] for g in lst]
-        extra = np.zeros(len(batch), dtype=np.int64)
-        if flat:
+        sh_doc, sh_str = lay.straddles(lay.gpos())
+        extra = np.zeros(len(lay.starts), dtype=np.int64)
+        if sh_str:
+            bench_set = ray.get(ref)
             hit = pc.is_in(
-                pa.array(flat, type=pa.string()), value_set=bench_set
+                pa.array(sh_str, type=pa.string()), value_set=bench_set
             ).to_numpy(zero_copy_only=False)
-            rows = np.repeat(np.arange(len(batch)), lens)
-            np.add.at(extra, rows[hit], 1)
-        n = batch["n_internal"].to_numpy(dtype=np.int64) + extra
+            np.add.at(extra, np.asarray(sh_doc)[hit], 1)
+        n = n_internal + extra
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"].astype(np.int64),
+                "doc_id": lay.docs,
                 "n_matched": n,
                 "contaminated": n > 0,
             }
         )
 
     return (
-        capped.map_batches(internal_hits, batch_format="pyarrow",
-                           zero_copy_batch=True)
-        .groupby("doc_id")
-        .map_groups(decon_combine, batch_format="pandas")
-        .map_batches(straddle_hits, batch_format="pandas")
+        capped.map_batches(
+            lambda t: _with_bucket(internal_hits(t)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .repartition(_REDUCE_BLOCKS)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: decon_combine_bucket(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
     )
 
 
@@ -926,6 +981,83 @@ def _curation_combine_doc(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _curation_combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Bucket-vectorized curation combine: counter sums reduce with
+    np.add.reduceat; the per-doc token histograms merge by factorizing the
+    exploded (doc, token) pairs to integer keys — mode count, stopword
+    routing and the table/diagram counts all read off the merged
+    histogram without per-doc Python."""
+    lay = _BucketLayout(df.rename(columns={"n_words": "n_toks"}))
+    df = lay.df
+    starts, docs = lay.starts, lay.docs
+    n_docs = len(starts)
+    n_words = lay.n_per_doc
+    total_len = np.add.reduceat(
+        df["total_len"].to_numpy().astype(np.int64), starts
+    )
+    n_stop = np.add.reduceat(df["n_stop"].to_numpy().astype(np.int64),
+                             starts)
+    n_short = np.add.reduceat(df["n_short"].to_numpy().astype(np.int64),
+                              starts)
+    sig = np.add.reduceat(df["sig_part"].to_numpy().astype(np.int64),
+                          starts)
+    # merged histograms: explode list columns, factorize tokens, pack
+    # (doc, token id) into one int64 key, sum counts per key
+    item_lens = np.fromiter(
+        (len(x) for x in df["hist_toks"]), dtype=np.int64, count=len(df)
+    )
+    d_item = np.repeat(lay.d_of_row, item_lens)
+    toks_flat = np.concatenate(
+        [np.asarray(list(x), dtype=object) for x in df["hist_toks"]]
+    ) if len(df) else np.empty(0, dtype=object)
+    cnts_flat = np.concatenate(
+        [np.asarray(list(x), dtype=np.int64) for x in df["hist_counts"]]
+    ) if len(df) else np.empty(0, dtype=np.int64)
+    uniq_toks, tok_ids = np.unique(toks_flat.astype(str),
+                                   return_inverse=True)
+    v = max(1, len(uniq_toks))
+    key = d_item * v + tok_ids
+    ukey, inv = np.unique(key, return_inverse=True)
+    merged = np.zeros(len(ukey), dtype=np.int64)
+    np.add.at(merged, inv, cnts_flat)
+    kd = ukey // v
+    kt = ukey % v
+    mode_cnt = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(mode_cnt, kd, merged)
+    n_table = np.zeros(n_docs, dtype=np.int64)
+    n_vector = np.zeros(n_docs, dtype=np.int64)
+    t_idx = np.searchsorted(uniq_toks, TABLE_TOKEN)
+    if t_idx < len(uniq_toks) and uniq_toks[t_idx] == TABLE_TOKEN:
+        m = kt == t_idx
+        n_table[kd[m]] = merged[m]
+    d_idx = np.searchsorted(uniq_toks, DIAGRAM_TOKEN)
+    if d_idx < len(uniq_toks) and uniq_toks[d_idx] == DIAGRAM_TOKEN:
+        m = kt == d_idx
+        n_vector[kd[m]] = merged[m]
+    passes = (
+        (n_words >= 30) & (n_words <= 80)
+        & (10 * total_len >= 43 * n_words)
+        & (10 * total_len <= 48 * n_words)
+        & (n_stop >= 2)
+        & (100 * n_short <= 25 * n_words)
+        & (100 * mode_cnt <= 10 * n_words)
+    )
+    category = np.where(
+        n_table >= CATEGORY_MIN_COUNT,
+        "tables",
+        np.where(n_vector >= CATEGORY_MIN_COUNT, "diagrams", "other"),
+    )
+    k = np.flatnonzero(passes)
+    return pd.DataFrame(
+        {
+            "doc_id": docs[k],
+            "sig": sig[k],
+            "category": category[k],
+            "n_words": n_words[k],
+        }
+    )
+
+
 def _sig_keeper(g: pd.DataFrame) -> pd.DataFrame:
     return g.sort_values("doc_id").head(1)[["category", "n_words"]]
 
@@ -946,10 +1078,16 @@ def q_curation_pipeline_spans(sf_dir: str):
         )
     return (
         _capped_spans(sf_dir)
-        .map_batches(_curation_chunk_partial, batch_format="pyarrow",
-                     zero_copy_batch=True)
-        .groupby("doc_id")
-        .map_groups(_curation_combine_doc, batch_format="pandas")
+        .map_batches(
+            lambda t: _with_bucket(_curation_chunk_partial(t)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .repartition(_REDUCE_BLOCKS)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _curation_combine_bucket(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
         .groupby("sig")
         .map_groups(_sig_keeper, batch_format="pandas")
         .groupby("category")

@@ -28,9 +28,16 @@ from ocr_machine_ray.stages.skew import cap_spans_per_row
 # token streams chosen to hit every boundary case: repeats at chunk edges,
 # docs below the 3-token shingle fallback, stopwords, single-char tokens,
 # and streams long enough to cross the media-span interleave (every 10th)
+# 40 tokens, mean len 4.8, 2 stopwords, 2 short tokens, mode count 2 —
+# passes every Gopher curation gate (boundary-exact on the mean-length
+# upper bound: 10*192 == 48*40)
+_PASSING = ("the the " + " ".join(
+    f"tok{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(34)
+) + " wrda wrdb wrdc wrdd")
+
 _DOCS = pd.DataFrame(
     {
-        "doc_id": np.arange(8, dtype=np.int64),
+        "doc_id": np.arange(10, dtype=np.int64),
         "text": [
             "the quick brown fox jumps over the lazy dog again and again",
             "a a a a a a a a a a a a a a",  # all-repeat, media span mid-run
@@ -41,6 +48,8 @@ _DOCS = pd.DataFrame(
             "lambda mu nu xi omicron pi rho sigma tau upsilon",
             "edge edge mid mid mid edge edge",  # repeats at cap boundaries
             "the a the a the a the a the a the",  # stopwords everywhere
+            _PASSING,  # survives the curation gate
+            _PASSING,  # exact duplicate: exercises the sig keeper
         ],
     }
 )
@@ -183,3 +192,47 @@ def test_minhash_bucket_combine_matches_doc_combine(cap):
         ["doc_id", "band"]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+@pytest.mark.parametrize("cap", [1, 2, 3, 5, 1000])
+def test_quality_bucket_combine_matches_doc_combine(cap):
+    from ocr_machine_ray.pipelines.queries_spans_native import (
+        _quality_combine_bucket,
+    )
+
+    capped = cap_spans_per_row(_spans_table(), cap)
+    part = _quality_chunk_partial(capped).to_pandas()
+    got = (
+        _quality_combine_bucket(part)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _combine(
+        _quality_chunk_partial(capped), _quality_combine_doc
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+@pytest.mark.parametrize("cap", [1, 2, 3, 5, 1000])
+def test_curation_bucket_combine_matches_doc_combine(cap):
+    from ocr_machine_ray.pipelines.queries_spans_native import (
+        _curation_chunk_partial,
+        _curation_combine_bucket,
+        _curation_combine_doc,
+    )
+
+    capped = cap_spans_per_row(_spans_table(), cap)
+    part = _curation_chunk_partial(capped).to_pandas()
+    got = (
+        _curation_combine_bucket(part)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _combine(_curation_chunk_partial(capped), _curation_combine_doc)
+    if len(want):
+        want = want.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    if len(got):
+        pd.testing.assert_frame_equal(
+            got, want[got.columns], check_dtype=False
+        )
