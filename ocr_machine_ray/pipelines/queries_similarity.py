@@ -1230,6 +1230,11 @@ def q_ann_topk_pq(sf_dir: str):
 # driver-side join).
 # ---------------------------------------------------------------------------
 _BITEXT_K = 4
+# brute-force mining broadcasts both side matrices (ray.put once, plasma
+# read per task). Loud gate rather than silent OOM at scale: above the
+# cap, mine candidates with the IVF/LSH ANN paths above (approximate, so
+# not silently substituted under the exact oracle).
+_BITEXT_BCAST_CAP = 2_000_000
 
 _BITEXT_SQL = f"""
 WITH src AS (
@@ -1335,6 +1340,12 @@ def q_bitext_mine(sf_dir: str):
     t_ids, Tn = _load_parity_side(sf_dir, 1)
     if len(s_ids) == 0 or len(t_ids) == 0:
         return empty()
+    if max(len(s_ids), len(t_ids)) > _BITEXT_BCAST_CAP:
+        raise ValueError(
+            f"bitext_mine broadcast side exceeds _BITEXT_BCAST_CAP "
+            f"({max(len(s_ids), len(t_ids))} > {_BITEXT_BCAST_CAP}); "
+            "use the IVF/LSH ANN candidate paths for corpora this size"
+        )
     src_ref = ray.put((s_ids, Sn))
     tgt_ref = ray.put((t_ids, Tn))
     emb = ray.data.read_parquet(

@@ -358,3 +358,85 @@ def test_cdc_spans_partition_any_unicode(text):
         assert [a for a, _ in spans[1:]] == [b for _, b in spans[:-1]]
     else:
         assert spans == []
+
+
+class TestBoundaryExchangeProperties:
+    """Chunk-exactness of the spans-native boundary-exchange machinery on
+    ARBITRARY texts and caps: minhash bands and quality counters from
+    capped chunk rows must equal the flat single-pass reference."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(TEXT, min_size=1, max_size=5),
+        st.integers(min_value=1, max_value=40),
+    )
+    def test_minhash_bands_chunk_exact_arbitrary(self, texts, cap):
+        import pandas as pd
+
+        from ocr_machine_ray.functions.dedup import minhash_bands_batch
+        from ocr_machine_ray.pipelines.queries_spans_native import (
+            _mh_chunk_partial,
+            _mh_combine_bucket,
+        )
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(len(texts), dtype=np.int64), type=pa.int64()
+                ),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        capped = cap_spans_per_row(corpus.derive_spans_batch(docs), cap)
+        got = (
+            _mh_combine_bucket(_mh_chunk_partial(capped).to_pandas())
+            .sort_values(["doc_id", "band"])
+            .reset_index(drop=True)
+        )
+        want = (
+            minhash_bands_batch(docs)
+            .to_pandas()
+            .sort_values(["doc_id", "band"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got, want[got.columns], check_dtype=False
+        )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(TEXT, min_size=1, max_size=5),
+        st.integers(min_value=1, max_value=40),
+    )
+    def test_quality_chunk_exact_arbitrary(self, texts, cap):
+        import pandas as pd
+
+        from ocr_machine_ray.functions.text import quality_stats_batch
+        from ocr_machine_ray.pipelines.queries_spans_native import (
+            _quality_chunk_partial,
+            _quality_combine_bucket,
+        )
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(len(texts), dtype=np.int64), type=pa.int64()
+                ),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        capped = cap_spans_per_row(corpus.derive_spans_batch(docs), cap)
+        got = (
+            _quality_combine_bucket(_quality_chunk_partial(capped).to_pandas())
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            quality_stats_batch(docs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got, want[got.columns], check_dtype=False
+        )
