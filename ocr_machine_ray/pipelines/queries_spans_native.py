@@ -1096,3 +1096,108 @@ def q_curation_pipeline_spans(sf_dir: str):
             Sum("n_words", alias_name="total_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints FROM the nested spans layout — fingerprint family
+# joins the spans-native set. SimHash is a vote over each doc's DISTINCT
+# tokens, and distinctness is NOT addition-combinable across chunks, so
+# each chunk row exchanges its distinct-token list (bounded by chunk
+# vocab) and the bucket combine unions them per doc by factorizing the
+# exploded (doc, token) pairs — the same integer-key machinery as the
+# curation histograms, presence-only. One md5 per bucket-unique token;
+# votes, bit packing and hex emission fully vectorized. Reuses the flat
+# dedup_simhash oracle verbatim.
+# ---------------------------------------------------------------------------
+
+
+def _simhash_chunk_partial(batch: pa.Table) -> pa.Table:
+    doc_ids, chunk_off, toks, row_starts, n_toks, keep, _ = (
+        _chunk_text_tokens(batch)
+    )
+    n_rows = len(n_toks)
+    dtoks = []
+    for r in range(n_rows):
+        lo, hi = row_starts[r], row_starts[r + 1]
+        dtoks.append(np.unique(toks[lo:hi].astype(str)).tolist())
+    k = np.flatnonzero(keep)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[k], type=pa.int64()),
+            "chunk_off": pa.array(chunk_off[k], type=pa.int64()),
+            "n_toks": pa.array(n_toks[k], type=pa.int64()),
+            "dtoks": pa.array(
+                [dtoks[r] for r in k], type=pa.list_(pa.string())
+            ),
+        }
+    )
+
+
+def _simhash_combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    lay = _BucketLayout(df)
+    df = lay.df
+    n_docs = len(lay.starts)
+    item_lens = np.fromiter(
+        (len(x) for x in df["dtoks"]), dtype=np.int64, count=len(df)
+    )
+    d_item = np.repeat(lay.d_of_row, item_lens)
+    toks_flat = (
+        np.concatenate(
+            [np.asarray(list(x), dtype=object) for x in df["dtoks"]]
+        )
+        if len(df)
+        else np.empty(0, dtype=object)
+    )
+    uniq_toks, tok_ids = np.unique(toks_flat.astype(str),
+                                   return_inverse=True)
+    # one md5 per bucket-unique token: base hash identical to the SQL's
+    # ('0x' || substr(md5(tok), 1, 16))::UBIGINT
+    hashes = np.fromiter(
+        (
+            int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for t in uniq_toks
+        ),
+        dtype=np.uint64,
+        count=len(uniq_toks),
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+    bit_mat = (
+        2 * ((hashes[:, None] >> shifts[None, :]) & 1).astype(np.int64) - 1
+    )
+    v = max(1, len(uniq_toks))
+    pair = np.unique(d_item * v + tok_ids)
+    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    np.add.at(acc, pair // v, bit_mat[pair % v])
+    bits = (acc > 0).astype(np.uint64)
+    vals = (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return pd.DataFrame(
+        {
+            "doc_id": lay.docs,
+            "simhash": [format(int(x), "016x") for x in vals],
+        }
+    )
+
+
+def q_simhash_spans(sf_dir: str):
+    return (
+        _capped_spans(sf_dir)
+        .map_batches(
+            lambda t: _with_bucket(_simhash_chunk_partial(t)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .repartition(_REDUCE_BLOCKS)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _simhash_combine_bucket(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def _register_simhash_spans() -> None:
+    from .queries_dedup import _SIMHASH_SQL
+
+    query("simhash_spans", _SIMHASH_SQL)(q_simhash_spans)
+
+
+_register_simhash_spans()

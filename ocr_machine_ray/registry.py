@@ -34,6 +34,12 @@ def query(name: str, sql: str | None = None):
 # round. All 161 queries pass the full local gate regardless of order
 # (tools/check_oracle.py); this only steers which 50 the driver replays.
 _SAMPLE_PRIORITY = [
+    # round-4 additions lead (never driver-sampled; new oracles should be
+    # driver-verified the round they land)
+    "token_freq_spans", "dsir_resample", "audio_spectrogram",
+    "interleaved_pairs", "merge_upsert", "psi_drift",
+    "minhash_bands_spans", "quality_stats_spans", "decontaminate_spans",
+    "bitext_mine", "curation_pipeline_spans", "simhash_spans",
     "cohort_retention", "rolling_event_sum", "pivot_event_counts",
     "daily_top_event", "regression_stats", "props_json_stats",
     "scd2_history", "daily_active_users", "recency_scores",
@@ -51,11 +57,6 @@ _SAMPLE_PRIORITY = [
     "segment_dedup", "dedup_edit_distance", "incremental_neardup",
     "dup_size_histogram", "leakage_safe_split", "cdc_dedup",
     "fuzzy_decontaminate", "shard_skew_report", "unigram_tokenize",
-    # round-4 additions (also never driver-sampled)
-    "token_freq_spans", "dsir_resample", "audio_spectrogram",
-    "interleaved_pairs", "merge_upsert", "psi_drift",
-    "minhash_bands_spans", "quality_stats_spans", "decontaminate_spans",
-    "bitext_mine", "curation_pipeline_spans",
 ]
 
 

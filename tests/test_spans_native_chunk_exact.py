@@ -236,3 +236,27 @@ def test_curation_bucket_combine_matches_doc_combine(cap):
         pd.testing.assert_frame_equal(
             got, want[got.columns], check_dtype=False
         )
+
+
+@pytest.mark.parametrize("cap", [1, 2, 3, 5, 1000])
+def test_simhash_spans_matches_flat(cap):
+    """Chunk-split distinct-token union reproduces the flat SimHash."""
+    from ocr_machine_ray.functions.dedup import simhash_batch
+    from ocr_machine_ray.pipelines.queries_spans_native import (
+        _simhash_chunk_partial,
+        _simhash_combine_bucket,
+    )
+
+    capped = cap_spans_per_row(_spans_table(), cap)
+    got = (
+        _simhash_combine_bucket(_simhash_chunk_partial(capped).to_pandas())
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        simhash_batch(pa.Table.from_pandas(_DOCS))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
