@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "decontaminate_spans",
     "bitext_mine",
     "curation_pipeline_spans",
+    "simhash_spans",
+    "media_layout_spans",
 ]
 
 

@@ -1201,3 +1201,139 @@ def _register_simhash_spans() -> None:
 
 
 _register_simhash_spans()
+
+
+# ---------------------------------------------------------------------------
+# Interleaving-layout stats FROM the nested spans layout — the first
+# spans-native query over the text x media INTERLEAVING itself (the
+# north-star payload is interleaved text+media spans; every other query
+# in this module consumes only the text stream). Per document: media and
+# text span counts, the number of kind transitions in offset order, and
+# the first media offset. Counts and the media-offset min are
+# addition/min-combinable across chunks; transitions are NOT — a
+# text|media boundary can fall exactly on a chunk split — so each chunk
+# row exchanges its first/last span kind and the bucket combine adds one
+# transition per adjacent chunk pair whose kinds differ. Reference
+# anchor: the reference interleaves OCR text with media refs per page
+# (fake_scan.py's page assembly); this measures that interleaving.
+# ---------------------------------------------------------------------------
+_MEDIA_LAYOUT_SQL = f"""
+{SQL_ALL_SPANS},
+seq AS (
+  SELECT doc_id, kind, off,
+         lag(kind) OVER (PARTITION BY doc_id ORDER BY off) AS pk
+  FROM all_spans
+)
+SELECT doc_id,
+       count(*) FILTER (WHERE kind = 'media') AS n_media,
+       count(*) FILTER (WHERE kind = 'text') AS n_text,
+       count(*) FILTER (WHERE pk IS NOT NULL AND pk <> kind)
+           AS n_transitions,
+       coalesce(min(off) FILTER (WHERE kind = 'media'), CAST(-1 AS BIGINT))
+           AS first_media_off
+FROM seq GROUP BY doc_id
+"""
+
+_NO_MEDIA = np.iinfo(np.int64).max  # min-identity sentinel, -1 on emit
+
+
+def _layout_chunk_partial(batch: pa.Table) -> pa.Table:
+    """Per-chunk-row interleaving partial over ALL spans (both kinds)."""
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    n_spans = np.diff(spans.offsets.to_numpy(zero_copy_only=False)).astype(
+        np.int64
+    )
+    n_rows = len(batch)
+    row_of_span = np.repeat(np.arange(n_rows, dtype=np.int64), n_spans)
+    is_media = np.asarray(
+        pa.compute.equal(flat.field("kind"), "media").to_numpy(
+            zero_copy_only=False
+        )
+    )
+    off = flat.field("offset").to_numpy(zero_copy_only=False)
+    n_media = np.bincount(
+        row_of_span[is_media], minlength=n_rows
+    ).astype(np.int64)
+    # internal transitions: adjacent spans in the SAME chunk row whose
+    # kinds differ (span lists are offset-ordered by construction)
+    adj = (is_media[1:] != is_media[:-1]) & (
+        row_of_span[1:] == row_of_span[:-1]
+    )
+    n_trans = np.bincount(
+        row_of_span[1:][adj], minlength=n_rows
+    ).astype(np.int64)
+    starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_spans, out=starts[1:])
+    first_media = np.full(n_rows, _NO_MEDIA, dtype=np.int64)
+    if is_media.any():
+        np.minimum.at(first_media, row_of_span[is_media], off[is_media])
+    keep = n_spans > 0
+    k = np.flatnonzero(keep)
+    # exchanged boundary state: this chunk's first/last span kind, and
+    # its first span's absolute offset as the chunk ordering key
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                batch["doc_id"].to_numpy(zero_copy_only=False)[k],
+                type=pa.int64(),
+            ),
+            "chunk_key": pa.array(off[starts[:-1]][k], type=pa.int64()),
+            "n_spans": pa.array(n_spans[k], type=pa.int64()),
+            "n_media": pa.array(n_media[k], type=pa.int64()),
+            "n_trans": pa.array(n_trans[k], type=pa.int64()),
+            "first_media": pa.array(first_media[k], type=pa.int64()),
+            "first_is_media": pa.array(
+                is_media[starts[:-1]][k], type=pa.bool_()
+            ),
+            "last_is_media": pa.array(
+                is_media[starts[1:] - 1][k], type=pa.bool_()
+            ),
+        }
+    )
+
+
+def _layout_combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["doc_id", "chunk_key"])
+    doc = df["doc_id"].to_numpy()
+    change = np.concatenate([[True], doc[1:] != doc[:-1]])
+    starts = np.flatnonzero(change)
+    d_of_row = np.cumsum(change) - 1
+    n_spans = np.add.reduceat(df["n_spans"].to_numpy(), starts)
+    n_media = np.add.reduceat(df["n_media"].to_numpy(), starts)
+    n_trans = np.add.reduceat(df["n_trans"].to_numpy(), starts)
+    fm = np.minimum.reduceat(df["first_media"].to_numpy(), starts)
+    # one extra transition per adjacent chunk pair whose edge kinds differ
+    first_k = df["first_is_media"].to_numpy()
+    last_k = df["last_is_media"].to_numpy()
+    joins = np.flatnonzero(~change)
+    bt = joins[last_k[joins - 1] != first_k[joins]]
+    np.add.at(n_trans, d_of_row[bt], 1)
+    return pd.DataFrame(
+        {
+            "doc_id": doc[starts],
+            "n_media": n_media,
+            "n_text": n_spans - n_media,
+            "n_transitions": n_trans,
+            "first_media_off": np.where(fm == _NO_MEDIA, -1, fm),
+        }
+    )
+
+
+@query("media_layout_spans", _MEDIA_LAYOUT_SQL)
+def q_media_layout_spans(sf_dir: str):
+    return (
+        _capped_spans(sf_dir)
+        .map_batches(
+            lambda t: _with_bucket(_layout_chunk_partial(t)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .repartition(_REDUCE_BLOCKS)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _layout_combine_bucket(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+    )

@@ -260,3 +260,49 @@ def test_simhash_spans_matches_flat(cap):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def _expected_layout() -> pd.DataFrame:
+    """Independent per-doc interleaving stats: python loop over the flat
+    offset-ordered span stream (no shared code with the query's partials)."""
+    t = _spans_table()
+    spans = t["spans"].combine_chunks()
+    flat = spans.flatten()
+    counts = np.diff(spans.offsets.to_numpy(zero_copy_only=False))
+    doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), counts)
+    kind = np.asarray(flat.field("kind").to_pylist())
+    off = flat.field("offset").to_numpy(zero_copy_only=False)
+    rows = []
+    for d in np.unique(doc):
+        m = doc == d
+        k = kind[m][np.argsort(off[m])]
+        mo = np.sort(off[m][kind[m] == "media"])
+        rows.append(
+            {
+                "doc_id": int(d),
+                "n_media": int((k == "media").sum()),
+                "n_text": int((k == "text").sum()),
+                "n_transitions": int((k[1:] != k[:-1]).sum()),
+                "first_media_off": int(mo[0]) if len(mo) else -1,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("cap", [1, 2, 3, 5, 1000])
+def test_media_layout_spans_chunk_exact(cap):
+    """Kind-transition counts survive ANY chunk split via the first/last
+    kind exchange; counts and the media-offset min combine trivially."""
+    from ocr_machine_ray.pipelines.queries_spans_native import (
+        _layout_chunk_partial,
+        _layout_combine_bucket,
+    )
+
+    capped = cap_spans_per_row(_spans_table(), cap)
+    got = (
+        _layout_combine_bucket(_layout_chunk_partial(capped).to_pandas())
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _expected_layout().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
