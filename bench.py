@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "curation_pipeline_spans",
     "simhash_spans",
     "media_layout_spans",
+    "media_context_spans",
 ]
 
 

@@ -1337,3 +1337,210 @@ def q_media_layout_spans(sf_dir: str):
             batch_format="pandas",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Media-context (caption-candidate) mining FROM the nested spans layout:
+# for every media span, the nearest preceding and following TEXT token in
+# document offset order — the alt-text/caption association step of an
+# OCR+media pipeline (the reference interleaves media refs between OCR
+# text runs; pairing each ref with its surrounding words is how captions
+# / figure labels get mined). Chunk-exact: a media span at a chunk edge
+# (or inside a media-only chunk under a tiny cap) resolves against
+# NEIGHBORING chunks' text, so each chunk row exchanges its first/last
+# text token and the bucket combine runs a per-doc segmented
+# forward/backward fill over the chunk sequence to resolve the
+# unresolved edges. Everything vectorized: searchsorted for in-chunk
+# resolution, maximum/minimum.accumulate for the cross-chunk fills.
+# ---------------------------------------------------------------------------
+_MEDIA_CONTEXT_SQL = f"""
+{SQL_ALL_SPANS},
+seq AS (
+  SELECT doc_id, kind, media_ref, off,
+         lag(text IGNORE NULLS) OVER w AS prev_tok,
+         lead(text IGNORE NULLS) OVER w AS next_tok
+  FROM all_spans
+  WINDOW w AS (PARTITION BY doc_id ORDER BY off)
+)
+SELECT doc_id, media_ref, off AS media_off,
+       coalesce(prev_tok, '') AS prev_tok,
+       coalesce(next_tok, '') AS next_tok
+FROM seq WHERE kind = 'media'
+"""
+
+_CTX_COLS = [
+    "doc_id", "chunk_key", "is_chunk", "has_text", "first_tok",
+    "last_tok", "media_ref", "media_off", "prev_tok", "next_tok",
+    "prev_ok", "next_ok",
+]
+
+
+def _context_chunk_partial(batch: pa.Table) -> pa.Table:
+    """One CHUNK row per non-empty chunk (exchanged first/last text
+    token) plus one MEDIA row per media span (in-chunk-resolved context,
+    unresolved edges flagged for the combine)."""
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    n_spans = np.diff(spans.offsets.to_numpy(zero_copy_only=False)).astype(
+        np.int64
+    )
+    n_rows = len(batch)
+    row_of_span = np.repeat(np.arange(n_rows, dtype=np.int64), n_spans)
+    is_media = np.asarray(
+        pa.compute.equal(flat.field("kind"), "media").to_numpy(
+            zero_copy_only=False
+        )
+    )
+    off = flat.field("offset").to_numpy(zero_copy_only=False)
+    toks = np.asarray(flat.field("text").to_pylist(), dtype=object)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_spans, out=starts[1:])
+    chunk_key_row = np.where(n_spans > 0, off[starts[:-1]], 0)
+
+    tg = np.flatnonzero(~is_media)  # global text-span positions, ordered
+    mg = np.flatnonzero(is_media)
+    n_text = np.bincount(row_of_span[tg], minlength=n_rows).astype(np.int64)
+    t_starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_text, out=t_starts[1:])
+    has_text = n_text > 0
+    first_tok = np.full(n_rows, None, dtype=object)
+    last_tok = np.full(n_rows, None, dtype=object)
+    ht = np.flatnonzero(has_text)
+    first_tok[ht] = toks[tg][t_starts[ht]]
+    last_tok[ht] = toks[tg][t_starts[ht + 1] - 1]
+
+    # in-chunk resolution: nearest text span before/after each media span
+    # within the SAME chunk row
+    ins = np.searchsorted(tg, mg)
+    m_row = row_of_span[mg]
+    p_idx = ins - 1
+    prev_ok = (p_idx >= 0) & (
+        row_of_span[tg[np.clip(p_idx, 0, None)]] == m_row
+    )
+    n_idx = np.clip(ins, None, max(len(tg) - 1, 0))
+    next_ok = (
+        (ins < len(tg)) & (row_of_span[tg[n_idx]] == m_row)
+        if len(tg)
+        else np.zeros(len(mg), dtype=bool)
+    )
+    prev_tok = np.full(len(mg), None, dtype=object)
+    next_tok = np.full(len(mg), None, dtype=object)
+    prev_tok[prev_ok] = toks[tg[p_idx[prev_ok]]]
+    next_tok[next_ok] = toks[tg[n_idx[next_ok]]]
+
+    k = np.flatnonzero(n_spans > 0)
+    none_k = np.full(len(k), None, dtype=object)
+    chunk_rows = {
+        "doc_id": doc_ids[k].astype(np.int64),
+        "chunk_key": chunk_key_row[k],
+        "is_chunk": np.ones(len(k), dtype=bool),
+        "has_text": has_text[k],
+        "first_tok": first_tok[k],
+        "last_tok": last_tok[k],
+        "media_ref": none_k,
+        "media_off": np.zeros(len(k), dtype=np.int64),
+        "prev_tok": none_k,
+        "next_tok": none_k,
+        "prev_ok": np.zeros(len(k), dtype=bool),
+        "next_ok": np.zeros(len(k), dtype=bool),
+    }
+    none_m = np.full(len(mg), None, dtype=object)
+    media_rows = {
+        "doc_id": doc_ids[m_row].astype(np.int64),
+        "chunk_key": chunk_key_row[m_row],
+        "is_chunk": np.zeros(len(mg), dtype=bool),
+        "has_text": np.zeros(len(mg), dtype=bool),
+        "first_tok": none_m,
+        "last_tok": none_m,
+        "media_ref": np.asarray(
+            flat.field("media_ref").to_pylist(), dtype=object
+        )[mg],
+        "media_off": off[mg].astype(np.int64),
+        "prev_tok": prev_tok,
+        "next_tok": next_tok,
+        "prev_ok": prev_ok,
+        "next_ok": next_ok,
+    }
+    return pa.table(
+        {
+            c: pa.array(
+                np.concatenate([chunk_rows[c], media_rows[c]]),
+                type=(
+                    pa.string()
+                    if c in ("first_tok", "last_tok", "media_ref",
+                             "prev_tok", "next_tok")
+                    else None
+                ),
+            )
+            for c in _CTX_COLS
+        }
+    )
+
+
+def _context_combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    ch = df[df["is_chunk"]].sort_values(["doc_id", "chunk_key"])
+    me = df[~df["is_chunk"]].sort_values(
+        ["doc_id", "chunk_key", "media_off"]
+    )
+    cols = ["doc_id", "media_ref", "media_off", "prev_tok", "next_tok"]
+    if not len(me):
+        return pd.DataFrame({c: [] for c in cols})
+    doc = ch["doc_id"].to_numpy().astype(np.int64)
+    n = len(ch)
+    idx = np.arange(n, dtype=np.int64)
+    has = ch["has_text"].to_numpy().astype(bool)
+    # segmented ffill/bfill over the chunk sequence: nearest EARLIER chunk
+    # with text (excluding self), nearest LATER chunk with text
+    run_f = np.maximum.accumulate(np.where(has, idx, -1))
+    prev_idx = np.concatenate([[-1], run_f[:-1]])
+    ok_p = (prev_idx >= 0) & (doc[np.clip(prev_idx, 0, None)] == doc)
+    run_b = np.minimum.accumulate(np.where(has, idx, n)[::-1])[::-1]
+    next_idx = np.concatenate([run_b[1:], [n]])
+    ok_n = (next_idx < n) & (doc[np.clip(next_idx, None, n - 1)] == doc)
+    last_tok = ch["last_tok"].to_numpy()
+    first_tok = ch["first_tok"].to_numpy()
+    prev_fill = np.where(ok_p, last_tok[np.clip(prev_idx, 0, None)], "")
+    next_fill = np.where(
+        ok_n, first_tok[np.clip(next_idx, None, n - 1)], ""
+    )
+    key_ch = doc * (1 << 32) + ch["chunk_key"].to_numpy()
+    key_me = (
+        me["doc_id"].to_numpy().astype(np.int64) * (1 << 32)
+        + me["chunk_key"].to_numpy()
+    )
+    pos = np.searchsorted(key_ch, key_me)
+    prev = np.asarray(me["prev_tok"].to_numpy(), dtype=object)
+    nxt = np.asarray(me["next_tok"].to_numpy(), dtype=object)
+    pok = me["prev_ok"].to_numpy().astype(bool)
+    nok = me["next_ok"].to_numpy().astype(bool)
+    prev[~pok] = prev_fill[pos[~pok]]
+    nxt[~nok] = next_fill[pos[~nok]]
+    return pd.DataFrame(
+        {
+            "doc_id": me["doc_id"].to_numpy(),
+            "media_ref": me["media_ref"].to_numpy(),
+            "media_off": me["media_off"].to_numpy(),
+            "prev_tok": prev,
+            "next_tok": nxt,
+        }
+    )
+
+
+@query("media_context_spans", _MEDIA_CONTEXT_SQL)
+def q_media_context_spans(sf_dir: str):
+    return (
+        _capped_spans(sf_dir)
+        .map_batches(
+            lambda t: _with_bucket(_context_chunk_partial(t)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .repartition(_REDUCE_BLOCKS)
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _context_combine_bucket(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+    )

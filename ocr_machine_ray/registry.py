@@ -40,7 +40,7 @@ _SAMPLE_PRIORITY = [
     "interleaved_pairs", "merge_upsert", "psi_drift",
     "minhash_bands_spans", "quality_stats_spans", "decontaminate_spans",
     "bitext_mine", "curation_pipeline_spans", "simhash_spans",
-    "media_layout_spans",
+    "media_layout_spans", "media_context_spans",
     "cohort_retention", "rolling_event_sum", "pivot_event_counts",
     "daily_top_event", "regression_stats", "props_json_stats",
     "scd2_history", "daily_active_users", "recency_scores",

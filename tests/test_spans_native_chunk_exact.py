@@ -306,3 +306,66 @@ def test_media_layout_spans_chunk_exact(cap):
     )
     want = _expected_layout().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def _expected_context() -> pd.DataFrame:
+    """Independent media-context truth: python scan over each doc's
+    offset-ordered span stream."""
+    t = _spans_table()
+    spans = t["spans"].combine_chunks()
+    flat = spans.flatten()
+    counts = np.diff(spans.offsets.to_numpy(zero_copy_only=False))
+    doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), counts)
+    kind = np.asarray(flat.field("kind").to_pylist())
+    text = flat.field("text").to_pylist()
+    ref = flat.field("media_ref").to_pylist()
+    off = flat.field("offset").to_numpy(zero_copy_only=False)
+    rows = []
+    for d in np.unique(doc):
+        m = np.flatnonzero(doc == d)
+        order = m[np.argsort(off[m])]
+        seq = [(kind[i], text[i], ref[i], int(off[i])) for i in order]
+        for j, (k, _, r, o) in enumerate(seq):
+            if k != "media":
+                continue
+            prev = next(
+                (s[1] for s in reversed(seq[:j]) if s[0] == "text"), ""
+            )
+            nxt = next((s[1] for s in seq[j + 1 :] if s[0] == "text"), "")
+            rows.append(
+                {
+                    "doc_id": int(d),
+                    "media_ref": r,
+                    "media_off": o,
+                    "prev_tok": prev,
+                    "next_tok": nxt,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("cap", [1, 2, 3, 5, 1000])
+def test_media_context_spans_chunk_exact(cap):
+    """Media-span caption context survives ANY chunk split — including
+    media-only chunks at cap=1 — via the first/last-text-token exchange
+    and the segmented cross-chunk fill."""
+    from ocr_machine_ray.pipelines.queries_spans_native import (
+        _context_chunk_partial,
+        _context_combine_bucket,
+    )
+
+    capped = cap_spans_per_row(_spans_table(), cap)
+    got = (
+        _context_combine_bucket(_context_chunk_partial(capped).to_pandas())
+        .sort_values(["doc_id", "media_off"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _expected_context()
+        .sort_values(["doc_id", "media_off"])
+        .reset_index(drop=True)
+    )
+    if not len(want):
+        assert not len(got)
+        return
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
