@@ -440,3 +440,148 @@ class TestBoundaryExchangeProperties:
         pd.testing.assert_frame_equal(
             got, want[got.columns], check_dtype=False
         )
+
+
+def _flat_interleave(docs: pa.Table):
+    """Independent offset-ordered (kind, text, ref, off) stream per doc."""
+    t = corpus.derive_spans_batch(docs)
+    spans = t["spans"].combine_chunks()
+    flat = spans.flatten()
+    counts = np.diff(spans.offsets.to_numpy(zero_copy_only=False))
+    doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), counts)
+    kind = np.asarray(flat.field("kind").to_pylist())
+    text = flat.field("text").to_pylist()
+    ref = flat.field("media_ref").to_pylist()
+    off = flat.field("offset").to_numpy(zero_copy_only=False)
+    out = {}
+    for d in np.unique(doc):
+        m = np.flatnonzero(doc == d)
+        order = m[np.argsort(off[m])]
+        out[int(d)] = [
+            (kind[i], text[i], ref[i], int(off[i])) for i in order
+        ]
+    return out, t
+
+
+class TestInterleaveExchangeProperties:
+    """Chunk-exactness of the INTERLEAVING boundary exchanges (kind
+    transitions; media prev/next text context) on arbitrary texts/caps."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(TEXT, min_size=1, max_size=5),
+        st.integers(min_value=1, max_value=40),
+    )
+    def test_media_layout_chunk_exact_arbitrary(self, texts, cap):
+        import pandas as pd
+
+        from ocr_machine_ray.pipelines.queries_spans_native import (
+            _layout_chunk_partial,
+            _layout_combine_bucket,
+        )
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(len(texts), dtype=np.int64), type=pa.int64()
+                ),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        seqs, spans_t = _flat_interleave(docs)
+        capped = cap_spans_per_row(spans_t, cap)
+        got = (
+            _layout_combine_bucket(
+                _layout_chunk_partial(capped).to_pandas()
+            )
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        rows = []
+        for d, seq in sorted(seqs.items()):
+            k = [s[0] for s in seq]
+            mo = sorted(s[3] for s in seq if s[0] == "media")
+            rows.append(
+                {
+                    "doc_id": d,
+                    "n_media": sum(x == "media" for x in k),
+                    "n_text": sum(x == "text" for x in k),
+                    "n_transitions": sum(
+                        a != b for a, b in zip(k, k[1:])
+                    ),
+                    "first_media_off": mo[0] if mo else -1,
+                }
+            )
+        want = pd.DataFrame(rows)
+        pd.testing.assert_frame_equal(
+            got, want[got.columns], check_dtype=False
+        )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(TEXT, min_size=1, max_size=5),
+        st.integers(min_value=1, max_value=40),
+    )
+    def test_media_context_chunk_exact_arbitrary(self, texts, cap):
+        import pandas as pd
+
+        from ocr_machine_ray.pipelines.queries_spans_native import (
+            _context_chunk_partial,
+            _context_combine_bucket,
+        )
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(len(texts), dtype=np.int64), type=pa.int64()
+                ),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        seqs, spans_t = _flat_interleave(docs)
+        capped = cap_spans_per_row(spans_t, cap)
+        got = (
+            _context_combine_bucket(
+                _context_chunk_partial(capped).to_pandas()
+            )
+            .sort_values(["doc_id", "media_off"])
+            .reset_index(drop=True)
+        )
+        rows = []
+        for d, seq in sorted(seqs.items()):
+            for j, (k, _, r, o) in enumerate(seq):
+                if k != "media":
+                    continue
+                prev = next(
+                    (s[1] for s in reversed(seq[:j]) if s[0] == "text"),
+                    "",
+                )
+                nxt = next(
+                    (s[1] for s in seq[j + 1 :] if s[0] == "text"), ""
+                )
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "media_ref": r,
+                        "media_off": o,
+                        "prev_tok": prev,
+                        "next_tok": nxt,
+                    }
+                )
+        want = (
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "media_off", "prev_tok",
+                    "next_tok",
+                ],
+            )
+            .sort_values(["doc_id", "media_off"])
+            .reset_index(drop=True)
+        )
+        if not len(want):
+            assert not len(got)
+            return
+        pd.testing.assert_frame_equal(
+            got, want[got.columns], check_dtype=False
+        )
