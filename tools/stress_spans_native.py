@@ -8,6 +8,10 @@ boundary combine). Usage:
     python tools/stress_spans_native.py [sf_dir] [amp]
 
 Prints one JSON line with wall time, docs, chunk rows and band rows.
+An optional third arg picks the family: minhash (default, boundary-token
+shingle exchange), layout (kind-transition exchange), context (media
+prev/next text-token exchange) — the three structurally distinct
+combines over the nested interleaved layout.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     amp = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    family = sys.argv[3] if len(sys.argv) > 3 else "minhash"
 
     import ray
 
@@ -41,13 +46,18 @@ def main() -> int:
 
     from bench import N_BLOCKS, amplified_documents, host_probe
     from ocr_machine_ray.corpus import derive_spans_batch
+    from ocr_machine_ray.pipelines import queries_spans_native as qsn
     from ocr_machine_ray.pipelines.queries_spans_native import (
         SPAN_NATIVE_CAP,
-        _mh_chunk_partial,
-        _mh_combine_bucket,
         _with_bucket,
     )
     from ocr_machine_ray.stages.skew import cap_spans_per_row
+
+    partial, combine = {
+        "minhash": (qsn._mh_chunk_partial, qsn._mh_combine_bucket),
+        "layout": (qsn._layout_chunk_partial, qsn._layout_combine_bucket),
+        "context": (qsn._context_chunk_partial, qsn._context_combine_bucket),
+    }[family]
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * amp
     p0 = host_probe()
@@ -61,13 +71,13 @@ def main() -> int:
             batch_format="pyarrow", zero_copy_batch=True,
         )
         .map_batches(
-            lambda t: _with_bucket(_mh_chunk_partial(t)),
+            lambda t: _with_bucket(partial(t)),
             batch_format="pyarrow", zero_copy_batch=True,
         )
         .repartition(32)
         .groupby("bucket")
         .map_groups(
-            lambda g: _mh_combine_bucket(g.drop(columns=["bucket"])),
+            lambda g: combine(g.drop(columns=["bucket"])),
             batch_format="pandas",
         )
     )
@@ -80,11 +90,11 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "spans_native_minhash_stress",
+                "metric": f"spans_native_{family}_stress",
                 "wall_sec": round(wall, 2),
                 "docs_per_sec": round(n_docs / wall, 1),
                 "n_docs": n_docs,
-                "band_rows": n_rows,
+                "out_rows": n_rows,
                 "amp": amp,
                 "sf_dir": sf_dir,
                 "probes": [round(p0, 3), round(p1, 3)],
