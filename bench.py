@@ -328,6 +328,10 @@ def run_queries(sf_dir: str):
                 break
         times[name] = round(best, 3)
         meta[name] = {"ts": ts, "probe": probe}
+        if best > 4.0:
+            # slow entry: bracket it so a burst INSIDE the query is
+            # attributable (the pre-probe alone missed r3's 90 s outlier)
+            meta[name]["probe_post"] = round(light_probe(), 3)
     return times, meta, untimed
 
 
@@ -372,6 +376,14 @@ def main_single() -> None:
     if os.environ.get("GRAFT_SKIP_QUERIES"):
         queries, query_meta, untimed = {}, {}, []
     else:
+        # a burst that inflated a headline run is often still live when
+        # the query loop starts (r3: head_b 44 s -> the first queries
+        # recorded 8 s for 0.7 s pipelines); wait it out, bounded
+        if max(head_a["wall_sec"], head_b["wall_sec"]) > 2 * head["wall_sec"]:
+            for _ in range(4):
+                if host_probe() <= 0.5:
+                    break
+                time.sleep(45)
         queries, query_meta, untimed = run_queries(SF_DIR)
     result = {
         "metric": "extraction wall sec (amplified corpus)",

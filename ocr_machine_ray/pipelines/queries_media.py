@@ -20,6 +20,7 @@ from ..functions.images import (
 )
 from ..registry import query
 from ..stages.explode import explode_spans
+from ..stages.skew import cluster_cpus
 from ..stages.media import (
     PageClassifier,
     StrikeCV,
@@ -352,7 +353,7 @@ def q_strike_cv(sf_dir: str):
     # barrier: without it Ray fuses derive->render INTO the actor operator
     # and batch_size counts DOCUMENT input rows (serial-bundle collapse,
     # same trap as _media_rows — measured 14.5s -> 7.9s cold at sf0.01)
-    return regions.repartition(32).map_batches(
+    return regions.repartition(cluster_cpus()).map_batches(
         StrikeCV,
         batch_format="pyarrow",
         batch_size=1024,  # actor-pool boundary: input rows here ARE words
@@ -390,7 +391,7 @@ def q_strike_model(sf_dir: str):
     regions = words.map_batches(
         render_word_regions_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    scored = regions.repartition(32).map_batches(
+    scored = regions.repartition(cluster_cpus()).map_batches(
         ModelScorer,
         batch_format="pyarrow",
         batch_size=512,  # actor-pool boundary: input rows here ARE words
@@ -439,7 +440,7 @@ def q_video_frame_sample(sf_dir: str):
             synth_video_batch, batch_format="pyarrow", zero_copy_batch=True
         )
     )
-    return videos.repartition(32).map_batches(
+    return videos.repartition(cluster_cpus()).map_batches(
         sample_frames_batch, batch_format="pyarrow", batch_size=None
     )
 
@@ -712,7 +713,7 @@ def q_video_shot_detect(sf_dir: str):
             zero_copy_batch=True,
         )
     )
-    return videos.repartition(32).map_batches(
+    return videos.repartition(cluster_cpus()).map_batches(
         detect_shots_batch, batch_format="pyarrow", batch_size=None
     )
 

@@ -36,7 +36,7 @@ from ..functions.text import QUALITY_STOPWORDS
 from ..registry import query
 from ..sources.readers import read_spans_corpus
 from ..stages.explode import explode_spans
-from ..stages.skew import cap_spans_per_row
+from ..stages.skew import cap_spans_per_row, cluster_cpus
 from ..stages.strike import rule_verdict_flat
 from .extraction import _reassemble_group
 from .queries_extraction import _EXTRACT_SQL
@@ -507,11 +507,20 @@ def _with_bucket(t: pa.Table) -> pa.Table:
     return t.append_column("bucket", pa.array(b, type=pa.int64()))
 
 
-# consolidate partial blocks before the groupby Sort: Ray 2.49's
-# all-to-all pays a fixed per-(input x output)-block cost, and 256 tiny
-# partial blocks cost ~12s of pure overhead at the 80k-doc stress
-# (measured: partials-only 4.5s, +groupby 17.4s, +repartition(32) 5.0s)
-_REDUCE_BLOCKS = 32
+_REDUCE_BLOCKS = 32  # single-node fallback (this sandbox's core count)
+
+
+def _reduce_blocks() -> int:
+    """Consolidation width for pre-groupby partial blocks: ~1 per core.
+
+    Ray 2.49's all-to-all pays a fixed per-(input x output)-block cost;
+    256 tiny partial blocks cost ~12 s of pure overhead at the 80k-doc
+    stress (measured: partials-only 4.5 s, +groupby 17.4 s,
+    +repartition(~cores) 5.0 s). Sized from live cluster resources so a
+    256-node deployment consolidates to ~total-cores blocks, not to this
+    sandbox's 32 — the block count must scale with the cluster or the
+    shuffle re-serializes through too few, too-large blocks."""
+    return cluster_cpus(_REDUCE_BLOCKS)
 
 
 def q_minhash_bands_spans(sf_dir: str):
@@ -521,7 +530,7 @@ def q_minhash_bands_spans(sf_dir: str):
             lambda t: _with_bucket(_mh_chunk_partial(t)),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        .repartition(_REDUCE_BLOCKS)
+        .repartition(_reduce_blocks())
         .groupby("bucket")
         .map_groups(
             lambda g: _mh_combine_bucket(g.drop(columns=["bucket"])),
@@ -630,7 +639,7 @@ def q_quality_stats_spans(sf_dir: str):
             lambda t: _with_bucket(_quality_chunk_partial(t)),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        .repartition(_REDUCE_BLOCKS)
+        .repartition(_reduce_blocks())
         .groupby("bucket")
         .map_groups(
             lambda g: _quality_combine_bucket(g.drop(columns=["bucket"])),
@@ -817,7 +826,7 @@ def q_decontaminate_spans(sf_dir: str):
             lambda t: _with_bucket(internal_hits(t)),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        .repartition(_REDUCE_BLOCKS)
+        .repartition(_reduce_blocks())
         .groupby("bucket")
         .map_groups(
             lambda g: decon_combine_bucket(g.drop(columns=["bucket"])),
@@ -1082,7 +1091,7 @@ def q_curation_pipeline_spans(sf_dir: str):
             lambda t: _with_bucket(_curation_chunk_partial(t)),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        .repartition(_REDUCE_BLOCKS)
+        .repartition(_reduce_blocks())
         .groupby("bucket")
         .map_groups(
             lambda g: _curation_combine_bucket(g.drop(columns=["bucket"])),
@@ -1185,7 +1194,7 @@ def q_simhash_spans(sf_dir: str):
             lambda t: _with_bucket(_simhash_chunk_partial(t)),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        .repartition(_REDUCE_BLOCKS)
+        .repartition(_reduce_blocks())
         .groupby("bucket")
         .map_groups(
             lambda g: _simhash_combine_bucket(g.drop(columns=["bucket"])),
@@ -1330,7 +1339,7 @@ def q_media_layout_spans(sf_dir: str):
             lambda t: _with_bucket(_layout_chunk_partial(t)),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        .repartition(_REDUCE_BLOCKS)
+        .repartition(_reduce_blocks())
         .groupby("bucket")
         .map_groups(
             lambda g: _layout_combine_bucket(g.drop(columns=["bucket"])),
@@ -1537,7 +1546,7 @@ def q_media_context_spans(sf_dir: str):
             lambda t: _with_bucket(_context_chunk_partial(t)),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        .repartition(_REDUCE_BLOCKS)
+        .repartition(_reduce_blocks())
         .groupby("bucket")
         .map_groups(
             lambda g: _context_combine_bucket(g.drop(columns=["bucket"])),

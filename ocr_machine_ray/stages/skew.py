@@ -25,6 +25,22 @@ import pyarrow as pa
 DEFAULT_SPAN_CAP = 3000  # the reference's max work-unit size (pages -> spans)
 
 
+def cluster_cpus(default: int = 32) -> int:
+    """Live cluster CPU count, for sizing repartition widths and fusion
+    barriers (~1 block per core). Reads ray.cluster_resources() so a
+    256-node deployment widens with the cluster instead of pinning to
+    this sandbox's 32; falls back to ``default`` when Ray isn't
+    initialized (pure-pandas unit tests, import time)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(8, int(ray.cluster_resources().get("CPU", 0)) or default)
+    except Exception:
+        pass
+    return default
+
+
 def cap_spans_per_row(batch: pa.Table, cap: int = DEFAULT_SPAN_CAP) -> pa.Table:
     """Split rows whose span list exceeds `cap` into chunked rows.
 
