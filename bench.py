@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "simhash_spans",
     "media_layout_spans",
     "media_context_spans",
+    "section_stats_spans",
 ]
 
 

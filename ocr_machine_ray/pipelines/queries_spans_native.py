@@ -1553,3 +1553,203 @@ def q_media_context_spans(sf_dir: str):
             batch_format="pandas",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Section (text-run) statistics FROM the nested spans layout: a "section"
+# is a maximal run of consecutive TEXT spans in offset order, delimited by
+# media spans — the unit a Readability-style extractor scores (the
+# reference's main-content strip rates contiguous text blocks between
+# figures; fake_scan.py interleaves a media ref every MEDIA_EVERY tokens).
+# Per document: number of sections, longest section (in text spans), and
+# the length of the trailing section (0 when the doc ends with media).
+#
+# Chunk-exactness needs a RUN-MERGE exchange, strictly stronger than the
+# first/last-kind exchange of media_layout_spans: a section can straddle
+# MANY chunk rows (every interior chunk being all-text), so each chunk
+# emits (prefix_run, suffix_run, all_text, closed-run count/max) and the
+# combine stitches runs through arbitrarily long all-text chunk chains —
+# a segmented scan, fully vectorized via cumsums over the sorted chunk
+# sequence (no per-doc Python loop).
+# ---------------------------------------------------------------------------
+_SECTION_STATS_SQL = f"""
+{SQL_ALL_SPANS},
+sec AS (
+  SELECT doc_id, kind, off,
+         count(*) FILTER (WHERE kind = 'media')
+             OVER (PARTITION BY doc_id ORDER BY off
+                   ROWS UNBOUNDED PRECEDING) AS sec_id
+  FROM all_spans
+),
+runs AS (
+  SELECT doc_id, sec_id, count(*) AS run_len
+  FROM sec WHERE kind = 'text' GROUP BY doc_id, sec_id
+),
+ends AS (
+  SELECT doc_id, max_by(kind, off) AS last_kind
+  FROM all_spans GROUP BY doc_id
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_sections, max(run_len) AS max_section,
+         max_by(run_len, sec_id) AS last_run
+  FROM runs GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(a.n_sections AS BIGINT) AS n_sections,
+       CAST(a.max_section AS BIGINT) AS max_section,
+       CAST(CASE WHEN e.last_kind = 'text' THEN a.last_run ELSE 0 END
+            AS BIGINT) AS last_section
+FROM agg a JOIN ends e USING (doc_id)
+"""
+
+
+def _section_chunk_partial(batch: pa.Table) -> pa.Table:
+    """Per-chunk-row text-run partial: prefix/suffix run lengths, whether
+    the whole chunk is one text run, and count/max of runs CLOSED strictly
+    inside the chunk (touching neither chunk edge)."""
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    n_spans = np.diff(spans.offsets.to_numpy(zero_copy_only=False)).astype(
+        np.int64
+    )
+    n_rows = len(batch)
+    row_of_span = np.repeat(np.arange(n_rows, dtype=np.int64), n_spans)
+    is_text = np.asarray(
+        pa.compute.equal(flat.field("kind"), "text").to_numpy(
+            zero_copy_only=False
+        )
+    )
+    off = flat.field("offset").to_numpy(zero_copy_only=False)
+    starts = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_spans, out=starts[1:])
+    # run-length encode (kind, row): a run breaks on kind change OR row
+    # change (span lists are offset-ordered by construction)
+    m = len(is_text)
+    if m:
+        chg = (is_text[1:] != is_text[:-1]) | (
+            row_of_span[1:] != row_of_span[:-1]
+        )
+        run_start = np.concatenate(
+            [[0], np.flatnonzero(chg) + 1]
+        ).astype(np.int64)
+    else:
+        run_start = np.zeros(0, dtype=np.int64)
+    run_end = np.concatenate([run_start[1:], [m]]).astype(np.int64)
+    run_len = run_end - run_start
+    run_row = row_of_span[run_start] if m else np.zeros(0, dtype=np.int64)
+    run_text = is_text[run_start] if m else np.zeros(0, dtype=bool)
+    touch_start = run_start == starts[:-1][run_row]
+    touch_end = run_end == starts[1:][run_row]
+    prefix = np.zeros(n_rows, dtype=np.int64)
+    sel = run_text & touch_start
+    prefix[run_row[sel]] = run_len[sel]
+    suffix = np.zeros(n_rows, dtype=np.int64)
+    sel = run_text & touch_end
+    suffix[run_row[sel]] = run_len[sel]
+    closed = run_text & ~touch_start & ~touch_end
+    n_closed = np.bincount(run_row[closed], minlength=n_rows).astype(
+        np.int64
+    )
+    max_closed = np.zeros(n_rows, dtype=np.int64)
+    np.maximum.at(max_closed, run_row[closed], run_len[closed])
+    all_text = prefix == n_spans  # single text run spanning the whole chunk
+    keep = n_spans > 0
+    k = np.flatnonzero(keep)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                batch["doc_id"].to_numpy(zero_copy_only=False)[k],
+                type=pa.int64(),
+            ),
+            "chunk_key": pa.array(off[starts[:-1]][k], type=pa.int64()),
+            "n_spans": pa.array(n_spans[k], type=pa.int64()),
+            "all_text": pa.array(all_text[k], type=pa.bool_()),
+            "prefix_run": pa.array(prefix[k], type=pa.int64()),
+            "suffix_run": pa.array(suffix[k], type=pa.int64()),
+            "n_closed": pa.array(n_closed[k], type=pa.int64()),
+            "max_closed": pa.array(max_closed[k], type=pa.int64()),
+        }
+    )
+
+
+def _section_combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized multi-doc run-merge: anchors are non-all-text chunks;
+    all-text chunks between anchors extend the open run via a cumsum of
+    their span counts (so one section can flow through any number of
+    chunks). No per-doc Python loop."""
+    df = df.sort_values(["doc_id", "chunk_key"])
+    doc = df["doc_id"].to_numpy()
+    n = len(doc)
+    change = np.concatenate([[True], doc[1:] != doc[:-1]])
+    dstarts = np.flatnonzero(change)
+    dends = np.concatenate([dstarts[1:], [n]]) - 1
+    d_of_row = np.cumsum(change) - 1
+    ndocs = len(dstarts)
+    at = df["all_text"].to_numpy()
+    ns = df["n_spans"].to_numpy().astype(np.int64)
+    pre = df["prefix_run"].to_numpy().astype(np.int64)
+    suf = df["suffix_run"].to_numpy().astype(np.int64)
+    ncl = df["n_closed"].to_numpy().astype(np.int64)
+    mxc = df["max_closed"].to_numpy().astype(np.int64)
+    # cumulative all-text span mass; anchors contribute 0, so the mass of
+    # the all-text chain strictly between two rows i<j is cat[j]-cat[i]
+    cat = np.cumsum(np.where(at, ns, 0)).astype(np.int64)
+    catm1 = np.concatenate([[0], cat[:-1]])
+    n_sec = np.zeros(ndocs, dtype=np.int64)
+    mx = np.zeros(ndocs, dtype=np.int64)
+    a_idx = np.flatnonzero(~at)
+    if len(a_idx):
+        a_doc = d_of_row[a_idx]
+        a_first = np.concatenate([[True], a_doc[1:] != a_doc[:-1]])
+        prev_idx = np.empty(len(a_idx), dtype=np.int64)
+        prev_idx[1:] = a_idx[:-1]
+        prev_idx[0] = 0
+        prev_suf = np.where(a_first, 0, suf[prev_idx])
+        prev_cat = np.where(
+            a_first, catm1[dstarts[a_doc]], cat[prev_idx]
+        )
+        first_run = prev_suf + (cat[a_idx] - prev_cat) + pre[a_idx]
+        np.add.at(n_sec, a_doc, (first_run > 0).astype(np.int64) + ncl[a_idx])
+        np.maximum.at(mx, a_doc, np.maximum(first_run, mxc[a_idx]))
+    # trailing carry per doc: last anchor's suffix plus the all-text tail
+    last_anchor = np.full(ndocs, -1, dtype=np.int64)
+    if len(a_idx):
+        last_anchor[d_of_row[a_idx]] = a_idx  # ordered -> last write wins
+    has_anchor = last_anchor >= 0
+    carry = np.where(
+        has_anchor,
+        suf[np.maximum(last_anchor, 0)]
+        + cat[dends] - cat[np.maximum(last_anchor, 0)],
+        cat[dends] - catm1[dstarts],
+    )
+    n_sec += (carry > 0).astype(np.int64)
+    np.maximum.at(mx, np.arange(ndocs), carry)
+    out = pd.DataFrame(
+        {
+            "doc_id": doc[dstarts].astype(np.int64),
+            "n_sections": n_sec,
+            "max_section": mx,
+            "last_section": carry.astype(np.int64),
+        }
+    )
+    # the oracle emits only docs with >=1 nonempty text run
+    return out[out["n_sections"] > 0].reset_index(drop=True)
+
+
+@query("section_stats_spans", _SECTION_STATS_SQL)
+def q_section_stats_spans(sf_dir: str):
+    return (
+        _capped_spans(sf_dir)
+        .map_batches(
+            lambda t: _with_bucket(_section_chunk_partial(t)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .repartition(_reduce_blocks())
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _section_combine_bucket(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+    )

@@ -36,6 +36,7 @@ def query(name: str, sql: str | None = None):
 _SAMPLE_PRIORITY = [
     # round-4 additions lead (never driver-sampled; new oracles should be
     # driver-verified the round they land)
+    "section_stats_spans",
     "token_freq_spans", "dsir_resample", "audio_spectrogram",
     "interleaved_pairs", "merge_upsert", "psi_drift",
     "minhash_bands_spans", "quality_stats_spans", "decontaminate_spans",

@@ -585,3 +585,65 @@ class TestInterleaveExchangeProperties:
         pd.testing.assert_frame_equal(
             got, want[got.columns], check_dtype=False
         )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(TEXT, min_size=1, max_size=5),
+        st.integers(min_value=1, max_value=40),
+    )
+    def test_section_stats_chunk_exact_arbitrary(self, texts, cap):
+        import pandas as pd
+
+        from ocr_machine_ray.pipelines.queries_spans_native import (
+            _section_chunk_partial,
+            _section_combine_bucket,
+        )
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(len(texts), dtype=np.int64), type=pa.int64()
+                ),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        seqs, spans_t = _flat_interleave(docs)
+        capped = cap_spans_per_row(spans_t, cap)
+        got = (
+            _section_combine_bucket(
+                _section_chunk_partial(capped).to_pandas()
+            )
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        rows = []
+        for d, seq in sorted(seqs.items()):
+            runs, cur = [], 0
+            for k, _, _, _ in seq:
+                if k == "text":
+                    cur += 1
+                elif cur:
+                    runs.append(cur)
+                    cur = 0
+            if cur:
+                runs.append(cur)
+            if not runs:
+                continue
+            rows.append(
+                {
+                    "doc_id": d,
+                    "n_sections": len(runs),
+                    "max_section": max(runs),
+                    "last_section": cur,
+                }
+            )
+        want = pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_sections", "max_section", "last_section"],
+        )
+        if not len(want):
+            assert not len(got)
+            return
+        pd.testing.assert_frame_equal(
+            got, want[got.columns], check_dtype=False
+        )

@@ -369,3 +369,60 @@ def test_media_context_spans_chunk_exact(cap):
         assert not len(got)
         return
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def _expected_sections() -> pd.DataFrame:
+    """Independent section truth: python scan over each doc's
+    offset-ordered kind stream (no shared code with the query)."""
+    t = _spans_table()
+    spans = t["spans"].combine_chunks()
+    flat = spans.flatten()
+    counts = np.diff(spans.offsets.to_numpy(zero_copy_only=False))
+    doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), counts)
+    kind = np.asarray(flat.field("kind").to_pylist())
+    off = flat.field("offset").to_numpy(zero_copy_only=False)
+    rows = []
+    for d in np.unique(doc):
+        m = doc == d
+        k = kind[m][np.argsort(off[m])]
+        runs, cur = [], 0
+        for x in k:
+            if x == "text":
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        last = cur
+        if cur:
+            runs.append(cur)
+        if not runs:
+            continue
+        rows.append(
+            {
+                "doc_id": int(d),
+                "n_sections": len(runs),
+                "max_section": max(runs),
+                "last_section": last,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("cap", [1, 2, 3, 5, 1000])
+def test_section_stats_spans_chunk_exact(cap):
+    """Section (text-run) stats survive ANY chunk split via the run-merge
+    exchange — at cap=1 every section straddles chunk rows and the
+    all-text chain stitch is load-bearing."""
+    from ocr_machine_ray.pipelines.queries_spans_native import (
+        _section_chunk_partial,
+        _section_combine_bucket,
+    )
+
+    capped = cap_spans_per_row(_spans_table(), cap)
+    got = (
+        _section_combine_bucket(_section_chunk_partial(capped).to_pandas())
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _expected_sections().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)

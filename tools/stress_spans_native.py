@@ -9,9 +9,10 @@ boundary combine). Usage:
 
 Prints one JSON line with wall time, docs, chunk rows and band rows.
 An optional third arg picks the family: minhash (default, boundary-token
-shingle exchange), layout (kind-transition exchange), context (media
-prev/next text-token exchange) — the three structurally distinct
-combines over the nested interleaved layout.
+shingle exchange), layout (kind-transition exchange), sections
+(text-run-merge exchange), context (media prev/next text-token
+exchange) — the structurally distinct combines over the nested
+interleaved layout.
 """
 
 from __future__ import annotations
@@ -57,6 +58,7 @@ def main() -> int:
         "minhash": (qsn._mh_chunk_partial, qsn._mh_combine_bucket),
         "layout": (qsn._layout_chunk_partial, qsn._layout_combine_bucket),
         "context": (qsn._context_chunk_partial, qsn._context_combine_bucket),
+        "sections": (qsn._section_chunk_partial, qsn._section_combine_bucket),
     }[family]
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * amp
