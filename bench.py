@@ -431,14 +431,17 @@ def main_single() -> None:
     compact["queries"] = kept
     compact["n_queries_timed"] = len(queries)
     compact["n_queries_untimed"] = len(untimed)
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_LOCAL.json"), "w"
-        ) as f:
-            json.dump(full, f, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    # headline-only runs (GRAFT_SKIP_QUERIES — e.g. the --scaling legs)
+    # must not clobber the last FULL per-query record
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LOCAL.json"), "w"
+            ) as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
     print(json.dumps(full, separators=(",", ":")))
     print(json.dumps(compact, separators=(",", ":")))
     ray.shutdown()
