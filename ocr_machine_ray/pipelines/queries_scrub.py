@@ -316,10 +316,13 @@ def _messy_urls(batch: pa.Table) -> "pa.ChunkedArray":
 
 
 def canonicalize_urls(raw: "pa.Array") -> "pa.Array":
-    """Real canonicalization kernels: strip query/fragment, strip ONE
-    trailing slash (not the scheme's), lowercase."""
+    """Real canonicalization kernels: strip query/fragment, strip the
+    trailing slash RUN (idempotent — '//' tails collapse in one pass; the
+    [^:/] guard leaves the scheme's '://' alone), lowercase."""
     no_query = pc.replace_substring_regex(raw, r"[?#].*$", "")
-    no_slash = pc.replace_substring_regex(no_query, r"(?P<keep>[^/])/$", "\\1")
+    no_slash = pc.replace_substring_regex(
+        no_query, r"(?P<keep>[^:/])/+$", "\\1"
+    )
     return pc.utf8_lower(no_slash)
 
 
