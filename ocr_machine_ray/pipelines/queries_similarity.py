@@ -1441,7 +1441,14 @@ def q_bitext_mine(sf_dir: str):
             ["margin", "sid"], ascending=[False, True]
         )
         if len(bwd) == 0:
-            return pd.DataFrame({"src_id": [], "tgt_id": []})
+            # typed empty so the guard stays schema-safe if batch shapes
+            # ever make a tid group arrive with no backward partials
+            return pd.DataFrame(
+                {
+                    "src_id": pd.Series([], dtype=np.int64),
+                    "tgt_id": pd.Series([], dtype=np.int64),
+                }
+            )
         winner = int(bwd["sid"].iloc[0])
         fwd = g[(g["kind"] == 0) & (g["sid"] == winner)]
         return pd.DataFrame(

@@ -449,6 +449,10 @@ class _BucketLayout:
         boundary: starts p-2, p-1 around each boundary p."""
         sh_doc: list[int] = []
         sh_str: list[str] = []
+        # dedup (doc, window-start): adjacent boundaries around a 1-token
+        # interior chunk both generate j = p - 1, and additive consumers
+        # (decon_combine_bucket's np.add.at) would double-count it
+        seen: set[tuple[int, int]] = set()
         for r in np.flatnonzero(~self.change):
             d = int(self.d_of_row[r])
             n = int(self.n_per_doc[d])
@@ -456,7 +460,8 @@ class _BucketLayout:
                 continue
             p = int(self.base[r])
             for j in (p - 2, p - 1):
-                if 0 <= j <= n - SHINGLE_N:
+                if 0 <= j <= n - SHINGLE_N and (d, j) not in seen:
+                    seen.add((d, j))
                     sh_doc.append(d)
                     sh_str.append(
                         " ".join(gpos[(d, j + k)] for k in range(SHINGLE_N))
@@ -1496,7 +1501,17 @@ def _context_combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
     )
     cols = ["doc_id", "media_ref", "media_off", "prev_tok", "next_tok"]
     if not len(me):
-        return pd.DataFrame({c: [] for c in cols})
+        # typed empty: default float64/object columns would disagree with
+        # the int64/string blocks from non-empty groups
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "media_ref": pd.Series([], dtype=object),
+                "media_off": pd.Series([], dtype=np.int64),
+                "prev_tok": pd.Series([], dtype=object),
+                "next_tok": pd.Series([], dtype=object),
+            }
+        )[cols]
     doc = ch["doc_id"].to_numpy().astype(np.int64)
     n = len(ch)
     idx = np.arange(n, dtype=np.int64)

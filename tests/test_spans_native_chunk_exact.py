@@ -173,6 +173,64 @@ def test_window_partition_invariant(cap):
         assert got == want, (doc_id, cap)
 
 
+@pytest.mark.parametrize("cap", [1, 2, 3, 5, 1000])
+def test_bucket_straddles_partition_invariant(cap):
+    """The PRODUCTION bucket combiner's straddle path (_BucketLayout
+    .straddles) also partitions the window set exactly — as a MULTISET,
+    not just a set: adjacent boundaries around a 1-token interior chunk
+    both generate window start p-1, and additive consumers
+    (decon_combine_bucket's np.add.at) would double-count it."""
+    from collections import Counter
+
+    from ocr_machine_ray.pipelines.queries_spans_native import (
+        _boundary_cols,
+        _BucketLayout,
+        _chunk_text_tokens,
+        _internal_grams,
+    )
+
+    capped = cap_spans_per_row(_spans_table(), cap)
+    doc_ids, chunk_off, toks, row_starts, n_toks, keep, _ = _chunk_text_tokens(
+        capped
+    )
+    grams, gram_rows = _internal_grams(toks, n_toks)
+    k = np.flatnonzero(keep)
+    bcols = _boundary_cols(toks, row_starts)
+    df = pd.DataFrame(
+        {
+            "doc_id": doc_ids[k],
+            "chunk_off": chunk_off[k],
+            "n_toks": n_toks[k],
+            "btoks": [bcols[r] for r in k],
+        }
+    )
+    lay = _BucketLayout(df)
+    sh_doc, sh_str = lay.straddles(lay.gpos())
+    straddle_by_doc: dict[int, list] = {}
+    for d, s in zip(sh_doc, sh_str):
+        straddle_by_doc.setdefault(int(lay.docs[d]), []).append(s)
+    internal_by_doc: dict[int, list] = {}
+    for g, r in zip(grams, gram_rows):
+        internal_by_doc.setdefault(int(doc_ids[r]), []).append(g)
+
+    from ocr_machine_ray.corpus import FlatTokens
+
+    ft = FlatTokens(pa.Table.from_pandas(_DOCS))
+    all_toks = np.asarray(ft.tokens_arrow.to_pylist(), dtype=object)
+    for doc_id in np.unique(doc_ids):
+        doc_id = int(doc_id)
+        got = Counter(
+            internal_by_doc.get(doc_id, [])
+            + straddle_by_doc.get(doc_id, [])
+        )
+        dtoks = all_toks[ft.doc_ids == doc_id]
+        want = Counter(
+            f"{dtoks[j]} {dtoks[j + 1]} {dtoks[j + 2]}"
+            for j in range(len(dtoks) - 2)
+        )
+        assert got == want, (doc_id, cap)
+
+
 @pytest.mark.parametrize("cap", [1, 2, 3, 5, 7, 1000])
 def test_minhash_bucket_combine_matches_doc_combine(cap):
     """The vectorized multi-doc bucket combiner is byte-identical to the
