@@ -106,39 +106,65 @@ def extract(sf_dir: str) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
-# Shuffle variant: reassembly as a real groupby(doc_id) for pre-exploded
-# inputs (covers operator M15's wide form; SURVEY.md §2.2 M15, §7.2).
+# Shuffle variant: reassembly as a real groupby for pre-exploded inputs
+# (covers operator M15's wide form; SURVEY.md §2.2 M15, §7.2). The groupby
+# key is the doc BUCKET (doc_id >> 8), not doc_id: map_groups dispatches
+# the UDF once PER GROUP (~0.6-3 ms of pandas overhead each, BASELINE.md),
+# so a bucket of ~256 whole documents amortizes that across one vectorized
+# lexsort + segmented dense-ord kernel. Bucketing on a doc_id prefix keeps
+# the groupby contract intact — every span of a document lands in exactly
+# one group.
 # ---------------------------------------------------------------------------
-def _reassemble_group(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values("offset", kind="mergesort")
-    group["ord"] = np.arange(len(group), dtype=np.int64)
-    return group[["doc_id", "kind", "text", "media_ref", "ord"]]
+_REASSEMBLE_BUCKET_BITS = 8
+
+
+def _reassemble_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    doc = group["doc_id"].to_numpy().astype(np.int64)
+    off = group["offset"].to_numpy().astype(np.int64)
+    order = np.lexsort((off, doc))
+    d = doc[order]
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    counts = np.diff(np.r_[starts, len(d)])
+    ordv = np.arange(len(d), dtype=np.int64) - np.repeat(starts, counts)
+    return pd.DataFrame(
+        {
+            "doc_id": d,
+            "kind": group["kind"].to_numpy()[order],
+            "text": group["text"].to_numpy()[order],
+            "media_ref": group["media_ref"].to_numpy()[order],
+            "ord": ordv,
+        }
+    )
 
 
 def extract_flat_shuffled(sf_dir: str) -> ray.data.Dataset:
     """Same result as `extract`, via explode -> verdict -> filter ->
-    groupby(doc_id).map_groups reassembly (an all-to-all shuffle).
+    doc-bucketed groupby reassembly (an all-to-all shuffle).
 
     Kept for inputs that arrive as flat span streams; the nested local path
     is the default because it moves ~0 bytes between nodes for this step.
     """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keep = pa.compute.invert(t["struck"].combine_chunks())
+        t = t.filter(keep).drop_columns(["struck"])
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "_db", pa.array(doc >> _REASSEMBLE_BUCKET_BITS)
+        )
+
     flat = (
         spans_corpus(sf_dir)
         .map_batches(explode_spans, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(rule_verdict_flat, batch_format="pyarrow",
                      zero_copy_batch=True)
-        .map_batches(
-            lambda t: t.filter(
-                pa.compute.invert(t["struck"].combine_chunks())
-            ).drop_columns(["struck"]),
-            batch_format="pyarrow",
-        )
+        .map_batches(add_bucket, batch_format="pyarrow")
     )
     sch = flat.schema()  # None on a fully-empty stream
     if sch is not None and "category" in sch.names:
         flat = flat.drop_columns(["category"])
-    return flat.groupby("doc_id").map_groups(
-        _reassemble_group, batch_format="pandas"
+    return flat.groupby("_db").map_groups(
+        _reassemble_bucket, batch_format="pandas"
     )
 
 

@@ -7,9 +7,11 @@ counters because its engine could not express per-key ordering).
 
 Scale notes common to the family:
 - Events are consumed once with column pruning; every per-user computation
-  rides ONE hash shuffle on user_id (``groupby(user_id).map_groups``), the
-  same partitioning key reused across this family. Group size is bounded by
-  per-user activity, never by corpus size.
+  rides ONE hash shuffle on the user BUCKET (``user_id >> 8`` — all of a
+  user's rows share a bucket), the same partitioning key reused across
+  this family. Group size is bounded by ~256 users' activity, never by
+  corpus size, and the per-group pandas dispatch (~0.6-3 ms each,
+  BASELINE.md) amortizes across the bucket's vectorized segmented kernels.
 - map_groups emits one tiny block per group; any stage feeding a later
   all-to-all repartitions first (tiny-block shuffle tax, BASELINE.md).
 - Aggregate keys are packed into a single int64 (multi-key groupby is
@@ -31,6 +33,16 @@ def _read(sf_dir: str, columns=None):
     import ray.data
 
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+# per-user map_groups dispatches the UDF once PER GROUP (~0.6-3 ms of
+# pandas overhead each — BASELINE.md); every per-user computation in this
+# family therefore groups on a USER BUCKET (user_id >> 8, ~256 users per
+# group) and vectorizes across users inside the bucket with segmented
+# np.*.reduceat / cumsum kernels over rows sorted by user. Bucketing on a
+# user_id prefix preserves the groupby contract — all of a user's rows
+# land in exactly one group.
+_USER_BUCKET_BITS = 8
 
 
 def _cents(arr: np.ndarray) -> np.ndarray:
@@ -83,44 +95,54 @@ def q_funnel_counts(sf_dir: str):
         mask = pc.is_in(
             batch["event_type"], value_set=pa.array(_FUNNEL_STAGES)
         )
-        return batch.filter(mask)
+        t = batch.filter(mask)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_ub", pa.array(uid >> _USER_BUCKET_BITS))
 
-    def user_stage(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].to_numpy()
-        et = g["event_type"].to_numpy()
-        stage = 0
-        t = None
+    def bucket_stages(g: pd.DataFrame) -> pd.DataFrame:
+        # ~256 users' funnel events per group: segmented three-min scan —
+        # per-user stage-k min-ts is np.minimum.reduceat over rows sorted
+        # by user, with the stage-(k-1) min broadcast back per row as the
+        # strictly-after gate. HUGE marks "stage not reached"; ts > HUGE
+        # is never true, so missing earlier stages propagate for free.
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        order = np.argsort(uid, kind="mergesort")
+        uid = uid[order]
+        ts = (
+            g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)[order]
+        )
+        et = g["event_type"].to_numpy()[order]
+        change = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        HUGE = np.iinfo(np.int64).max
+        t_prev: np.ndarray | None = None
+        n_reached = []
         for name in _FUNNEL_STAGES:
-            m = et == name if t is None else (et == name) & (ts > t)
-            if not m.any():
-                break
-            t = ts[m].min()
-            stage += 1
-        return pd.DataFrame({"stage_reached": [np.int64(stage)]})
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        reached = batch["stage_reached"].to_numpy(zero_copy_only=False)
-        return pa.table(
+            m = et == name
+            if t_prev is not None:
+                m &= ts > t_prev[seg]
+            t_k = np.minimum.reduceat(np.where(m, ts, HUGE), starts)
+            n_reached.append(int((t_k < HUGE).sum()))
+            t_prev = t_k
+        return pd.DataFrame(
             {
-                "stage": pa.array([1, 2, 3], type=pa.int64()),
-                "n": pa.array(
-                    [int((reached >= s).sum()) for s in (1, 2, 3)],
-                    type=pa.int64(),
-                ),
+                "stage": np.array([1, 2, 3], dtype=np.int64),
+                "n": np.array(n_reached, dtype=np.int64),
             }
         )
 
     counts: dict[int, int] = {1: 0, 2: 0, 3: 0}
     if parquet_num_rows(sf_dir, "events") > 0:
-        per_user = (
+        partials = (
             _read(sf_dir, ["user_id", "ts", "event_type"])
             .map_batches(
                 keep_funnel, batch_format="pyarrow", zero_copy_batch=True
             )
-            .groupby("user_id")
-            .map_groups(user_stage, batch_format="pandas")
+            .groupby("_ub")
+            .map_groups(bucket_stages, batch_format="pandas")
+            .repartition(8)  # collapse one-block-per-bucket before shuffle
         )
-        partials = per_user.map_batches(partial_counts, batch_format="pyarrow")
         # final reduce output is <= 3 rows; merging it on the driver is
         # output-sized, not input-sized (empty-after-filter streams come
         # back schema-less in ray 2.49 — the dict fill handles that too)
@@ -168,8 +190,6 @@ _WEEK_BITS = 20  # weeks << 2^20; packed key = cohort_week << 20 | week_index
 
 @query("cohort_retention", _COHORT_SQL)
 def q_cohort_retention(sf_dir: str):
-    from ray.data.aggregate import Count
-
     anchor = np.datetime64(_COHORT_ANCHOR, "D")
 
     empty = pa.table(
@@ -182,30 +202,41 @@ def q_cohort_retention(sf_dir: str):
     if parquet_num_rows(sf_dir, "events") == 0:
         return empty
 
+    from ray.data.aggregate import Sum
+
     def user_weeks(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False)
         days = (ts.astype("datetime64[D]") - anchor).astype(np.int64)
         week = days // 7
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         packed = np.unique((uid << _WEEK_BITS) | week)
+        uid = packed >> _WEEK_BITS
         return pa.table(
             {
-                "user_id": pa.array(packed >> _WEEK_BITS),
+                "user_id": pa.array(uid),
                 "week": pa.array(packed & ((1 << _WEEK_BITS) - 1)),
+                "_ub": pa.array(uid >> _USER_BUCKET_BITS),
             }
         )
 
-    def cohortize(g: pd.DataFrame) -> pd.DataFrame:
-        # batch-local pre-distinct leaves cross-batch repeats; the group
-        # holds every pair for this user, so a group-local unique is exact
-        weeks = np.unique(g["week"].to_numpy())
-        cohort = weeks.min()
-        return pd.DataFrame(
-            {
-                "key": (np.int64(cohort) << _WEEK_BITS)
-                | (weeks - cohort).astype(np.int64)
-            }
-        )
+    def cohortize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # batch-local pre-distinct leaves cross-batch repeats; the bucket
+        # holds every pair for its ~256 users, so one packed unique both
+        # dedups exactly AND sorts by (user, week) — per-user cohort is
+        # then the first week of each user segment, and the (cohort,
+        # week_index) keys pre-count inside the bucket before the final
+        # Sum shuffle.
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        wk = g["week"].to_numpy().astype(np.int64)
+        packed = np.unique((uid << _WEEK_BITS) | wk)
+        uid = packed >> _WEEK_BITS
+        wk = packed & ((1 << _WEEK_BITS) - 1)
+        change = np.r_[True, uid[1:] != uid[:-1]]
+        seg = np.cumsum(change) - 1
+        cohort = wk[np.flatnonzero(change)][seg]
+        key = (cohort << _WEEK_BITS) | (wk - cohort)
+        vals, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({"key": vals, "n_users": cnt.astype(np.int64)})
 
     def unpack(batch: pa.Table) -> pa.Table:
         key = batch["key"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -220,11 +251,11 @@ def q_cohort_retention(sf_dir: str):
     return (
         _read(sf_dir, ["user_id", "ts"])
         .map_batches(user_weeks, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(cohortize, batch_format="pandas")
-        .repartition(8)  # collapse one-block-per-group before the shuffle
+        .groupby("_ub")
+        .map_groups(cohortize_bucket, batch_format="pandas")
+        .repartition(8)  # collapse one-block-per-bucket before the shuffle
         .groupby("key")
-        .aggregate(Count(alias_name="n_users"))
+        .aggregate(Sum("n_users", alias_name="n_users"))
         .map_batches(unpack, batch_format="pyarrow")
     )
 
@@ -260,25 +291,44 @@ def q_rolling_event_sum(sf_dir: str):
     if parquet_num_rows(sf_dir, "events") == 0:
         return empty
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        cents = _cents(g["value"].to_numpy())
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("_ub", pa.array(uid >> _USER_BUCKET_BITS))
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # ~256 users per group: ONE lexsort by (user, ts, event_id), then
+        # the cumsum-difference window runs segmented — the per-user base
+        # offset is subtracted via the segment index, and window starts
+        # clamp at each user's first row.
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
+        cents = _cents(g["value"].to_numpy()[order])
+        change = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
         csum = np.cumsum(cents)
-        out = csum.copy()
-        out[_ROLL_W:] = csum[_ROLL_W:] - csum[:-_ROLL_W]
-        n = np.minimum(np.arange(1, len(g) + 1), _ROLL_W)
+        seg_csum = csum - (csum[starts] - cents[starts])[seg]
+        idx = np.arange(len(uid), dtype=np.int64)
+        pos = idx - starts[seg]
+        out = seg_csum.copy()
+        deep = pos >= _ROLL_W
+        out[deep] -= seg_csum[idx[deep] - _ROLL_W]
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy(),
+                "event_id": eid,
                 "roll_sum_cents": out,
-                "roll_n": n.astype(np.int64),
+                "roll_n": np.minimum(pos + 1, _ROLL_W).astype(np.int64),
             }
         )
 
     return (
         _read(sf_dir, ["event_id", "user_id", "ts", "value"])
-        .groupby("user_id")
-        .map_groups(roll, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_ub")
+        .map_groups(roll_bucket, batch_format="pandas")
     )
 
 

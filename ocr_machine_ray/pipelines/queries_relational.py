@@ -851,30 +851,48 @@ FROM lagged GROUP BY user_id
 
 @query("event_gap_stats", _GAP_SQL)
 def q_event_gap_stats(sf_dir: str):
-    def gaps(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        d = np.diff(ts_us)
-        has = len(d) > 0
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("_ub", pa.array(uid >> 8))
+
+    def gaps_bucket(g: pd.DataFrame) -> pa.Table:
+        # ~256 users per group (user_id >> 8): per-user map_groups costs
+        # ~0.6-3 ms of pandas dispatch PER GROUP (BASELINE.md), so gap
+        # stats vectorize across the bucket — one lexsort, masked diff,
+        # segmented max via reduceat; total_gap telescopes to last-first.
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        lens = np.diff(np.r_[starts, len(uid)])
+        total = ts[starts + lens - 1] - ts[starts]
+        multi = lens > 1
+        if len(uid) > 1:
+            d = np.diff(ts)
+            # cross-user diff positions poisoned so reduceat's slice
+            # [starts[s], starts[s+1]) maxes only within-user gaps
+            d[starts[1:] - 1] = np.iinfo(np.int64).min
+            mg = np.maximum.reduceat(d, np.minimum(starts, len(d) - 1))
+        else:
+            mg = np.zeros(len(starts), dtype=np.int64)
         # pyarrow output: int64 columns stay NULLABLE (pandas would coerce
         # the single-event-user NULL gap to float NaN)
         return pa.table(
             {
-                "user_id": pa.array([int(g["user_id"].iloc[0])], type=pa.int64()),
-                "n_events": pa.array([len(g)], type=pa.int64()),
-                "max_gap_us": pa.array(
-                    [int(d.max()) if has else None], type=pa.int64()
-                ),
-                "total_gap_us": pa.array(
-                    [int(d.sum()) if has else None], type=pa.int64()
-                ),
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "n_events": pa.array(lens.astype(np.int64)),
+                "max_gap_us": pa.array(mg, type=pa.int64(), mask=~multi),
+                "total_gap_us": pa.array(total, type=pa.int64(), mask=~multi),
             }
         )
 
     return (
         _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-        .groupby("user_id")
-        .map_groups(gaps, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_ub")
+        .map_groups(gaps_bucket, batch_format="pandas")
     )
 
 

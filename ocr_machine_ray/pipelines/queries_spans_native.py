@@ -38,7 +38,7 @@ from ..sources.readers import read_spans_corpus
 from ..stages.explode import explode_spans
 from ..stages.skew import cap_spans_per_row, cluster_cpus
 from ..stages.strike import rule_verdict_flat
-from .extraction import _reassemble_group
+from .extraction import _REASSEMBLE_BUCKET_BITS, _reassemble_bucket
 from .queries_extraction import _EXTRACT_SQL
 
 # small enough to BIND at test scale (docs average ~60 spans), so the
@@ -54,6 +54,18 @@ def _capped_spans(sf_dir: str):
     )
 
 
+def _drop_struck_add_bucket(t: pa.Table) -> pa.Table:
+    """Drop struck spans and key the survivors by doc bucket for the
+    amortized groupby reassembly (see extraction._reassemble_bucket)."""
+    t = t.filter(
+        pa.compute.invert(t["struck"].combine_chunks())
+    ).drop_columns(["struck"])
+    doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return t.append_column(
+        "_db", pa.array(doc >> _REASSEMBLE_BUCKET_BITS)
+    )
+
+
 @query("extract_spans_capped", _EXTRACT_SQL)
 def q_extract_spans_capped(sf_dir: str):
     """Flagship extraction over the nested input WITH the span cap: capped
@@ -66,18 +78,13 @@ def q_extract_spans_capped(sf_dir: str):
                      zero_copy_batch=True)
         .map_batches(rule_verdict_flat, batch_format="pyarrow",
                      zero_copy_batch=True)
-        .map_batches(
-            lambda t: t.filter(
-                pa.compute.invert(t["struck"].combine_chunks())
-            ).drop_columns(["struck"]),
-            batch_format="pyarrow",
-        )
+        .map_batches(_drop_struck_add_bucket, batch_format="pyarrow")
     )
     sch = flat.schema()
     if sch is not None and "category" in sch.names:
         flat = flat.drop_columns(["category"])
-    return flat.groupby("doc_id").map_groups(
-        _reassemble_group, batch_format="pandas"
+    return flat.groupby("_db").map_groups(
+        _reassemble_bucket, batch_format="pandas"
     )
 
 

@@ -105,57 +105,108 @@ def add_salt(batch: pa.Table, n_salt: int) -> pa.Table:
     return batch.append_column("salt", pa.array(salt, type=pa.int32()))
 
 
-def salted_reassemble(flat_ds, n_salt: int = 4):
+def salted_reassemble(flat_ds, n_salt: int = 4, bucket_bits: int = 6):
     """Two-phase order-restoring reassembly for skewed documents.
 
-    Phase 1: groupby((doc_id, salt)) sorts each salt bucket locally and
-    emits one packed row per (doc_id, salt) — no phase-1 task ever SORTS
-    more than |doc| / n_salt spans, which bounds the quadratic-ish sort
-    memory on hot keys. Phase 2: groupby(doc_id) concatenates the n_salt
-    pre-sorted runs and merges them; it does hold one whole document's
-    packed arrays at once, so for documents too large for any single task,
-    cap first with :func:`cap_spans_per_row` and emit per-chunk sequences
-    (chunked outputs reassemble by absolute offset downstream).
+    Phase 1: group on a BUCKET of (doc_id, salt) cells (packed key
+    ``doc_id * n_salt + salt`` shifted by ``bucket_bits``), lexsort the
+    whole bucket once, and emit one packed list-row per (doc_id, salt)
+    run — no phase-1 task ever SORTS more than
+    ``2**bucket_bits / n_salt`` documents' worth of |doc| / n_salt span
+    runs, which bounds the sort memory on hot keys, and the per-group
+    pandas dispatch (~0.6-3 ms each, BASELINE.md) is paid once per
+    bucket, not once per cell. Phase 2: group on a doc_id bucket,
+    flatten the pre-sorted runs, and restore order across all the
+    bucket's documents with one lexsort + segmented dense ord. Phase 2
+    does hold whole documents at once, so for documents too large for
+    any single task, cap first with :func:`cap_spans_per_row` and emit
+    per-chunk sequences (chunked outputs reassemble by absolute offset
+    downstream).
     """
 
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("offset", kind="mergesort")
-        return pd.DataFrame(
+    def pack_bucket(g: pd.DataFrame) -> pa.Table:
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        salt = g["salt"].to_numpy().astype(np.int64)
+        off = g["offset"].to_numpy().astype(np.int64)
+        order = np.lexsort((off, salt, doc))
+        d, s, o = doc[order], salt[order], off[order]
+        change = np.r_[True, (d[1:] != d[:-1]) | (s[1:] != s[:-1])]
+        starts = np.flatnonzero(change)
+        offsets = pa.array(
+            np.r_[starts, len(d)].astype(np.int32)
+        )
+
+        def lst(col: str) -> pa.ListArray:
+            vals = pa.array(g[col].to_numpy()[order], type=pa.string())
+            return pa.ListArray.from_arrays(offsets, vals)
+
+        return pa.table(
             {
-                "doc_id": [g["doc_id"].iloc[0]],
-                "salt": [g["salt"].iloc[0]],
-                "kinds": [list(g["kind"])],
-                "texts": [list(g["text"])],
-                "media_refs": [list(g["media_ref"])],
-                "offsets": [list(g["offset"])],
+                "doc_id": pa.array(d[starts], type=pa.int64()),
+                "salt": pa.array(s[starts], type=pa.int64()),
+                "kinds": lst("kind"),
+                "texts": lst("text"),
+                "media_refs": lst("media_ref"),
+                "offsets": pa.ListArray.from_arrays(
+                    offsets, pa.array(o, type=pa.int64())
+                ),
             }
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("salt")
-        kinds = [k for ks in g["kinds"] for k in ks]
-        texts = [t for ts in g["texts"] for t in ts]
-        refs = [m for ms in g["media_refs"] for m in ms]
-        offs = [o for os_ in g["offsets"] for o in os_]
-        order = np.argsort(np.asarray(offs), kind="mergesort")
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "salt"], kind="mergesort")
+        lens = np.fromiter(
+            (len(x) for x in g["offsets"]), dtype=np.int64, count=len(g)
+        )
+        doc = np.repeat(g["doc_id"].to_numpy().astype(np.int64), lens)
+        offs = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in g["offsets"]]
+        )
+        order = np.lexsort((offs, doc))
+        d = doc[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        counts = np.diff(np.r_[starts, len(d)])
+        ordv = np.arange(len(d), dtype=np.int64) - np.repeat(starts, counts)
+
+        def flat(col: str) -> np.ndarray:
+            return np.concatenate(
+                [np.asarray(x, dtype=object) for x in g[col]]
+            )[order]
+
         return pd.DataFrame(
             {
-                "doc_id": g["doc_id"].iloc[0],
-                "kind": np.asarray(kinds, dtype=object)[order],
-                "text": np.asarray(texts, dtype=object)[order],
-                "media_ref": np.asarray(refs, dtype=object)[order],
-                "ord": np.arange(len(order), dtype=np.int64),
+                "doc_id": d,
+                "kind": flat("kinds"),
+                "text": flat("texts"),
+                "media_ref": flat("media_refs"),
+                "ord": ordv,
             }
+        )
+
+    def salt_and_bucket(t: pa.Table) -> pa.Table:
+        t = add_salt(t, n_salt)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = t["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "_sb", pa.array((doc * n_salt + salt) >> bucket_bits)
         )
 
     salted = flat_ds.map_batches(
-        lambda t: add_salt(t, n_salt), batch_format="pyarrow",
-        zero_copy_batch=True,
+        salt_and_bucket, batch_format="pyarrow", zero_copy_batch=True
     )
-    packed = salted.groupby(["doc_id", "salt"]).map_groups(
-        pack, batch_format="pandas"
+    packed = salted.groupby("_sb").map_groups(
+        pack_bucket, batch_format="pandas"
     )
-    return packed.groupby("doc_id").map_groups(merge, batch_format="pandas")
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_db", pa.array(doc >> bucket_bits))
+
+    return (
+        packed.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("_db")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
 
 
 def estimate_row_bytes(batch: pa.Table) -> np.ndarray:
