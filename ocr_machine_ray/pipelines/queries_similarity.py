@@ -1288,25 +1288,30 @@ def _normed(M: np.ndarray) -> np.ndarray:
     return M / np.where(norms == 0, 1.0, norms)
 
 
-def _load_parity_side(sf_dir: str, parity: int):
-    """Driver-side load of ONE parity class (the broadcast side; the other
-    side streams). Column-pruned read; vectors sorted by vec_id so that
-    argmax tie-breaks resolve to the lowest id, matching the SQL."""
+def _load_parity_sides(sf_dir: str):
+    """Driver-side load of BOTH parity classes from ONE parquet read (the
+    below-cap broadcast sides). Column-pruned; vectors sorted by vec_id so
+    that argmax tie-breaks resolve to the lowest id, matching the SQL.
+    Callers gate on the parquet-metadata row count BEFORE calling — this
+    function materializes the whole embeddings table on the driver."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sel = ids % 2 == parity
-    ids = ids[sel]
-    if len(ids) == 0:
-        return ids, np.empty((0, EMB_DIM), dtype=np.float64)
-    M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[sel]).astype(
-        np.float64
-    )
-    order = np.argsort(ids)
-    return ids[order], _normed(M[order])
+    all_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = t["embedding"].to_numpy(zero_copy_only=False)
+    out = []
+    for parity in (0, 1):
+        sel = all_ids % 2 == parity
+        ids = all_ids[sel]
+        if len(ids) == 0:
+            out.extend([ids, np.empty((0, EMB_DIM), dtype=np.float64)])
+            continue
+        M = np.stack(emb[sel]).astype(np.float64)
+        order = np.argsort(ids)
+        out.extend([ids[order], _normed(M[order])])
+    return tuple(out)
 
 
 def _topk_mean(S: np.ndarray, k: int) -> np.ndarray:
@@ -1334,18 +1339,19 @@ def q_bitext_mine(sf_dir: str):
             }
         )
 
-    if parquet_num_rows(sf_dir, "embeddings") == 0:
+    n_total = parquet_num_rows(sf_dir, "embeddings")
+    if n_total == 0:
         return empty()
-    s_ids, Sn = _load_parity_side(sf_dir, 0)
-    t_ids, Tn = _load_parity_side(sf_dir, 1)
+    # gate on the FOOTER row count, before anything is materialized: the
+    # exact path broadcasts both parity sides, so its memory bound is the
+    # total row count, and above the cap the IVF candidate branch takes
+    # over instead of refusing (approximate by construction — the margin
+    # graph is restricted to ANN candidate lists, CCMatrix-style)
+    if n_total > _BITEXT_BCAST_CAP:
+        return _bitext_mine_ivf(sf_dir, n_total)
+    s_ids, Sn, t_ids, Tn = _load_parity_sides(sf_dir)
     if len(s_ids) == 0 or len(t_ids) == 0:
         return empty()
-    if max(len(s_ids), len(t_ids)) > _BITEXT_BCAST_CAP:
-        raise ValueError(
-            f"bitext_mine broadcast side exceeds _BITEXT_BCAST_CAP "
-            f"({max(len(s_ids), len(t_ids))} > {_BITEXT_BCAST_CAP}); "
-            "use the IVF/LSH ANN candidate paths for corpora this size"
-        )
     src_ref = ray.put((s_ids, Sn))
     tgt_ref = ray.put((t_ids, Tn))
     emb = ray.data.read_parquet(
@@ -1436,32 +1442,270 @@ def q_bitext_mine(sf_dir: str):
             }
         )
 
-    def mutual_best(g: pd.DataFrame) -> pd.DataFrame:
-        bwd = g[g["kind"] == 1].sort_values(
-            ["margin", "sid"], ascending=[False, True]
-        )
-        if len(bwd) == 0:
-            # typed empty so the guard stays schema-safe if batch shapes
-            # ever make a tid group arrive with no backward partials
-            return pd.DataFrame(
-                {
-                    "src_id": pd.Series([], dtype=np.int64),
-                    "tgt_id": pd.Series([], dtype=np.int64),
-                }
-            )
-        winner = int(bwd["sid"].iloc[0])
-        fwd = g[(g["kind"] == 0) & (g["sid"] == winner)]
-        return pd.DataFrame(
-            {
-                "src_id": fwd["sid"].astype(np.int64),
-                "tgt_id": fwd["tid"].astype(np.int64),
-            }
-        )
+    def add_tid_bucket(t: pa.Table) -> pa.Table:
+        v = t["tid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_tb", pa.array(v >> 8))
 
     return (
         emb.map_batches(
             margin_partial, batch_format="pyarrow", zero_copy_batch=True
         )
-        .groupby("tid")
-        .map_groups(mutual_best, batch_format="pandas")
+        .map_batches(add_tid_bucket, batch_format="pyarrow")
+        .groupby("_tb")
+        .map_groups(_mutual_best_bucket, batch_format="pandas")
+    )
+
+
+def _mutual_best_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Mutual-best resolution over a bucket of ~256 tids (tid >> 8):
+    per-tid backward winner (max margin, ties to the lowest sid) via one
+    lexsort + segment heads, then forward rows filtered by a sorted-array
+    lookup — per-tid pandas dispatch amortized across the bucket."""
+    tid = g["tid"].to_numpy().astype(np.int64)
+    sid = g["sid"].to_numpy().astype(np.int64)
+    kind = g["kind"].to_numpy().astype(np.int64)
+    margin = g["margin"].to_numpy().astype(np.float64)
+    b = kind == 1
+    typed_empty = pd.DataFrame(
+        {
+            "src_id": pd.Series([], dtype=np.int64),
+            "tgt_id": pd.Series([], dtype=np.int64),
+        }
+    )
+    if not b.any():
+        return typed_empty
+    order = np.lexsort((sid[b], -margin[b], tid[b]))
+    t_sorted = tid[b][order]
+    heads = np.flatnonzero(np.r_[True, t_sorted[1:] != t_sorted[:-1]])
+    win_tid = t_sorted[heads]  # sorted ascending
+    win_sid = sid[b][order][heads]
+    f = kind == 0
+    if not f.any():
+        return typed_empty
+    ft, fs = tid[f], sid[f]
+    idx = np.searchsorted(win_tid, ft)
+    idx_c = np.minimum(idx, len(win_tid) - 1)
+    ok = (win_tid[idx_c] == ft) & (win_sid[idx_c] == fs)
+    return pd.DataFrame(
+        {
+            "src_id": fs[ok].astype(np.int64),
+            "tgt_id": ft[ok].astype(np.int64),
+        }
+    )
+
+
+# Above-cap branch knobs: srcs probe their _BITEXT_NPROBE nearest IVF
+# cells; within a cell each src keeps its top-_BITEXT_CAND tgts by cosine
+# (and each tgt its top-_BITEXT_CAND srcs) as the candidate pair list.
+_BITEXT_NPROBE = 4
+_BITEXT_CAND = 2 * _BITEXT_K
+
+
+def _bitext_mine_ivf(sf_dir: str, n_total: int):
+    """Above-cap bitext mining: CCMatrix-style margin mining restricted to
+    IVF candidate lists — approximate by construction (the below-cap exact
+    path is the oracle-checked one; this branch's fidelity is pinned by a
+    pytest overlap bound against the exact path on the same corpus).
+
+    Scale shape: the cluster count grows ~n/2048, so per-cluster work
+    (|probing srcs| x |cell tgts| cosines) stays ~linear in n; every
+    downstream per-sid/per-tid stage groups on an id-prefix bucket with
+    segmented vectorized combines (no per-key pandas dispatch); nothing
+    data-sized ever lands on the driver."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from ..functions.similarity import kmeans_fit
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    k = int(np.clip(n_total // 2048, 8, 4096))
+    centroids = kmeans_fit(
+        emb.random_sample(min(1.0, 100_000 / n_total), seed=42)
+        .limit(100_000)
+        .materialize(),
+        k=k,
+        n_iter=5,
+    )
+    cref = ray.put(centroids)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        """One row per (cell, vector): tgts land in their nearest cell,
+        srcs in their _BITEXT_NPROBE nearest. Normalized float32 vectors
+        travel with the row (the per-cell matmul needs them); everything
+        else about the pair graph is derived inside the cell group."""
+        import ray as _ray
+
+        C = _ray.get(cref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "cell": pa.array([], type=pa.int64()),
+                "kind": pa.array([], type=pa.int8()),
+                "vid": pa.array([], type=pa.int64()),
+                "vec": pa.array([], type=pa.list_(pa.float32())),
+            }
+        )
+        if len(ids) == 0:
+            return empty
+        Vn = _normed(_as_matrix(batch["embedding"]))
+        D = _sq_dists(Vn, C)
+        src = ids % 2 == 0
+        nprobe = min(_BITEXT_NPROBE, D.shape[1])
+        cells_out, kinds, vids, rows = [], [], [], []
+        if src.any():
+            probe = np.argpartition(D[src], nprobe - 1, axis=1)[:, :nprobe]
+            ns = int(src.sum())
+            cells_out.append(probe.reshape(-1).astype(np.int64))
+            kinds.append(np.zeros(ns * nprobe, dtype=np.int8))
+            vids.append(np.repeat(ids[src], nprobe))
+            rows.append(np.repeat(np.flatnonzero(src), nprobe))
+        if (~src).any():
+            cells_out.append(D[~src].argmin(axis=1).astype(np.int64))
+            kinds.append(np.ones(int((~src).sum()), dtype=np.int8))
+            vids.append(ids[~src])
+            rows.append(np.flatnonzero(~src))
+        cell = np.concatenate(cells_out)
+        row_idx = np.concatenate(rows)
+        flat = Vn[row_idx].astype(np.float32).reshape(-1)
+        vec = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, type=pa.float32()), Vn.shape[1]
+        )
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "kind": pa.array(np.concatenate(kinds)),
+                "vid": pa.array(np.concatenate(vids)),
+                "vec": vec,
+            }
+        )
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs inside one IVF cell: per-src top-C tgts plus
+        per-tgt top-C srcs by cosine, deduped. A (sid, tid) pair can only
+        arise in the tgt's single cell, so the local dedup is global."""
+        typed_empty = pd.DataFrame(
+            {
+                "sid": pd.Series([], dtype=np.int64),
+                "tid": pd.Series([], dtype=np.int64),
+                "cs": pd.Series([], dtype=np.float64),
+            }
+        )
+        kind = g["kind"].to_numpy().astype(np.int64)
+        vids = g["vid"].to_numpy().astype(np.int64)
+        V = np.stack(g["vec"].to_numpy()).astype(np.float64)
+        s_m, t_m = kind == 0, kind == 1
+        if not s_m.any() or not t_m.any():
+            return typed_empty
+        a_ids, A = vids[s_m], V[s_m]
+        b_ids, B = vids[t_m], V[t_m]
+        S = A @ B.T
+        cand = min(_BITEXT_CAND, S.shape[1])
+        top_t = np.argpartition(S, S.shape[1] - cand, axis=1)[:, -cand:]
+        i_s = np.repeat(np.arange(S.shape[0]), cand)
+        j_s = top_t.reshape(-1)
+        cand_s = min(_BITEXT_CAND, S.shape[0])
+        top_s = np.argpartition(S, S.shape[0] - cand_s, axis=0)[-cand_s:, :]
+        i_t = top_s.reshape(-1)
+        j_t = np.repeat(
+            np.arange(S.shape[1])[None, :], cand_s, axis=0
+        ).reshape(-1)
+        key = np.unique(
+            np.concatenate([i_s * S.shape[1] + j_s, i_t * S.shape[1] + j_t])
+        )
+        i, j = key // S.shape[1], key % S.shape[1]
+        return pd.DataFrame(
+            {"sid": a_ids[i], "tid": b_ids[j], "cs": S[i, j]}
+        )
+
+    def _seg(sorted_keys: np.ndarray):
+        change = np.r_[True, sorted_keys[1:] != sorted_keys[:-1]]
+        starts = np.flatnonzero(change)
+        return starts, np.cumsum(change) - 1
+
+    def ax_attach(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-sid avg-top-k cosine over the candidate list, attached to
+        every pair row — segmented over a bucket of ~256 sids."""
+        sid = g["sid"].to_numpy().astype(np.int64)
+        tid = g["tid"].to_numpy().astype(np.int64)
+        cs = g["cs"].to_numpy().astype(np.float64)
+        order = np.lexsort((-cs, sid))
+        s, t, c = sid[order], tid[order], cs[order]
+        starts, seg = _seg(s)
+        pos = np.arange(len(s)) - starts[seg]
+        topk = pos < _BITEXT_K
+        sums = np.add.reduceat(np.where(topk, c, 0.0), starts)
+        cnts = np.add.reduceat(topk.astype(np.float64), starts)
+        return pd.DataFrame(
+            {"sid": s, "tid": t, "cs": c, "ax": (sums / cnts)[seg]}
+        )
+
+    def ay_margin(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-tid avg-top-k -> margins -> backward winner flag, segmented
+        over a bucket of ~256 tids."""
+        sid = g["sid"].to_numpy().astype(np.int64)
+        tid = g["tid"].to_numpy().astype(np.int64)
+        cs = g["cs"].to_numpy().astype(np.float64)
+        ax = g["ax"].to_numpy().astype(np.float64)
+        order = np.lexsort((-cs, tid))
+        s, t, c, a = sid[order], tid[order], cs[order], ax[order]
+        starts, seg = _seg(t)
+        pos = np.arange(len(t)) - starts[seg]
+        topk = pos < _BITEXT_K
+        sums = np.add.reduceat(np.where(topk, c, 0.0), starts)
+        cnts = np.add.reduceat(topk.astype(np.float64), starts)
+        margin = c / ((a + (sums / cnts)[seg]) / 2.0)
+        # backward winner per tid: max margin, ties to the lowest sid
+        worder = np.lexsort((s, -margin, t))
+        wstarts, _ = _seg(t[worder])
+        bw = np.zeros(len(t), dtype=bool)
+        bw[worder[wstarts]] = True
+        return pd.DataFrame(
+            {"sid": s, "tid": t, "margin": margin, "bw": bw}
+        )
+
+    def fwd_pick(g: pd.DataFrame) -> pd.DataFrame:
+        """Forward winner per sid (max margin, ties to the lowest tid);
+        mutual pairs are the winners whose backward flag is set."""
+        sid = g["sid"].to_numpy().astype(np.int64)
+        tid = g["tid"].to_numpy().astype(np.int64)
+        margin = g["margin"].to_numpy().astype(np.float64)
+        bw = g["bw"].to_numpy().astype(bool)
+        order = np.lexsort((tid, -margin, sid))
+        starts, _ = _seg(sid[order])
+        win = order[starts]
+        keep = win[bw[win]]
+        return pd.DataFrame(
+            {
+                "src_id": sid[keep].astype(np.int64),
+                "tgt_id": tid[keep].astype(np.int64),
+            }
+        )
+
+    def bucket_col(name: str, out: str):
+        def add(t: pa.Table) -> pa.Table:
+            v = t[name].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column(out, pa.array(v >> 8))
+
+        return add
+
+    nparts = max(8, n_total // 500_000)
+    return (
+        emb.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pandas")
+        .map_batches(bucket_col("sid", "_sb"), batch_format="pyarrow")
+        .repartition(nparts)  # collapse one-block-per-cell before shuffle
+        .groupby("_sb")
+        .map_groups(ax_attach, batch_format="pandas")
+        .map_batches(bucket_col("tid", "_tb"), batch_format="pyarrow")
+        .repartition(nparts)
+        .groupby("_tb")
+        .map_groups(ay_margin, batch_format="pandas")
+        .map_batches(bucket_col("sid", "_sb"), batch_format="pyarrow")
+        .repartition(nparts)
+        .groupby("_sb")
+        .map_groups(fwd_pick, batch_format="pandas")
     )
