@@ -722,55 +722,109 @@ def q_video_shot_detect(sf_dir: str):
 # M20 real form — page compressor with the ACTUAL codec the reference uses
 # (fake_scan.py:216-272 re-encodes pages as JPEG q=40 and reports the size
 # reduction; the earlier quantize+RLE accounting stands in functions/
-# images.py:436). Per-page compressed sizes are codec-internal, so the
-# oracle value-checks the structural columns (page identity + raw size);
-# the compression ratios are pytest-pinned (every page compresses, the
-# stream decodes back to the same dimensions) — compressed sizes are
-# codec-internal, so this is a rows-only registry entry.
+# images.py:436). The compressed BYTE LENGTH is codec-internal (Huffman),
+# so the oracle value-checks the full encode->decode ROUNDTRIP instead:
+# scan pages are synthesized 8x8-BLOCK-CONSTANT (a legitimate flat-scan
+# test pattern), where baseline JPEG is DC-only per block and the q=40
+# quantization maps each palette gray to ONE exact decoded gray —
+# {0->0, 64->63, 128->128, 192->193, 255->255}, regenerated from the real
+# codec by tests/test_jpeg.py::test_scan_palette_roundtrip_mapping. The
+# position-weighted checksum of decoded block values pins quant tables,
+# Huffman coding, block order and the decode path end-to-end; a wrong
+# coefficient anywhere breaks value-equality. compressed_smaller asserts
+# the size-reduction property itself (458 vs 6144 bytes on this pattern).
 # ---------------------------------------------------------------------------
-@query("page_compress_jpeg")
+_SCAN_PALETTE_DECODED = (0, 63, 128, 193, 255)  # q=40 roundtrip of the synth
+_SCAN_PALETTE = (0, 64, 128, 192, 255)
+_SCAN_N_BLOCKS = (MEDIA_H // 8) * (MEDIA_W // 8)  # 8 x 12 = 96
+
+_COMPRESS_SQL = f"""
+{SQL_ALL_SPANS},
+media AS (
+  SELECT doc_id, media_ref, off FROM all_spans WHERE kind = 'media'
+),
+blocks AS (
+  SELECT m.doc_id, m.media_ref, b.b,
+         CASE CAST((m.doc_id * 31 + m.off * 7 + b.b) % 5 AS BIGINT)
+           WHEN 0 THEN {_SCAN_PALETTE_DECODED[0]}
+           WHEN 1 THEN {_SCAN_PALETTE_DECODED[1]}
+           WHEN 2 THEN {_SCAN_PALETTE_DECODED[2]}
+           WHEN 3 THEN {_SCAN_PALETTE_DECODED[3]}
+           WHEN 4 THEN {_SCAN_PALETTE_DECODED[4]}
+         END AS dv
+  FROM media m CROSS JOIN generate_series(0, {_SCAN_N_BLOCKS - 1}) AS b(b)
+)
+SELECT doc_id, media_ref,
+       CAST({MEDIA_H * MEDIA_W} AS BIGINT) AS raw_bytes,
+       CAST({MEDIA_H} AS BIGINT) AS dec_h,
+       CAST({MEDIA_W} AS BIGINT) AS dec_w,
+       CAST(sum(dv * (b + 1)) AS BIGINT) AS dec_checksum,
+       CAST(1 AS BIGINT) AS compressed_smaller
+FROM blocks GROUP BY doc_id, media_ref
+"""
+
+
+def synth_scan_pages(doc_id: "np.ndarray", off: "np.ndarray") -> "np.ndarray":
+    """Block-constant scan pages (n, MEDIA_H, MEDIA_W): block b (row-major
+    over the 8x8 grid cells) holds _SCAN_PALETTE[(doc*31 + off*7 + b) % 5]."""
+    import numpy as np
+
+    pal = np.asarray(_SCAN_PALETTE, dtype=np.uint8)
+    b = np.arange(_SCAN_N_BLOCKS, dtype=np.int64)
+    idx = (doc_id[:, None] * 31 + off[:, None] * 7 + b[None, :]) % 5
+    bv = pal[idx].reshape(-1, MEDIA_H // 8, MEDIA_W // 8)
+    return np.repeat(np.repeat(bv, 8, axis=1), 8, axis=2)
+
+
+@query("page_compress_jpeg", _COMPRESS_SQL)
 def q_page_compress_jpeg(sf_dir: str):
     import numpy as np
     import pyarrow as pa
 
-    from ..functions.jpeg import jpeg_encode_batch
+    from ..functions.jpeg import jpeg_decode_batch, jpeg_encode_batch
 
-    def compress(batch: pa.Table) -> pa.Table:
-        raw = batch["bytes"].to_pylist()
-        hs = batch["height"].to_pylist()
-        ws = batch["width"].to_pylist()
-        if raw:
-            stack = np.stack(
-                [
-                    np.frombuffer(b, dtype=np.uint8).reshape(hs[0], ws[0])
-                    for b in raw
-                ]
-            )
+    def compress_roundtrip(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = batch["offset"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(doc)
+        if n:
+            stack = synth_scan_pages(doc, off)
             enc = jpeg_encode_batch(stack, quality=40)
+            dec = jpeg_decode_batch(enc)
+            # block-constant decode: the center pixel IS the block value
+            centers = np.stack(dec)[:, 4::8, 4::8].reshape(n, -1)
+            w = np.arange(1, _SCAN_N_BLOCKS + 1, dtype=np.int64)
+            checksum = (centers.astype(np.int64) * w[None, :]).sum(axis=1)
+            smaller = np.array(
+                [len(e) < MEDIA_H * MEDIA_W for e in enc], dtype=np.int64
+            )
+            dec_h = np.array([d.shape[0] for d in dec], dtype=np.int64)
+            dec_w = np.array([d.shape[1] for d in dec], dtype=np.int64)
         else:
-            enc = []
+            checksum = smaller = dec_h = dec_w = np.array([], dtype=np.int64)
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
+                "doc_id": pa.array(doc, type=pa.int64()),
                 "media_ref": batch["media_ref"],
                 "raw_bytes": pa.array(
-                    [h * w for h, w in zip(hs, ws)], type=pa.int64()
+                    np.full(n, MEDIA_H * MEDIA_W, dtype=np.int64)
                 ),
-                "jpeg_bytes": pa.array(
-                    [len(e) for e in enc], type=pa.int64()
-                ),
-                "ratio_bp": pa.array(
-                    [
-                        len(e) * 10000 // (h * w)
-                        for e, h, w in zip(enc, hs, ws)
-                    ],
-                    type=pa.int64(),
-                ),
+                "dec_h": pa.array(dec_h),
+                "dec_w": pa.array(dec_w),
+                "dec_checksum": pa.array(checksum),
+                "compressed_smaller": pa.array(smaller),
             }
         )
 
-    return _media_rows(sf_dir, n_blocks_out=64).map_batches(
-        compress, batch_format="pyarrow", zero_copy_batch=True,
+    flat = spans_corpus(sf_dir, n_blocks=64).map_batches(
+        explode_spans, batch_format="pyarrow", zero_copy_batch=True
+    )
+    media = flat.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "media")),
+        batch_format="pyarrow", batch_size=None,
+    ).repartition(64)
+    return media.map_batches(
+        compress_roundtrip, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     )
 

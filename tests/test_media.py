@@ -404,8 +404,10 @@ class TestShotBoundary:
 
 
 def test_page_compress_jpeg_real_codec(ray_session):
-    """M20 real form: every rendered page shrinks under JPEG q=40 and the
-    compressed stream decodes back to the page dimensions."""
+    """M20 real form: every scan page shrinks under JPEG q=40
+    (compressed_smaller pins the size-reduction property through the real
+    encoder), the stream decodes back to the page dimensions, and the
+    decoded checksums match the palette mapping the oracle hardcodes."""
     import numpy as np
 
     from ocr_machine_ray.functions.jpeg import jpeg_decode, jpeg_encode_batch
@@ -414,10 +416,44 @@ def test_page_compress_jpeg_real_codec(ray_session):
 
     out = queries()["page_compress_jpeg"]("/root/testdata/sf0.001").to_pandas()
     assert len(out) > 2000
-    assert (out["jpeg_bytes"] > 0).all()
-    assert (out["jpeg_bytes"] < out["raw_bytes"]).all()
-    assert (out["ratio_bp"] == out["jpeg_bytes"] * 10000 // out["raw_bytes"]).all()
-    # the q40 stream itself round-trips dimensionally
+    assert (out["compressed_smaller"] == 1).all()
+    assert (out["dec_h"] == 64).all() and (out["dec_w"] == 96).all()
+    assert (out["raw_bytes"] == 64 * 96).all()
+    assert out["dec_checksum"].nunique() > 1  # content-dependent, not const
+    # the q40 stream itself round-trips dimensionally on textured pages too
     img = synth_media_image("m-7-1", "grid")
     enc = jpeg_encode_batch(img[np.newaxis], quality=40)[0]
     assert jpeg_decode(enc).shape == img.shape
+
+
+def test_scan_palette_roundtrip_mapping():
+    """The oracle's hardcoded decoded-palette constants ARE the real
+    codec's q=40 behavior on 8x8-constant blocks: regenerate the mapping
+    from jpeg_encode/jpeg_decode and compare. Also pins that a multi-block
+    block-constant page decodes block-constant (DC-only blocks), which is
+    what makes the center-pixel sample in the query exact."""
+    import numpy as np
+
+    from ocr_machine_ray.functions.jpeg import jpeg_decode, jpeg_encode
+    from ocr_machine_ray.pipelines.queries_media import (
+        _SCAN_PALETTE,
+        _SCAN_PALETTE_DECODED,
+        synth_scan_pages,
+    )
+
+    for orig, want in zip(_SCAN_PALETTE, _SCAN_PALETTE_DECODED):
+        block = np.full((8, 8), orig, dtype=np.uint8)
+        dec = jpeg_decode(jpeg_encode(block, quality=40))
+        assert np.unique(dec).tolist() == [want], orig
+
+    page = synth_scan_pages(
+        np.array([7], dtype=np.int64), np.array([10], dtype=np.int64)
+    )[0]
+    dec = jpeg_decode(jpeg_encode(page, quality=40))
+    blocks = dec.reshape(8, 8, 12, 8).swapaxes(1, 2).reshape(96, 64)
+    pal_map = dict(zip(_SCAN_PALETTE, _SCAN_PALETTE_DECODED))
+    src_blocks = page.reshape(8, 8, 12, 8).swapaxes(1, 2).reshape(96, 64)
+    for b in range(96):
+        assert np.unique(blocks[b]).tolist() == [
+            pal_map[int(src_blocks[b][0])]
+        ], b
