@@ -28,37 +28,46 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
-# Rotation hygiene (VERDICT r3 action 5): the driver's per-round
-# correctness gate samples the FIRST 50 registry entries, so the names no
-# driver round has sampled yet (CORRECTNESS_r01 u r02 u r03) lead this
-# round. All 161 queries pass the full local gate regardless of order
+# Rotation hygiene (VERDICT r3 action 5, r4 action 7): the driver's
+# per-round correctness gate samples the FIRST 50 registry entries. The
+# 14 names NO driver round r1-r4 has ever sampled lead (all green in the
+# judge's local replay — the driver row is the hard signal), followed by
+# the queries whose Ray implementation or oracle changed in round 5.
+# All queries pass the full local gate regardless of order
 # (tools/check_oracle.py); this only steers which 50 the driver replays.
 _SAMPLE_PRIORITY = [
-    # round-4 additions lead (never driver-sampled; new oracles should be
-    # driver-verified the round they land)
+    # never driver-sampled through r4 (VERDICT r4 "What's missing" #3)
+    "anti_join_urgent", "cdc_dedup", "dedup_edit_distance",
+    "doc_skyline", "dup_size_histogram", "fuzzy_decontaminate",
+    "global_rank_orders", "incremental_dedup", "incremental_neardup",
+    "leakage_safe_split", "segment_dedup", "semi_join_urgent",
+    "shard_skew_report", "unigram_tokenize",
+    # round-5 changes: new oracle (page_compress_jpeg), new above-cap
+    # branch (bitext_mine), bucket-combined rewrites (events family,
+    # shuffled/capped extraction, event_gap_stats)
+    "page_compress_jpeg", "bitext_mine", "funnel_counts",
+    "cohort_retention", "rolling_event_sum", "event_gap_stats",
+    "extract_spans_shuffled", "extract_spans_capped",
+    # round-4 additions whose oracles have one driver-green row at most
     "section_stats_spans",
     "token_freq_spans", "dsir_resample", "audio_spectrogram",
     "interleaved_pairs", "merge_upsert", "psi_drift",
     "minhash_bands_spans", "quality_stats_spans", "decontaminate_spans",
-    "bitext_mine", "curation_pipeline_spans", "simhash_spans",
+    "curation_pipeline_spans", "simhash_spans",
     "media_layout_spans", "media_context_spans",
-    "cohort_retention", "rolling_event_sum", "pivot_event_counts",
+    "pivot_event_counts",
     "daily_top_event", "regression_stats", "props_json_stats",
     "scd2_history", "daily_active_users", "recency_scores",
     "rate_changepoint", "weekly_active_users", "doc_artifacts",
     "media_decode_classify", "media_decode_classify_jpeg",
     "page_orientation", "video_frame_sample", "audio_features",
-    "image_phash_dedup", "video_shot_detect", "page_compress_jpeg",
+    "image_phash_dedup", "video_shot_detect",
     "union_sources", "train_val_test_split", "doc_length_stats",
     "doc_length_stats_sketch", "group_length_quantiles",
     "length_outliers", "oov_rate", "inverted_index", "bm25_topk",
-    "bm25_passages", "range_join_counts", "event_gap_stats",
+    "bm25_passages", "range_join_counts",
     "grouping_sets_events", "bloom_join_revenue",
-    "latest_event_per_user", "semi_join_urgent", "anti_join_urgent",
-    "global_rank_orders", "doc_skyline", "incremental_dedup",
-    "segment_dedup", "dedup_edit_distance", "incremental_neardup",
-    "dup_size_histogram", "leakage_safe_split", "cdc_dedup",
-    "fuzzy_decontaminate", "shard_skew_report", "unigram_tokenize",
+    "latest_event_per_user",
 ]
 
 
