@@ -369,18 +369,51 @@ def main_single() -> None:
     # first timed run ~30% slower (measured)
     run_headline(SF_DIR, AMPLIFY)
 
-    # best of two timed runs: standard defense against a burst landing
-    # inside one run; both walls are reported for transparency
-    head_a = run_headline(SF_DIR, AMPLIFY)
-    head_b = run_headline(SF_DIR, AMPLIFY)
-    head = head_a if head_a["wall_sec"] <= head_b["wall_sec"] else head_b
+    # Every timed headline leg is probe-BRACKETED so the round record can
+    # adjudicate a burst per leg, not per run (the r4 driver window read
+    # 44.7 s at probes 0.32/0.34 and was unadjudicable leg-by-leg). A leg
+    # is clean when both its probes are < 0.35 AND they agree within 20%
+    # (skew = a burst started/ended inside the leg). If neither of the two
+    # standard legs is clean, wait out the burst (bounded) and retry up to
+    # two extra legs — the goal is ONE clean-window number on the record.
+    def timed_leg() -> dict:
+        p0 = round(host_probe(), 3)
+        h = run_headline(SF_DIR, AMPLIFY)
+        h["probe_pre"] = p0
+        h["probe_post"] = round(host_probe(), 3)
+        return h
+
+    def leg_clean(leg: dict) -> bool:
+        hi = max(leg["probe_pre"], leg["probe_post"])
+        lo = min(leg["probe_pre"], leg["probe_post"])
+        return hi < 0.35 and (hi - lo) <= 0.2 * lo
+
+    legs = [timed_leg(), timed_leg()]
+    for _ in range(2):
+        if any(leg_clean(l) for l in legs):
+            break
+        for _ in range(4):  # bounded burst wait between retries
+            if host_probe() <= 0.5:
+                break
+            time.sleep(45)
+        legs.append(timed_leg())
+    clean_legs = [l for l in legs if leg_clean(l)]
+    head = min(clean_legs or legs, key=lambda l: l["wall_sec"])
+    # first-order probe correction (committed clean-window probe ~0.27;
+    # inflation is super-linear in probe, so this UNDER-corrects — it is
+    # an adjudication aid, never the headline value)
+    leg_probe = (head["probe_pre"] + head["probe_post"]) / 2.0
+    probe_corrected = round(
+        head["wall_sec"] * min(1.0, 0.27 / max(leg_probe, 1e-6)), 3
+    )
     if os.environ.get("GRAFT_SKIP_QUERIES"):
         queries, query_meta, untimed = {}, {}, []
     else:
         # a burst that inflated a headline run is often still live when
         # the query loop starts (r3: head_b 44 s -> the first queries
         # recorded 8 s for 0.7 s pipelines); wait it out, bounded
-        if max(head_a["wall_sec"], head_b["wall_sec"]) > 2 * head["wall_sec"]:
+        walls = [l["wall_sec"] for l in legs]
+        if max(walls) > 2 * head["wall_sec"]:
             for _ in range(4):
                 if host_probe() <= 0.5:
                     break
@@ -403,9 +436,17 @@ def main_single() -> None:
         # (a single sample can miss it entirely)
         "host_probe_sec": round(host_probe(), 3),
         "host_probe_pre_sec": probe_pre,
-        "runs_sec": [
-            round(head_a["wall_sec"], 3), round(head_b["wall_sec"], 3)
+        "runs_sec": [round(l["wall_sec"], 3) for l in legs],
+        # per-leg brackets: [probe_pre, wall, probe_post] for each timed
+        # headline leg, in run order — the adjudication record
+        "headline_legs": [
+            [l["probe_pre"], round(l["wall_sec"], 3), l["probe_post"]]
+            for l in legs
         ],
+        "headline_leg_clean": bool(clean_legs),
+        # first-order contention normalization of the chosen leg (see
+        # comment at computation; raw wall stays the official value)
+        "probe_corrected_sec": probe_corrected,
     }
     # BENCH contract (VERDICT r2 action 5): the driver keeps only a tail of
     # stdout and json-parses the last line — the full 70+-query dict
