@@ -185,19 +185,22 @@ GROUP BY text
 
 
 def _tok_partial(batch: pa.Table) -> pa.Table:
-    """Per-chunk-row (token, count) combiner over text spans."""
+    """Per-chunk-row (token, count) combiner over text spans — pure Arrow
+    (filter + value_counts), no Python-object round-trip of the token
+    column (the old to_pylist/np.unique path allocated one PyObject per
+    span on the hottest text path)."""
     spans = batch["spans"]
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
     flat = spans.flatten()
-    kind = flat.field("kind").to_numpy(zero_copy_only=False)
-    text = np.asarray(flat.field("text").to_pylist(), dtype=object)
-    toks = text[kind == "text"]
-    uniq, cnt = np.unique(toks.astype(str), return_counts=True)
+    toks = flat.field("text").filter(
+        pa.compute.equal(flat.field("kind"), "text")
+    )
+    vc = pa.compute.value_counts(toks)
     return pa.table(
         {
-            "tok": pa.array(uniq.tolist(), type=pa.string()),
-            "n": pa.array(cnt.astype(np.int64)),
+            "tok": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
         }
     )
 
@@ -288,6 +291,29 @@ def _hash_shingles(shingles: list[str]) -> np.ndarray:
 _U64_MAX = np.iinfo(np.uint64).max
 
 
+def _unique_window_strings(toks: np.ndarray, valid: np.ndarray):
+    """(unique joined 3-gram strings, inverse) for window starts ``valid``
+    over the flat token buffer — no per-window Python f-strings: tokens
+    factorize once, the ID TRIPLES dedupe with integer ops, and np.char
+    joins only the unique triples (the md5 input the SQL oracles mirror)."""
+    utoks, tok_id = np.unique(toks.astype(str), return_inverse=True)
+    m = len(utoks)
+    i0, i1, i2 = tok_id[valid], tok_id[valid + 1], tok_id[valid + 2]
+    if m ** 3 < 2 ** 62:
+        packed = (i0 * m + i1) * m + i2
+        utrip, inv = np.unique(packed, return_inverse=True)
+        u0, u1, u2 = utrip // (m * m), (utrip // m) % m, utrip % m
+    else:  # overflow guard: lexsort-based row unique
+        trip = np.stack([i0, i1, i2], axis=1)
+        urows, inv = np.unique(trip, axis=0, return_inverse=True)
+        u0, u1, u2 = urows[:, 0], urows[:, 1], urows[:, 2]
+    uniq = np.char.add(
+        np.char.add(np.char.add(np.char.add(utoks[u0], " "), utoks[u1]), " "),
+        utoks[u2],
+    )
+    return uniq, inv
+
+
 def _mh_chunk_partial(batch: pa.Table) -> pa.Table:
     """Per-chunk-row MinHash partial: internal-window per-seed minima +
     boundary tokens (all tokens when the chunk holds <= 4)."""
@@ -303,13 +329,8 @@ def _mh_chunk_partial(batch: pa.Table) -> pa.Table:
     if len(toks) >= SHINGLE_N:
         valid = np.flatnonzero(tok_rows[: -(SHINGLE_N - 1)]
                                == tok_rows[SHINGLE_N - 1 :])
-        shingles = [
-            f"{toks[g]} {toks[g + 1]} {toks[g + 2]}" for g in valid
-        ]
-        if shingles:
-            uniq, inv = np.unique(
-                np.asarray(shingles, dtype=object), return_inverse=True
-            )
+        if len(valid):
+            uniq, inv = _unique_window_strings(toks, valid)
             vals = _hash_shingles(uniq.tolist())
             np.minimum.at(minima, tok_rows[valid], vals[inv])
     btoks = []
@@ -690,16 +711,22 @@ _register_shared_oracle_variants()
 
 
 def _internal_grams(toks: np.ndarray, n_toks: np.ndarray):
-    """(grams list, owning row array) for windows fully inside a chunk."""
+    """(grams array, owning row array) for windows fully inside a chunk.
+
+    Joined-string construction runs only over UNIQUE token-id triples
+    (np.char over factorized tokens) and scatters back via the inverse —
+    no per-window Python f-string on the hot path."""
     n_rows = len(n_toks)
     tok_rows = np.repeat(np.arange(n_rows, dtype=np.int64), n_toks)
     if len(toks) < SHINGLE_N:
-        return [], np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
     valid = np.flatnonzero(
         tok_rows[: -(SHINGLE_N - 1)] == tok_rows[SHINGLE_N - 1 :]
     )
-    grams = [f"{toks[g]} {toks[g + 1]} {toks[g + 2]}" for g in valid]
-    return grams, tok_rows[valid]
+    if not len(valid):
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64)
+    uniq, inv = _unique_window_strings(toks, valid)
+    return uniq[inv].astype(object), tok_rows[valid]
 
 
 def _boundary_cols(toks: np.ndarray, row_starts: np.ndarray) -> list:
@@ -787,7 +814,7 @@ def q_decontaminate_spans(sf_dir: str):
         )
         grams, gram_rows = _internal_grams(toks, n_toks)
         hits = np.zeros(len(n_toks), dtype=np.int64)
-        if grams:
+        if len(grams):
             hit = pc.is_in(
                 pa.array(grams, type=pa.string()), value_set=bench_set
             ).to_numpy(zero_copy_only=False)
