@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "media_layout_spans",
     "media_context_spans",
     "section_stats_spans",
+    # round-5 additions (reference end-state sinks)
+    "media_summarize_spans",
+    "embeddings_export",
 ]
 
 

@@ -42,9 +42,11 @@ _SAMPLE_PRIORITY = [
     "global_rank_orders", "incremental_dedup", "incremental_neardup",
     "leakage_safe_split", "segment_dedup", "semi_join_urgent",
     "shard_skew_report", "unigram_tokenize",
-    # round-5 changes: new oracle (page_compress_jpeg), new above-cap
-    # branch (bitext_mine), bucket-combined rewrites (events family,
-    # shuffled/capped extraction, event_gap_stats)
+    # round-5 additions: reference end-state sinks (summarize + export),
+    # new oracle (page_compress_jpeg), new above-cap branch (bitext_mine),
+    # bucket-combined rewrites (events family, shuffled/capped extraction,
+    # event_gap_stats)
+    "media_summarize_spans", "embeddings_export",
     "page_compress_jpeg", "bitext_mine", "funnel_counts",
     "cohort_retention", "rolling_event_sum", "event_gap_stats",
     "extract_spans_shuffled", "extract_spans_capped",
@@ -99,6 +101,7 @@ def _load() -> None:
     # VERDICT r2 action 9): similarity/graph/scrub/events/media/html/search
     # first, the heavily-sampled extraction/text families last. All 131
     # oracle-backed queries pass the full local gate regardless of order.
+    from .pipelines import queries_export  # noqa: F401
     from .pipelines import queries_audio  # noqa: F401
     from .pipelines import queries_storage  # noqa: F401
     from .pipelines import queries_spans_native  # noqa: F401

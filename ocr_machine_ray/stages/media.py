@@ -119,6 +119,66 @@ class PageClassifier:
         )
 
 
+class MediaSummarizer:
+    """Deterministic table/diagram summarization stage (the reference's
+    planned steps 4.3 + 5, main.py:14-19: per-media summaries written over
+    the whited-out areas). The reference routes each table/diagram to a
+    GPT summarizer; this engine's stand-in derives the summary text from
+    DECODED PIXELS (the grid/blob classification kernels), so the stage
+    consumes real image content, stays deterministic, and the SQL oracle
+    can mirror it from the category rule. Summary shape:
+    ``[<table|diagram|figure> @<off> <W>x<H>]``."""
+
+    def __init__(self, min_ruled_rows: int = 3):
+        # stands in for summarizer-model load (once per actor)
+        self.min_ruled_rows = min_ruled_rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "off": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            )
+        stack = _stack_from_batch(batch)
+        if stack is not None:
+            is_table, is_diagram = classify_page_stack(
+                stack, self.min_ruled_rows
+            )
+        else:  # mixed-size fallback: per-image scalar kernel
+            verdicts = [
+                classify_page_image(img, self.min_ruled_rows)
+                for img in _imgs_from_batch(batch)
+            ]
+            is_table = np.array([v[0] for v in verdicts], dtype=bool)
+            is_diagram = np.array([v[1] for v in verdicts], dtype=bool)
+        label = np.where(
+            is_table, "table", np.where(is_diagram, "diagram", "figure")
+        )
+        off = batch["off"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = np.char.add(
+            np.char.add(
+                np.char.add(np.char.add("[", label), " @"),
+                off.astype("U20"),
+            ),
+            np.char.add(
+                np.char.add(np.char.add(" ", w.astype("U10")), "x"),
+                np.char.add(h.astype("U10"), "]"),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "off": pa.array(off, type=pa.int64()),
+                "text": pa.array(text.tolist(), type=pa.string()),
+            }
+        )
+
+
 def render_word_regions_batch(batch: pa.Table) -> pa.Table:
     """Flat text spans -> word-region rows with synthetic crop images whose
     strike line is drawn iff the corpus rule says struck (F3). The CV kernel
