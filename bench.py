@@ -147,9 +147,10 @@ BENCH_QUERIES = [
     "media_layout_spans",
     "media_context_spans",
     "section_stats_spans",
-    # round-5 additions (reference end-state sinks)
+    # round-5 additions (reference end-state sinks + outline)
     "media_summarize_spans",
     "embeddings_export",
+    "doc_outline",
 ]
 
 

@@ -843,23 +843,38 @@ def q_incremental_dedup(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True,
     )
 
-    def anti(g: pd.DataFrame) -> pd.DataFrame:
-        if (g["side"] == 0).any():
-            # "string" dtype (not object) so Ray's block-size estimator
-            # doesn't warn on the empty column
-            return pd.DataFrame(
-                {"doc_id": pd.Series([], dtype=np.int64),
-                 "fp": pd.Series([], dtype="string")}
-            )
+    n_buckets = max(8, parquet_num_rows(sf_dir, "documents") // 256)
+
+    def add_fb(t: pa.Table) -> pa.Table:
+        # hash bucket (~256 fps per map_groups dispatch); pandas siphash
+        # is deterministic for a fixed key, so both union sides agree
+        hb = pd.util.hash_array(
+            t["fp"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64) % n_buckets
+        return t.append_column("_fb", pa.array(hb))
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # per-fp anti-join across the bucket: a segment with ANY old-side
+        # row emits nothing, else its new-side rows survive
+        fp = g["fp"].to_numpy(dtype=object)
+        side = g["side"].to_numpy().astype(np.int64)
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((doc, fp))
+        f, s, d = fp[order], side[order], doc[order]
+        change = np.r_[True, f[1:] != f[:-1]]
+        seg = np.cumsum(change) - 1
+        has_old = np.zeros(int(seg[-1]) + 1 if len(seg) else 0, dtype=bool)
+        np.logical_or.at(has_old, seg, s == 0)
+        keep = (s == 1) & ~has_old[seg]
         return pd.DataFrame(
-            {"doc_id": g["doc_id"].to_numpy(np.int64),
-             "fp": g["fp"].to_numpy(dtype=object)}
+            {"doc_id": d[keep], "fp": pd.Series(f[keep], dtype="string")}
         )
 
     survivors = (
         new_side.union(old_side)
-        .groupby("fp")
-        .map_groups(anti, batch_format="pandas")
+        .map_batches(add_fb, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(anti_bucket, batch_format="pandas")
         .repartition(4)  # collapse one-block-per-group before the union
     )
     return definite_new.union(survivors)

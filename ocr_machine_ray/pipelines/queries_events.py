@@ -638,37 +638,44 @@ def q_scd2_history(sf_dir: str):
     if parquet_num_rows(sf_dir, "events") == 0:
         return empty
 
-    def intervals(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        state = g["event_type"].to_numpy()
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("_ub", pa.array(uid >> _USER_BUCKET_BITS))
+
+    def intervals_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # ~256 users per group: one lexsort by (user, ts, event_id);
+        # interval starts are rows whose state differs from the previous
+        # row OR that open a new user segment; valid_to = the next
+        # interval start of the SAME user, NaT on each user's open tail.
+        uid = g["user_id"].to_numpy().astype(np.int64)
         ts = g["ts"].to_numpy()
-        change = np.ones(len(g), dtype=bool)
+        ts_i = ts.astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts_i, uid))
+        uid, ts = uid[order], ts[order]
+        state = g["event_type"].to_numpy()[order]
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        start = new_user.copy()
         if len(g) > 1:
-            change[1:] = state[1:] != state[:-1]
-        starts = np.nonzero(change)[0]
-        vfrom = ts[starts]
-        vto = np.empty(len(starts), dtype=ts.dtype)
-        if len(starts) > 1:
-            vto[:-1] = vfrom[1:]
-        out = pd.DataFrame(
+            start[1:] |= state[1:] != state[:-1]
+        s_idx = np.flatnonzero(start)
+        nxt = np.r_[s_idx[1:], 0]  # dummy for the final interval
+        closes = np.r_[~new_user[s_idx[1:]], False]  # next start, same user
+        vto = np.where(closes, ts[nxt], np.datetime64("NaT", "ns"))
+        return pd.DataFrame(
             {
-                "user_id": np.full(
-                    len(starts), int(g["user_id"].iloc[0]), dtype=np.int64
-                ),
-                "state": state[starts],
-                "valid_from": vfrom,
+                "user_id": uid[s_idx],
+                "state": state[s_idx],
+                "valid_from": ts[s_idx],
                 "valid_to": vto,
             }
         )
-        # open interval: NaT valid_to on the last row
-        if len(out):
-            out.iloc[-1, out.columns.get_loc("valid_to")] = pd.NaT
-        return out
 
     return (
         _read(sf_dir, ["event_id", "user_id", "ts", "event_type"])
-        .groupby("user_id")
-        .map_groups(intervals, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_ub")
+        .map_groups(intervals_bucket, batch_format="pandas")
     )
 
 

@@ -103,6 +103,89 @@ def q_media_summarize_spans(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Document outline (step 6: "generate outline of document", planned-only
+# in the reference — stood in by a deterministic structural outline).
+# Sections are the text runs delimited by media spans in the interleaved
+# sequence; the outline is each section's FIRST token in order. Computed
+# batch-locally over the nested one-doc-per-row layout (the flagship's
+# zero-shuffle locality): section ids are a per-doc cumulative media
+# count, section heads are first-occurrence flags — no groupby anywhere.
+# ---------------------------------------------------------------------------
+_OUTLINE_SQL = f"""
+{SQL_ALL_SPANS},
+sec AS (
+  SELECT doc_id, off, text, kind,
+         sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY off) AS s
+  FROM all_spans
+),
+firsts AS (
+  SELECT doc_id, s, arg_min(text, off) AS head
+  FROM sec WHERE kind = 'text' GROUP BY doc_id, s
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sections,
+       string_agg(head, ' > ' ORDER BY s) AS outline
+FROM firsts GROUP BY doc_id
+"""
+
+
+@query("doc_outline", _OUTLINE_SQL)
+def q_doc_outline(sf_dir: str):
+    from .extraction import spans_corpus
+
+    def outline_batch(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        counts = np.diff(spans.offsets.to_numpy(zero_copy_only=False))
+        n_rows = len(batch)
+        row = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        is_media = np.asarray(
+            pa.compute.equal(flat.field("kind"), "media").to_numpy(
+                zero_copy_only=False
+            )
+        )
+        # spans are offset-ordered within each row by construction
+        # (corpus.derive_spans_batch scatters to dense positions)
+        cum = np.cumsum(is_media.astype(np.int64))
+        row_starts = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_starts[1:])
+        base = (cum - is_media.astype(np.int64))[row_starts[:-1]]
+        sec = cum - base[row]
+        is_text = ~is_media
+        t_row, t_sec = row[is_text], sec[is_text]
+        head_flag = np.r_[
+            True, (t_row[1:] != t_row[:-1]) | (t_sec[1:] != t_sec[:-1])
+        ] if len(t_row) else np.empty(0, dtype=bool)
+        toks = np.asarray(
+            flat.field("text").to_pylist(), dtype=object
+        )[is_text][head_flag]
+        h_row = t_row[head_flag]
+        h_starts = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(
+            np.bincount(h_row, minlength=n_rows), out=h_starts[1:]
+        )
+        outlines = [
+            " > ".join(toks[h_starts[r]: h_starts[r + 1]])
+            for r in range(n_rows)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_sections": pa.array(
+                    (h_starts[1:] - h_starts[:-1]).astype(np.int64)
+                ),
+                "outline": pa.array(outlines, type=pa.string()),
+            }
+        )
+
+    return spans_corpus(sf_dir).map_batches(
+        outline_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vector-table export sink (step 8). Partition key vec_id % _EXPORT_PARTS
 # (deterministic, content-independent — identical rows land in identical
 # partitions on a re-run). At 100 TB the part count scales with the corpus

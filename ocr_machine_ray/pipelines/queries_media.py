@@ -100,11 +100,19 @@ GROUP BY doc_id
 
 @query("doc_artifacts", _ARTIFACT_SQL)
 def q_doc_artifacts(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
     from ..stages.media import reassemble_doc_media
+
+    def add_db(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_db", pa.array(doc >> 8))
 
     artifacts = (
         _media_rows(sf_dir)
-        .groupby("doc_id")
+        .map_batches(add_db, batch_format="pyarrow")
+        .groupby("_db")
         .map_groups(reassemble_doc_media, batch_format="pandas")
     )
     return artifacts.map_batches(

@@ -289,23 +289,55 @@ def q_events_window(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
+    def add_wb(t: pa.Table) -> pa.Table:
+        # bucket of 16 window-hours (every event type of those hours):
+        # dense hour index -> prefix bucket; also avoids ray 2.49's slow
+        # multi-key hash aggregate (BASELINE.md)
+        h = (
+            t["window_start"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[h]")
+            .astype(np.int64)
+        )
+        return t.append_column("_wb", pa.array(h >> 4))
+
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # segmented combine over (type, window) cells: one lexsort by
+        # (type, window, user); sums/min/max via reduceat, distinct users
+        # via first-occurrence flags within each cell
+        et = g["event_type"].to_numpy(dtype=object)
+        tcodes, tc = np.unique(et, return_inverse=True)
+        win = g["window_start"].to_numpy()
+        w_i = win.astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        ne = g["n_events"].to_numpy().astype(np.int64)
+        mn = g["min_value"].to_numpy().astype(np.float64)
+        mx = g["max_value"].to_numpy().astype(np.float64)
+        order = np.lexsort((uid, w_i, tc))
+        tc, w_i, uid = tc[order], w_i[order], uid[order]
+        cell = np.r_[True, (tc[1:] != tc[:-1]) | (w_i[1:] != w_i[:-1])]
+        starts = np.flatnonzero(cell)
+        first_user = cell | np.r_[True, uid[1:] != uid[:-1]]
         return pd.DataFrame(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "window_start": [g["window_start"].iloc[0]],
-                "n_events": [np.int64(g["n_events"].sum())],
-                "n_users": [np.int64(g["user_id"].nunique())],
-                "min_value": [g["min_value"].min()],
-                "max_value": [g["max_value"].max()],
+                "event_type": tcodes[tc[starts]],
+                "window_start": win[order][starts],
+                "n_events": np.add.reduceat(ne[order], starts),
+                "n_users": np.add.reduceat(
+                    first_user.astype(np.int64), starts
+                ),
+                "min_value": np.minimum.reduceat(mn[order], starts),
+                "max_value": np.maximum.reduceat(mx[order], starts),
             }
         )
 
     partials = _read(
         sf_dir, "events", ["ts", "event_type", "user_id", "value"]
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby(["event_type", "window_start"]).map_groups(
-        final, batch_format="pandas"
+    return (
+        partials.map_batches(add_wb, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(final_bucket, batch_format="pandas")
     )
 
 
@@ -338,38 +370,50 @@ FROM sessions GROUP BY user_id, session_id
 
 @query("sessionize", _SESSIONS_SQL)
 def q_sessionize(sf_dir: str):
-    """Session windows: groupby(user_id).map_groups over ts-sorted events —
-    the documented Ray Data pattern for stream-shaped references (the input
-    is an ordered, partitioned log; ordering restored per group)."""
+    """Session windows over user-BUCKETED groups (user_id >> 8, ~256 users
+    per group — per-user map_groups pays ~0.6-3 ms of pandas dispatch per
+    group, BASELINE.md): one lexsort by (user, ts), session breaks where a
+    user changes or the gap exceeds the threshold, then every session is a
+    contiguous run — counts/start/end are pure segment arithmetic."""
     gap = np.timedelta64(SESSION_GAP_MIN, "m")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("_ub", pa.array(uid >> 8))
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy().astype(np.int64)
         ts = g["ts"].to_numpy()
-        starts = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            starts[1:] = (np.diff(ts) > gap).astype(np.int64)
-        sid = np.cumsum(starts)
-        g = g.assign(session_id=sid)
-        out = (
-            g.groupby("session_id", sort=True)
-            .agg(
-                n_events=("ts", "size"),
-                session_start=("ts", "min"),
-                session_end=("ts", "max"),
-            )
-            .reset_index()
+        order = np.lexsort((ts.view(np.int64), uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        start = new_user.copy()
+        if len(uid) > 1:
+            start[1:] |= (ts[1:] - ts[:-1]) > gap
+        s_idx = np.flatnonzero(start)
+        ends = np.r_[s_idx[1:], len(uid)] - 1
+        sess_user = uid[s_idx]
+        # session ordinal within user (1-based): session index minus the
+        # index of the user's first session
+        first_sess = np.r_[True, sess_user[1:] != sess_user[:-1]]
+        sess_ord = np.arange(len(s_idx), dtype=np.int64)
+        base = sess_ord[first_sess]
+        sid = sess_ord - base[np.cumsum(first_sess) - 1] + 1
+        return pd.DataFrame(
+            {
+                "user_id": sess_user,
+                "session_id": sid,
+                "n_events": np.diff(np.r_[s_idx, len(uid)]).astype(np.int64),
+                "session_start": ts[s_idx],
+                "session_end": ts[ends],
+            }
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out[
-            ["user_id", "session_id", "n_events", "session_start", "session_end"]
-        ]
 
     return (
         _read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_ub")
+        .map_groups(sessions_bucket, batch_format="pandas")
     )
 
 
@@ -425,22 +469,45 @@ def q_sliding_window(sf_dir: str):
         g["n_events"] = g["n_events"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
+    def add_wb(t: pa.Table) -> pa.Table:
+        h = (
+            t["window_start"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[h]")
+            .astype(np.int64)
+        )
+        return t.append_column("_wb", pa.array(h >> 4))
+
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # segmented combine over (type, window) cells (see events_window)
+        et = g["event_type"].to_numpy(dtype=object)
+        tcodes, tc = np.unique(et, return_inverse=True)
+        win = g["window_start"].to_numpy()
+        w_i = win.astype("datetime64[us]").astype(np.int64)
+        ne = g["n_events"].to_numpy().astype(np.int64)
+        mn = g["min_value"].to_numpy().astype(np.float64)
+        mx = g["max_value"].to_numpy().astype(np.float64)
+        order = np.lexsort((w_i, tc))
+        tc, w_i = tc[order], w_i[order]
+        cell = np.r_[True, (tc[1:] != tc[:-1]) | (w_i[1:] != w_i[:-1])]
+        starts = np.flatnonzero(cell)
         return pd.DataFrame(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "window_start": [g["window_start"].iloc[0]],
-                "n_events": [np.int64(g["n_events"].sum())],
-                "min_value": [g["min_value"].min()],
-                "max_value": [g["max_value"].max()],
+                "event_type": tcodes[tc[starts]],
+                "window_start": win[order][starts],
+                "n_events": np.add.reduceat(ne[order], starts),
+                "min_value": np.minimum.reduceat(mn[order], starts),
+                "max_value": np.maximum.reduceat(mx[order], starts),
             }
         )
 
     partials = _read(
         sf_dir, "events", ["ts", "event_type", "value"]
     ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby(["event_type", "window_start"]).map_groups(
-        final, batch_format="pandas"
+    return (
+        partials.map_batches(add_wb, batch_format="pyarrow")
+        .groupby("_wb")
+        .map_groups(final_bucket, batch_format="pandas")
     )
 
 
@@ -462,18 +529,37 @@ FROM (
 
 @query("topk_per_customer", _TOPK_PER_CUST_SQL)
 def q_topk_per_customer(sf_dir: str):
-    def top2(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(2)
-        g = g.reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["o_custkey", "o_orderkey", "rnk"]]
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return batch.append_column("_cb", pa.array(ck >> 8))
+
+    def top2_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # ~256 customers per group: one lexsort by (cust, -price, key),
+        # keep positions 0-1 of each customer segment
+        ck = g["o_custkey"].to_numpy().astype(np.int64)
+        ok = g["o_orderkey"].to_numpy().astype(np.int64)
+        price = g["o_totalprice"].to_numpy().astype(np.float64)
+        order = np.lexsort((ok, -price, ck))
+        ck, ok = ck[order], ok[order]
+        change = np.r_[True, ck[1:] != ck[:-1]]
+        starts = np.flatnonzero(change)
+        pos = np.arange(len(ck)) - starts[np.cumsum(change) - 1]
+        keep = pos < 2
+        return pd.DataFrame(
+            {
+                "o_custkey": ck[keep],
+                "o_orderkey": ok[keep],
+                "rnk": (pos[keep] + 1).astype(np.int64),
+            }
+        )
 
     return (
         _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-        .groupby("o_custkey")
-        .map_groups(top2, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cb")
+        .map_groups(top2_bucket, batch_format="pandas")
     )
 
 
@@ -499,39 +585,52 @@ WHERE p.event_type = 'purchase'
 
 @query("asof_purchase_click", _ASOF_SQL)
 def q_asof(sf_dir: str):
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        # stable sort by (ts, event_id): merge_asof picks the LAST tied
-        # row, i.e. the highest event_id — mirrored in the SQL oracle
-        p = g[g["event_type"] == "purchase"].sort_values(
-            ["ts", "event_id"], kind="mergesort"
-        )
-        c = g[g["event_type"] == "click"].sort_values(
-            ["ts", "event_id"], kind="mergesort"
-        )
-        if p.empty or c.empty:
-            return pd.DataFrame(
-                {"purchase_id": pd.Series(dtype="int64"),
-                 "click_id": pd.Series(dtype="int64")}
+    def keep_and_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(
+            pc.is_in(
+                batch["event_type"],
+                value_set=pa.array(["purchase", "click"]),
             )
-        m = pd.merge_asof(
-            p[["ts", "event_id"]],
-            c[["ts", "event_id"]],
-            on="ts",
-            suffixes=("_p", "_c"),
-            allow_exact_matches=False,
-            direction="backward",
-        ).dropna(subset=["event_id_c"])
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_ub", pa.array(uid >> 8))
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # merge-sorted as-of over ~256 users at once: sort by (user, ts,
+        # purchase-before-click, event_id) and forward-fill the last click
+        # row index. Purchases sort BEFORE equal-ts clicks, so the ffill a
+        # purchase sees only covers strictly-earlier clicks; among ties of
+        # the latest prior ts, the LAST accumulated click is the highest
+        # event_id — both matching the SQL's ORDER BY ts DESC, id DESC.
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        is_click = g["event_type"].to_numpy() == "click"
+        order = np.lexsort((eid, is_click.astype(np.int8), ts, uid))
+        uid, eid = uid[order], eid[order]
+        is_click = is_click[order]
+        n = len(uid)
+        idx = np.where(is_click, np.arange(n, dtype=np.int64), -1)
+        last_click = np.maximum.accumulate(idx)
+        change = np.r_[True, uid[1:] != uid[:-1]]
+        seg_start = np.flatnonzero(change)[np.cumsum(change) - 1]
+        hit = (~is_click) & (last_click >= seg_start)
         return pd.DataFrame(
             {
-                "purchase_id": m["event_id_p"].astype("int64"),
-                "click_id": m["event_id_c"].astype("int64"),
+                "purchase_id": eid[hit],
+                "click_id": eid[last_click[hit]],
             }
         )
 
     return (
         _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(
+            keep_and_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("_ub")
+        .map_groups(asof_bucket, batch_format="pandas")
     )
 
 
@@ -794,35 +893,64 @@ FROM events p WHERE p.event_type = 'purchase'
 def q_range_join(sf_dir: str):
     WINDOW_US = 30 * 60 * 1_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["event_type"] == "purchase"]
-        if p.empty:
+    def keep_and_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(
+            pc.is_in(
+                batch["event_type"],
+                value_set=pa.array(["purchase", "click"]),
+            )
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_ub", pa.array(uid >> 8))
+
+    def range_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # interval counts over ~256 users at once via the two-probe merge:
+        # each purchase contributes a probe at t (window's strict left
+        # edge) and one at t+W (inclusive right edge); sort clicks and
+        # probes together by (user, ts, clicks-first) and the running
+        # click count at each probe gives count(ts <= probe) — the window
+        # count is the hi-probe minus lo-probe difference, which cancels
+        # everything before the user's segment.
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        is_p = g["event_type"].to_numpy() == "purchase"
+        p_uid, p_ts, p_eid = uid[is_p], ts[is_p], eid[is_p]
+        c_uid, c_ts = uid[~is_p], ts[~is_p]
+        n_p, n_c = len(p_uid), len(c_uid)
+        if n_p == 0:
             return pd.DataFrame(
                 {"purchase_id": pd.Series(dtype="int64"),
                  "n_clicks_30m": pd.Series(dtype="int64")}
             )
-        c_ts = np.sort(
-            g.loc[g["event_type"] == "click", "ts"]
-            .to_numpy()
-            .astype("datetime64[us]")
-            .astype(np.int64)
+        m_uid = np.concatenate([c_uid, p_uid, p_uid])
+        m_ts = np.concatenate([c_ts, p_ts, p_ts + WINDOW_US])
+        # clicks sort BEFORE probes at equal ts => count(ts <= probe)
+        m_typ = np.concatenate(
+            [np.zeros(n_c, dtype=np.int8), np.ones(2 * n_p, dtype=np.int8)]
         )
-        p_ts = p["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        # (p.ts, p.ts + W]: strict left edge -> side='right' at p_ts;
-        # inclusive right edge -> side='right' at p_ts + W
-        lo = np.searchsorted(c_ts, p_ts, side="right")
-        hi = np.searchsorted(c_ts, p_ts + WINDOW_US, side="right")
+        order = np.lexsort((m_typ, m_ts, m_uid))
+        cum = np.cumsum(m_typ[order] == 0)
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(len(order))
+        lo = cum[pos[n_c : n_c + n_p]]
+        hi = cum[pos[n_c + n_p :]]
         return pd.DataFrame(
             {
-                "purchase_id": p["event_id"].to_numpy().astype(np.int64),
+                "purchase_id": p_eid,
                 "n_clicks_30m": (hi - lo).astype(np.int64),
             }
         )
 
     return (
         _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(
+            keep_and_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("_ub")
+        .map_groups(range_bucket, batch_format="pandas")
     )
 
 
@@ -1135,23 +1263,37 @@ def q_latest_event_per_user(sf_dir: str):
         ["user_id", "event_id", "ts", "event_type", "value"],
     ).map_batches(argmax_partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pick_latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["ts", "event_id"], ascending=False, kind="mergesort"
-        ).head(1)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("_ub", pa.array(uid >> 8))
+
+    def pick_latest_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # same argmax kernel as the batch partial, across ~256 users at
+        # once: last row of each (user, ts, event_id)-sorted user run
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy()
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort(
+            (eid, ts.astype("datetime64[us]").astype(np.int64), uid)
+        )
+        u = uid[order]
+        last = order[np.r_[u[1:] != u[:-1], True]]
         return pd.DataFrame(
             {
-                "user_id": g["user_id"].to_numpy(np.int64),
-                "event_id": g["event_id"].to_numpy(np.int64),
-                "ts": g["ts"].to_numpy(),
-                "event_type": g["event_type"].to_numpy(dtype=object),
-                "value_cents": _cents(g["value"].to_numpy()),
+                "user_id": uid[last],
+                "event_id": eid[last],
+                "ts": ts[last],
+                "event_type": g["event_type"].to_numpy(dtype=object)[last],
+                "value_cents": _cents(g["value"].to_numpy()[last]),
             }
         )
 
     return (
-        partials.groupby("user_id")
-        .map_groups(pick_latest, batch_format="pandas")
+        partials.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("_ub")
+        .map_groups(pick_latest_bucket, batch_format="pandas")
         .repartition(4)
     )
 

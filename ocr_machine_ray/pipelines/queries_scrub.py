@@ -330,31 +330,50 @@ def canonicalize_urls(raw: "pa.Array") -> "pa.Array":
 def q_url_dedup(sf_dir: str):
     import pandas as pd
 
+    from .extraction import parquet_num_rows
+
+    n_buckets = max(8, parquet_num_rows(sf_dir, "documents") // 256)
+
     def canon(batch: pa.Table) -> pa.Table:
-        raw = _messy_urls(batch)
+        urls = canonicalize_urls(_messy_urls(batch))
+        # hash bucket (~256 urls per map_groups dispatch): vectorized
+        # deterministic string hash (pandas siphash, fixed key)
+        hb = pd.util.hash_array(
+            urls.to_numpy(zero_copy_only=False)
+        ).astype(np.int64) % n_buckets
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "canonical_url": canonicalize_urls(raw),
+                "canonical_url": urls,
+                "_ub": pa.array(hb),
             }
         )
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        keeper = int(g["doc_id"].min())
+    def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # per-url keeper/size across the bucket: one lexsort (url primary,
+        # doc secondary), segment heads are keepers, lengths are sizes
+        url = g["canonical_url"].to_numpy()
+        doc = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((doc, url))
+        u, d = url[order], doc[order]
+        change = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        sizes = np.diff(np.r_[starts, len(u)]).astype(np.int64)
         return pd.DataFrame(
             {
-                "doc_id": g["doc_id"].to_numpy(),
-                "canonical_url": g["canonical_url"].to_numpy(),
-                "keeper_doc": np.full(len(g), keeper, dtype=np.int64),
-                "group_size": np.full(len(g), len(g), dtype=np.int64),
+                "doc_id": d,
+                "canonical_url": u,
+                "keeper_doc": d[starts][seg],
+                "group_size": sizes[seg],
             }
         )
 
     return (
         read_documents(sf_dir, ["doc_id", "lang", "source"])
         .map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("canonical_url")
-        .map_groups(resolve, batch_format="pandas")
+        .groupby("_ub")
+        .map_groups(resolve_bucket, batch_format="pandas")
     )
 
 

@@ -154,21 +154,62 @@ def q_inverted_index(sf_dir: str):
             }
         )
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(np.concatenate([np.asarray(p) for p in g["postings_part"]]))
-        head = ids[:POSTINGS_CAP].astype(np.int64)
+    from .extraction import parquet_num_rows
+
+    # vocab-keyed merge: per-token map_groups pays ~0.6-3 ms of pandas
+    # dispatch per TOKEN (BASELINE.md) — group on a hash bucket of ~256
+    # tokens and merge segmented instead
+    n_buckets = max(8, parquet_num_rows(sf_dir, "documents") // 256)
+
+    def add_tb(t: pa.Table) -> pa.Table:
+        hb = pd.util.hash_array(
+            t["tok"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64) % n_buckets
+        return t.append_column("_tb", pa.array(hb))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        toks = g["tok"].to_numpy(dtype=object)
+        utoks, code = np.unique(toks, return_inverse=True)
+        dfs = np.zeros(len(utoks), dtype=np.int64)
+        np.add.at(dfs, code, g["df_part"].to_numpy().astype(np.int64))
+        lens = np.fromiter(
+            (len(p) for p in g["postings_part"]), np.int64, len(g)
+        )
+        pair_tok = np.repeat(code, lens)
+        pair_doc = (
+            np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in g["postings_part"]]
+            )
+            if int(lens.sum())
+            else np.empty(0, dtype=np.int64)
+        )
+        # unique (tok, doc) pairs sorted by doc within token, head CAP
+        order = np.lexsort((pair_doc, pair_tok))
+        pt, pd_ = pair_tok[order], pair_doc[order]
+        first = np.r_[True, (pt[1:] != pt[:-1]) | (pd_[1:] != pd_[:-1])]
+        pt, pd_ = pt[first], pd_[first]
+        starts = np.zeros(len(utoks) + 1, dtype=np.int64)
+        np.cumsum(np.bincount(pt, minlength=len(utoks)), out=starts[1:])
+        postings = [
+            ",".join(
+                str(i)
+                for i in pd_[starts[c]: min(starts[c + 1],
+                                            starts[c] + POSTINGS_CAP)]
+            )
+            for c in range(len(utoks))
+        ]
         return pd.DataFrame(
-            {
-                "tok": [g["tok"].iloc[0]],
-                "df": [int(g["df_part"].sum())],
-                "postings": [",".join(str(i) for i in head)],
-            }
+            {"tok": utoks, "df": dfs, "postings": postings}
         )
 
     partials = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    return partials.groupby("tok").map_groups(merge_group, batch_format="pandas")
+    return (
+        partials.map_batches(add_tb, batch_format="pyarrow")
+        .groupby("_tb")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

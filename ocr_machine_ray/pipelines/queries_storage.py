@@ -205,18 +205,36 @@ def q_compaction_plan(sf_dir: str):
         per_bucket, batch_format="pandas"
     ).repartition(4)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def add_fb(t: pa.Table) -> pa.Table:
+        fid = t["file_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_fb", pa.array(fid >> 8))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # ~256 file_ids per group (file_id is dense — prefix bucket):
+        # segmented sum/min/max over rows sorted by file_id
+        fid = g["file_id"].to_numpy().astype(np.int64)
+        order = np.argsort(fid, kind="mergesort")
+        fid = fid[order]
+        starts = np.flatnonzero(np.r_[True, fid[1:] != fid[:-1]])
+        nd = g["n_docs"].to_numpy().astype(np.int64)[order]
+        tb = g["total_bytes"].to_numpy().astype(np.int64)[order]
+        fd = g["first_doc"].to_numpy().astype(np.int64)[order]
+        ld = g["last_doc"].to_numpy().astype(np.int64)[order]
         return pd.DataFrame(
             {
-                "file_id": [np.int64(g["file_id"].iloc[0])],
-                "n_docs": [np.int64(g["n_docs"].sum())],
-                "total_bytes": [np.int64(g["total_bytes"].sum())],
-                "first_doc": [np.int64(g["first_doc"].min())],
-                "last_doc": [np.int64(g["last_doc"].max())],
+                "file_id": fid[starts],
+                "n_docs": np.add.reduceat(nd, starts),
+                "total_bytes": np.add.reduceat(tb, starts),
+                "first_doc": np.minimum.reduceat(fd, starts),
+                "last_doc": np.maximum.reduceat(ld, starts),
             }
         )
 
-    return partials.groupby("file_id").map_groups(merge, batch_format="pandas")
+    return (
+        partials.map_batches(add_fb, batch_format="pyarrow")
+        .groupby("_fb")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

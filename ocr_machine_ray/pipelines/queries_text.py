@@ -1208,6 +1208,18 @@ FROM q QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
 """
 
 
+def _keep_min_bucket(g: "pd.DataFrame", key_col: str, cols: list[str]):
+    """First-doc-wins per key inside a HASH BUCKET of ~256 keys (per-key
+    map_groups costs ~0.6-3 ms of pandas dispatch each — BASELINE.md):
+    one lexsort (key primary, doc_id secondary), segment heads win."""
+    key = g[key_col].to_numpy()
+    doc = g["doc_id"].to_numpy().astype(np.int64)
+    order = np.lexsort((doc, key))
+    k = key[order]
+    first = np.r_[True, k[1:] != k[:-1]]
+    return g.iloc[order[first]][cols].reset_index(drop=True)
+
+
 @query("corpus_curate", _CURATE_SQL)
 def q_corpus_curate(sf_dir: str):
     import hashlib
@@ -1215,6 +1227,7 @@ def q_corpus_curate(sf_dir: str):
     import pandas as pd
 
     from ..corpus import FlatTokens
+    from .extraction import parquet_num_rows
 
     def survivors(batch: pa.Table) -> pa.Table:
         ft = FlatTokens(batch)
@@ -1238,30 +1251,31 @@ def q_corpus_curate(sf_dir: str):
             head = toks[starts[d]: starts[d] + min(_CURATE_PREFIX, ft.counts[d])]
             fps.append(hashlib.md5(" ".join(head).encode()).hexdigest())
         keep_pa = pa.array(keep)
+        # _fpb: hash bucket of the hex fp (~256 fps per map_groups
+        # dispatch — hashes are sparse, so bucketing is MODULO a
+        # corpus-sized target, not a prefix shift)
         return pa.table(
             {
                 "fp": pa.array(fps, type=pa.string()),
+                "_fpb": pa.array(
+                    [int(f[:15], 16) % n_buckets for f in fps],
+                    type=pa.int64(),
+                ),
                 "doc_id": batch["doc_id"].filter(keep_pa),
                 "lang": batch["lang"].filter(keep_pa),
                 "n_tokens": pa.array(n_tokens[keep]),
             }
         )
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.loc[[g["doc_id"].idxmin()]]
-        return pd.DataFrame(
-            {
-                "doc_id": r["doc_id"].to_numpy(np.int64),
-                "lang": r["lang"].to_numpy(dtype=object),
-                "n_tokens": r["n_tokens"].to_numpy(np.int64),
-            }
-        )
-
+    n_buckets = max(8, parquet_num_rows(sf_dir, "documents") // 256)
     ds = (
         read_documents(sf_dir, ["doc_id", "text", "lang"])
         .map_batches(survivors, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("fp")
-        .map_groups(keep_min, batch_format="pandas")
+        .groupby("_fpb")
+        .map_groups(
+            lambda g: _keep_min_bucket(g, "fp", ["doc_id", "lang", "n_tokens"]),
+            batch_format="pandas",
+        )
         .repartition(8)  # collapse one-block-per-group before returning
     )
     return ds
@@ -3151,6 +3165,8 @@ def q_curation_pipeline(sf_dir: str):
     import pandas as pd
     from ray.data.aggregate import Sum
 
+    from .extraction import parquet_num_rows
+
     def gate(batch: pa.Table) -> pa.Table:
         """Gopher gate + content hash for the survivors only."""
         flags = gopher_rules_batch(batch.select(["doc_id", "text"]))
@@ -3168,12 +3184,13 @@ def q_curation_pipeline(sf_dir: str):
                 "source": kept["source"],
                 "n_words": n_words,
                 "content_hash": pa.array(h, type=pa.string()),
+                # hash bucket (~256 hashes per map_groups dispatch)
+                "_hb": pa.array(
+                    [int(x[:15], 16) % n_buckets for x in h],
+                    type=pa.int64(),
+                ),
             }
         )
-
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.loc[[g["doc_id"].idxmin()],
-                     ["doc_id", "lang", "source", "n_words"]]
 
     def sample_and_partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -3225,11 +3242,17 @@ def q_curation_pipeline(sf_dir: str):
             }
         )
 
+    n_buckets = max(8, parquet_num_rows(sf_dir, "documents") // 256)
     return (
         read_documents(sf_dir, ["doc_id", "text", "lang", "source"])
         .map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("content_hash")
-        .map_groups(keep_min, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(
+            lambda g: _keep_min_bucket(
+                g, "content_hash", ["doc_id", "lang", "source", "n_words"]
+            ),
+            batch_format="pandas",
+        )
         .repartition(8)  # collapse per-group tiny blocks pre-shuffle
         .map_batches(sample_and_partial, batch_format="pyarrow")
         .groupby("key")

@@ -46,7 +46,7 @@ _SAMPLE_PRIORITY = [
     # new oracle (page_compress_jpeg), new above-cap branch (bitext_mine),
     # bucket-combined rewrites (events family, shuffled/capped extraction,
     # event_gap_stats)
-    "media_summarize_spans", "embeddings_export",
+    "media_summarize_spans", "embeddings_export", "doc_outline",
     "page_compress_jpeg", "bitext_mine", "funnel_counts",
     "cohort_retention", "rolling_event_sum", "event_gap_stats",
     "extract_spans_shuffled", "extract_spans_capped",

@@ -335,29 +335,42 @@ def encode_base64_batch(batch: pa.Table) -> pa.Table:
 
 
 def reassemble_doc_media(g) -> "pd.DataFrame":
-    """Document reassembly sink (S7 full form): concatenate one doc's media
+    """Document reassembly sink (S7 full form): concatenate each doc's media
     payloads into a single ordered binary artifact plus a manifest — the
     engine's PDF-leaf analog (reference ``fake_scan.py:319-320`` and
     ``white_out_manager.py:40-45`` rebuild page images into documents).
 
-    Runs inside ``groupby(doc_id).map_groups``; pages are ordered by their
-    page index (the media_ref suffix — monotone in span offset), the
-    manifest lists the page refs in artifact order so a reader can slice
-    pages back out (page size is uniform per doc here; a production
-    manifest would carry per-page byte offsets)."""
+    Runs inside a BUCKETED map_groups (doc_id >> 8, ~256 whole docs per
+    group — per-doc dispatch costs ~0.6-3 ms each, BASELINE.md) and
+    handles any number of documents per call: one lexsort by (doc, page
+    index — the media_ref suffix, monotone in span offset), then per-doc
+    segment joins. The manifest lists page refs in artifact order so a
+    reader can slice pages back out (page size is uniform per doc here; a
+    production manifest would carry per-page byte offsets)."""
     import pandas as pd
 
-    order = g["media_ref"].str.rsplit("-", n=1).str[1].astype(int)
-    g = g.iloc[order.argsort(kind="mergesort")]
-    payloads = list(g["bytes"])
-    artifact = b"".join(payloads)
+    doc = g["doc_id"].to_numpy().astype(np.int64)
+    page = (
+        g["media_ref"].str.rsplit("-", n=1).str[1].astype(int).to_numpy()
+    )
+    order = np.lexsort((page, doc))
+    d = doc[order]
+    refs = g["media_ref"].to_numpy(dtype=object)[order]
+    byts = g["bytes"].to_numpy(dtype=object)[order]
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    ends = np.r_[starts[1:], len(d)]
+    artifacts = [b"".join(byts[s:e]) for s, e in zip(starts, ends)]
     return pd.DataFrame(
         {
-            "doc_id": [int(g["doc_id"].iloc[0])],
-            "n_pages": [len(g)],
-            "total_bytes": [len(artifact)],
-            "manifest": ["|".join(g["media_ref"])],
-            "artifact": [artifact],
+            "doc_id": d[starts],
+            "n_pages": (ends - starts).astype(np.int64),
+            "total_bytes": np.array(
+                [len(a) for a in artifacts], dtype=np.int64
+            ),
+            "manifest": [
+                "|".join(refs[s:e]) for s, e in zip(starts, ends)
+            ],
+            "artifact": artifacts,
         }
     )
 
