@@ -229,11 +229,24 @@ def q_dedup_minhash(sf_dir: str):
             }
         )
 
+    from ..stages.buckets import add_hash_bucket, per_key_in_bucket
+    from .extraction import parquet_num_rows
+
+    # band buckets are corpus-sized (N_BANDS keys per doc): amortize the
+    # per-bucket pandas dispatch over ~256 band keys per group
+    n_buckets = max(8, parquet_num_rows(sf_dir, "documents") * 4 // 256)
     bands = read_documents(sf_dir).map_batches(
         band_rows_packed, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = bands.groupby("bkey").map_groups(
-        _verified_shingle_pairs, batch_format="pandas"
+    pairs = (
+        bands.map_batches(
+            add_hash_bucket("bkey", n_buckets), batch_format="pyarrow"
+        )
+        .groupby("_gb")
+        .map_groups(
+            per_key_in_bucket(_verified_shingle_pairs, "bkey"),
+            batch_format="pandas",
+        )
     )
     return _distinct_pairs(pairs)
 
@@ -322,11 +335,22 @@ def _verified_token_pairs(g: pd.DataFrame) -> pd.DataFrame:
 
 @query("dedup_ngram_jaccard", _JACCARD_SQL)
 def q_dedup_jaccard(sf_dir: str):
+    from ..stages.buckets import add_hash_bucket, per_key_in_bucket
+    from .extraction import parquet_num_rows
+
+    n_buckets = max(8, parquet_num_rows(sf_dir, "documents") * 4 // 256)
     rows = read_documents(sf_dir, ["doc_id", "lang", "text"]).map_batches(
         _jaccard_prefix_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = rows.groupby("bkey").map_groups(
-        _verified_token_pairs, batch_format="pandas"
+    pairs = (
+        rows.map_batches(
+            add_hash_bucket("bkey", n_buckets), batch_format="pyarrow"
+        )
+        .groupby("_gb")
+        .map_groups(
+            per_key_in_bucket(_verified_token_pairs, "bkey"),
+            batch_format="pandas",
+        )
     )
     return _distinct_pairs(pairs)
 
@@ -845,13 +869,9 @@ def q_incremental_dedup(sf_dir: str):
 
     n_buckets = max(8, parquet_num_rows(sf_dir, "documents") // 256)
 
-    def add_fb(t: pa.Table) -> pa.Table:
-        # hash bucket (~256 fps per map_groups dispatch); pandas siphash
-        # is deterministic for a fixed key, so both union sides agree
-        hb = pd.util.hash_array(
-            t["fp"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64) % n_buckets
-        return t.append_column("_fb", pa.array(hb))
+    from ..stages.buckets import add_hash_bucket
+
+    add_fb = add_hash_bucket("fp", n_buckets, out="_fb")
 
     def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # per-fp anti-join across the bucket: a segment with ANY old-side
@@ -1311,11 +1331,16 @@ def q_dedup_edit_distance(sf_dir: str):
             }
         )
 
+    from ..stages.buckets import add_hash_bucket, per_key_in_bucket
+    from .extraction import parquet_num_rows
+
+    n_buckets = max(8, parquet_num_rows(sf_dir, "documents") // 256)
     return (
         read_documents(sf_dir, ["doc_id", "text"])
         .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("p8")
-        .map_groups(pairs, batch_format="pandas")
+        .map_batches(add_hash_bucket("p8", n_buckets), batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(per_key_in_bucket(pairs, "p8"), batch_format="pandas")
     )
 
 
@@ -1387,6 +1412,8 @@ def _cross_dup_hits(g: pd.DataFrame) -> pd.DataFrame:
 def q_incremental_neardup(sf_dir: str):
     from ray.data.aggregate import Max
 
+    from .extraction import parquet_num_rows
+
     def band_rows_packed(batch: pa.Table) -> pa.Table:
         t = minhash_bands_shingles_batch(batch)
         return pa.table(
@@ -1417,9 +1444,19 @@ def q_incremental_neardup(sf_dir: str):
             }
         )
 
-    hits = bands.groupby("bkey").map_groups(
-        hit_rows, batch_format="pandas"
-    ).repartition(8)
+    from ..stages.buckets import add_hash_bucket, per_key_in_bucket
+
+    n_buckets = max(8, parquet_num_rows(sf_dir, "documents") * 4 // 256)
+    hits = (
+        bands.map_batches(
+            add_hash_bucket("bkey", n_buckets), batch_format="pyarrow"
+        )
+        .groupby("_gb")
+        .map_groups(
+            per_key_in_bucket(hit_rows, "bkey"), batch_format="pandas"
+        )
+        .repartition(8)
+    )
 
     def new_doc_rows(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -630,9 +630,19 @@ def q_image_phash_dedup(sf_dir: str):
     band_rows = docs.map_batches(
         _phash_band_rows, batch_format="pyarrow", zero_copy_batch=True
     )
+    from ..stages.buckets import add_hash_bucket, per_key_in_bucket
+    from .extraction import parquet_num_rows
+
+    n_buckets = max(8, parquet_num_rows(sf_dir, "documents") * 4 // 256)
     pairs = (
-        band_rows.groupby("band_key")
-        .map_groups(_phash_star_pairs, batch_format="pandas")
+        band_rows.map_batches(
+            add_hash_bucket("band_key", n_buckets), batch_format="pyarrow"
+        )
+        .groupby("_gb")
+        .map_groups(
+            per_key_in_bucket(_phash_star_pairs, "band_key"),
+            batch_format="pandas",
+        )
         .repartition(8)  # collapse per-bucket tiny blocks pre-shuffle
     )
 

@@ -330,6 +330,7 @@ def canonicalize_urls(raw: "pa.Array") -> "pa.Array":
 def q_url_dedup(sf_dir: str):
     import pandas as pd
 
+    from ..stages.buckets import string_hash64
     from .extraction import parquet_num_rows
 
     n_buckets = max(8, parquet_num_rows(sf_dir, "documents") // 256)
@@ -337,10 +338,11 @@ def q_url_dedup(sf_dir: str):
     def canon(batch: pa.Table) -> pa.Table:
         urls = canonicalize_urls(_messy_urls(batch))
         # hash bucket (~256 urls per map_groups dispatch): vectorized
-        # deterministic string hash (pandas siphash, fixed key)
-        hb = pd.util.hash_array(
-            urls.to_numpy(zero_copy_only=False)
-        ).astype(np.int64) % n_buckets
+        # deterministic string hash (stages/buckets.string_hash64)
+        hb = (
+            string_hash64(urls.to_numpy(zero_copy_only=False))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

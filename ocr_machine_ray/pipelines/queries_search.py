@@ -161,11 +161,9 @@ def q_inverted_index(sf_dir: str):
     # tokens and merge segmented instead
     n_buckets = max(8, parquet_num_rows(sf_dir, "documents") // 256)
 
-    def add_tb(t: pa.Table) -> pa.Table:
-        hb = pd.util.hash_array(
-            t["tok"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64) % n_buckets
-        return t.append_column("_tb", pa.array(hb))
+    from ..stages.buckets import add_hash_bucket
+
+    add_tb = add_hash_bucket("tok", n_buckets, out="_tb")
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         toks = g["tok"].to_numpy(dtype=object)
