@@ -151,6 +151,14 @@ BENCH_QUERIES = [
     "media_summarize_spans",
     "embeddings_export",
     "doc_outline",
+    # round-5 bucket-combine rewrites not previously tracked
+    "event_gap_stats",
+    "dedup_minhash",
+    "inverted_index",
+    "topk_per_customer",
+    "asof_purchase_click",
+    "range_join_counts",
+    "latest_event_per_user",
 ]
 
 
