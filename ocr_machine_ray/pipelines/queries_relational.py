@@ -583,6 +583,35 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Merge-sorted as-of over a bucket of users: sort by (user, ts,
+    purchase-before-click, event_id) and forward-fill the last click row
+    index. Purchases sort BEFORE equal-ts clicks, so the ffill a purchase
+    sees only covers strictly-earlier clicks; among ties of the latest
+    prior ts, the LAST accumulated click is the highest event_id — both
+    matching the SQL's ORDER BY ts DESC, id DESC. Property-tested against
+    an O(n^2) reference in tests/test_bucketed_merges.py."""
+    uid = g["user_id"].to_numpy().astype(np.int64)
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    eid = g["event_id"].to_numpy().astype(np.int64)
+    is_click = g["event_type"].to_numpy() == "click"
+    order = np.lexsort((eid, is_click.astype(np.int8), ts, uid))
+    uid, eid = uid[order], eid[order]
+    is_click = is_click[order]
+    n = len(uid)
+    idx = np.where(is_click, np.arange(n, dtype=np.int64), -1)
+    last_click = np.maximum.accumulate(idx)
+    change = np.r_[True, uid[1:] != uid[:-1]]
+    seg_start = np.flatnonzero(change)[np.cumsum(change) - 1]
+    hit = (~is_click) & (last_click >= seg_start)
+    return pd.DataFrame(
+        {
+            "purchase_id": eid[hit],
+            "click_id": eid[last_click[hit]],
+        }
+    )
+
+
 @query("asof_purchase_click", _ASOF_SQL)
 def q_asof(sf_dir: str):
     def keep_and_bucket(batch: pa.Table) -> pa.Table:
@@ -596,33 +625,6 @@ def q_asof(sf_dir: str):
         )
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return t.append_column("_ub", pa.array(uid >> 8))
-
-    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # merge-sorted as-of over ~256 users at once: sort by (user, ts,
-        # purchase-before-click, event_id) and forward-fill the last click
-        # row index. Purchases sort BEFORE equal-ts clicks, so the ffill a
-        # purchase sees only covers strictly-earlier clicks; among ties of
-        # the latest prior ts, the LAST accumulated click is the highest
-        # event_id — both matching the SQL's ORDER BY ts DESC, id DESC.
-        uid = g["user_id"].to_numpy().astype(np.int64)
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        eid = g["event_id"].to_numpy().astype(np.int64)
-        is_click = g["event_type"].to_numpy() == "click"
-        order = np.lexsort((eid, is_click.astype(np.int8), ts, uid))
-        uid, eid = uid[order], eid[order]
-        is_click = is_click[order]
-        n = len(uid)
-        idx = np.where(is_click, np.arange(n, dtype=np.int64), -1)
-        last_click = np.maximum.accumulate(idx)
-        change = np.r_[True, uid[1:] != uid[:-1]]
-        seg_start = np.flatnonzero(change)[np.cumsum(change) - 1]
-        hit = (~is_click) & (last_click >= seg_start)
-        return pd.DataFrame(
-            {
-                "purchase_id": eid[hit],
-                "click_id": eid[last_click[hit]],
-            }
-        )
 
     return (
         _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
@@ -889,10 +891,52 @@ FROM events p WHERE p.event_type = 'purchase'
 """
 
 
+_RANGE_WINDOW_US = 30 * 60 * 1_000_000
+
+
+def range_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Interval counts over a bucket of users via the two-probe merge:
+    each purchase contributes a probe at t (the window's strict left edge)
+    and one at t+W (inclusive right edge); sort clicks and probes together
+    by (user, ts, clicks-first) and the running click count at each probe
+    gives count(ts <= probe) — the window count is the hi-probe minus
+    lo-probe difference, which cancels everything before the user's
+    segment. Property-tested against an O(n^2) reference in
+    tests/test_bucketed_merges.py."""
+    uid = g["user_id"].to_numpy().astype(np.int64)
+    ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    eid = g["event_id"].to_numpy().astype(np.int64)
+    is_p = g["event_type"].to_numpy() == "purchase"
+    p_uid, p_ts, p_eid = uid[is_p], ts[is_p], eid[is_p]
+    c_uid, c_ts = uid[~is_p], ts[~is_p]
+    n_p, n_c = len(p_uid), len(c_uid)
+    if n_p == 0:
+        return pd.DataFrame(
+            {"purchase_id": pd.Series(dtype="int64"),
+             "n_clicks_30m": pd.Series(dtype="int64")}
+        )
+    m_uid = np.concatenate([c_uid, p_uid, p_uid])
+    m_ts = np.concatenate([c_ts, p_ts, p_ts + _RANGE_WINDOW_US])
+    # clicks sort BEFORE probes at equal ts => count(ts <= probe)
+    m_typ = np.concatenate(
+        [np.zeros(n_c, dtype=np.int8), np.ones(2 * n_p, dtype=np.int8)]
+    )
+    order = np.lexsort((m_typ, m_ts, m_uid))
+    cum = np.cumsum(m_typ[order] == 0)
+    pos = np.empty(len(order), dtype=np.int64)
+    pos[order] = np.arange(len(order))
+    lo = cum[pos[n_c : n_c + n_p]]
+    hi = cum[pos[n_c + n_p :]]
+    return pd.DataFrame(
+        {
+            "purchase_id": p_eid,
+            "n_clicks_30m": (hi - lo).astype(np.int64),
+        }
+    )
+
+
 @query("range_join_counts", _RANGE_JOIN_SQL)
 def q_range_join(sf_dir: str):
-    WINDOW_US = 30 * 60 * 1_000_000
-
     def keep_and_bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -904,45 +948,6 @@ def q_range_join(sf_dir: str):
         )
         uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return t.append_column("_ub", pa.array(uid >> 8))
-
-    def range_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # interval counts over ~256 users at once via the two-probe merge:
-        # each purchase contributes a probe at t (window's strict left
-        # edge) and one at t+W (inclusive right edge); sort clicks and
-        # probes together by (user, ts, clicks-first) and the running
-        # click count at each probe gives count(ts <= probe) — the window
-        # count is the hi-probe minus lo-probe difference, which cancels
-        # everything before the user's segment.
-        uid = g["user_id"].to_numpy().astype(np.int64)
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        eid = g["event_id"].to_numpy().astype(np.int64)
-        is_p = g["event_type"].to_numpy() == "purchase"
-        p_uid, p_ts, p_eid = uid[is_p], ts[is_p], eid[is_p]
-        c_uid, c_ts = uid[~is_p], ts[~is_p]
-        n_p, n_c = len(p_uid), len(c_uid)
-        if n_p == 0:
-            return pd.DataFrame(
-                {"purchase_id": pd.Series(dtype="int64"),
-                 "n_clicks_30m": pd.Series(dtype="int64")}
-            )
-        m_uid = np.concatenate([c_uid, p_uid, p_uid])
-        m_ts = np.concatenate([c_ts, p_ts, p_ts + WINDOW_US])
-        # clicks sort BEFORE probes at equal ts => count(ts <= probe)
-        m_typ = np.concatenate(
-            [np.zeros(n_c, dtype=np.int8), np.ones(2 * n_p, dtype=np.int8)]
-        )
-        order = np.lexsort((m_typ, m_ts, m_uid))
-        cum = np.cumsum(m_typ[order] == 0)
-        pos = np.empty(len(order), dtype=np.int64)
-        pos[order] = np.arange(len(order))
-        lo = cum[pos[n_c : n_c + n_p]]
-        hi = cum[pos[n_c + n_p :]]
-        return pd.DataFrame(
-            {
-                "purchase_id": p_eid,
-                "n_clicks_30m": (hi - lo).astype(np.int64),
-            }
-        )
 
     return (
         _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
