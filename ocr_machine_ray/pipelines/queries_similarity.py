@@ -97,8 +97,8 @@ def q_ann_topk(sf_dir: str):
         batch_size=4096,
         concurrency=(1, 2),
     )
-    return partials.groupby("query_id").map_groups(
-        lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
+    return _qb_grouped(
+        partials, lambda g: merge_topk_group(g, TOP_K)
     )
 
 
@@ -126,8 +126,8 @@ def q_ann_topk_lsh(sf_dir: str):
         batch_size=4096,
         concurrency=(1, 2),
     )
-    return partials.groupby("query_id").map_groups(
-        lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
+    return _qb_grouped(
+        partials, lambda g: merge_topk_group(g, TOP_K)
     )
 
 
@@ -167,13 +167,43 @@ FROM (
 """
 
 
+def _qb_grouped(ds, fn):
+    """groupby on a query-id PREFIX BUCKET (query_id >> 8): the final
+    per-query merges ran one pandas dispatch per query; the bucketed
+    shape amortizes dispatch if the query set ever grows."""
+    import pyarrow as pa
+
+    def add_qb(t: "pa.Table") -> "pa.Table":
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_qb", pa.array(q >> 8))
+
+    return (
+        ds.map_batches(add_qb, batch_format="pyarrow")
+        .groupby("_qb")
+        .map_groups(fn, batch_format="pandas")
+    )
+
+
 def _vote(g: pd.DataFrame) -> pd.DataFrame:
-    counts = g.groupby("label").size().reset_index(name="c")
-    counts = counts.sort_values(["c", "label"], ascending=[False, True])
+    """Majority vote per query over a bucket of queries: count distinct
+    (query, label) pairs vectorized, pick max count (ties: lowest label)."""
+    qid = g["query_id"].to_numpy().astype(np.int64)
+    lab = g["label"].to_numpy().astype(np.int64)
+    order = np.lexsort((lab, qid))
+    q, l_ = qid[order], lab[order]
+    pair = np.r_[True, (q[1:] != q[:-1]) | (l_[1:] != l_[:-1])]
+    starts = np.flatnonzero(pair)
+    c = np.diff(np.r_[starts, len(q)])
+    pq, pl = q[starts], l_[starts]
+    # winner per query: max count, ties to the lowest label
+    worder = np.lexsort((pl, -c, pq))
+    wq = pq[worder]
+    heads = np.flatnonzero(np.r_[True, wq[1:] != wq[:-1]])
+    win = worder[heads]
     return pd.DataFrame(
         {
-            "query_id": [np.int64(g["query_id"].iloc[0])],
-            "pred_label": [np.int64(counts["label"].iloc[0])],
+            "query_id": pq[win],
+            "pred_label": pl[win],
         }
     )
 
@@ -215,9 +245,7 @@ def q_knn_classify(sf_dir: str):
         on=("neighbor_id",),
         right_on=("vec_id",),
     )
-    return joined.groupby("query_id").map_groups(
-        _vote, batch_format="pandas"
-    )
+    return _qb_grouped(joined, _vote)
 
 
 # ---------------------------------------------------------------------------
@@ -303,8 +331,8 @@ def q_ann_topk_ivf(sf_dir: str):
         batch_size=4096,
         concurrency=(1, 2),
     )
-    return partials.groupby("query_id").map_groups(
-        lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
+    return _qb_grouped(
+        partials, lambda g: merge_topk_group(g, TOP_K)
     )
 
 
@@ -836,8 +864,8 @@ def q_hard_negatives(sf_dir: str):
         batch_size=4096,
         concurrency=(1, 2),
     )
-    return partials.groupby("query_id").map_groups(
-        lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
+    return _qb_grouped(
+        partials, lambda g: merge_topk_group(g, TOP_K)
     )
 
 
@@ -953,8 +981,8 @@ def q_ann_filtered(sf_dir: str):
         batch_size=4096,
         concurrency=(1, 2),
     )
-    return partials.groupby("query_id").map_groups(
-        lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
+    return _qb_grouped(
+        partials, lambda g: merge_topk_group(g, TOP_K)
     )
 
 
@@ -1211,8 +1239,8 @@ def q_ann_topk_pq(sf_dir: str):
         batch_size=4096,
         concurrency=(1, 2),
     )
-    return partials.groupby("query_id").map_groups(
-        lambda g: merge_topk_group(g, TOP_K), batch_format="pandas"
+    return _qb_grouped(
+        partials, lambda g: merge_topk_group(g, TOP_K)
     )
 
 
