@@ -1215,18 +1215,41 @@ def q_segment_dedup(sf_dir: str):
         )
     else:
 
-        def _removed_list(g: pd.DataFrame) -> pd.DataFrame:
-            nos = np.sort(g["seg_no"].to_numpy(np.int64))
+        def _removed_lists_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            # per-doc sorted seg lists across a doc-prefix bucket: one
+            # lexsort, per-segment joins (join is inherent; the ~0.6-3 ms
+            # per-doc map_groups dispatch is not)
+            doc = g["doc_id"].to_numpy().astype(np.int64)
+            seg_no = g["seg_no"].to_numpy().astype(np.int64)
+            order = np.lexsort((seg_no, doc))
+            d, s = doc[order], seg_no[order]
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            ends = np.r_[starts[1:], len(d)]
             return pd.DataFrame(
                 {
-                    "doc_id": g["doc_id"].to_numpy(np.int64)[:1],
-                    "removed": [",".join(map(str, nos))],
+                    "doc_id": d[starts],
+                    "removed": [
+                        ",".join(map(str, s[a:b]))
+                        for a, b in zip(starts, ends)
+                    ],
                 }
             )
 
         removed_lists = (
-            removed_pairs.groupby("doc_id")
-            .map_groups(_removed_list, batch_format="pandas")
+            removed_pairs.map_batches(
+                lambda t: t.append_column(
+                    "_db",
+                    pa.array(
+                        t["doc_id"]
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                        >> 8
+                    ),
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("_db")
+            .map_groups(_removed_lists_bucket, batch_format="pandas")
             .repartition(4)
             .materialize()
         )

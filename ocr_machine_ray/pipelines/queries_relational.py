@@ -853,22 +853,38 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 
 @query("running_totals", _RUNNING_SQL)
 def q_running_totals(sf_dir: str):
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("_ub", pa.array(uid >> 8))
+
+    def running_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # ~256 users per group: one lexsort, segmented cumsum/positions
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
+        cents = _cents(g["value"].to_numpy()[order])
+        change = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(change)
+        seg = np.cumsum(change) - 1
+        csum = np.cumsum(cents)
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "event_seq": np.arange(1, len(g) + 1, dtype=np.int64),
-                "running_value_cents": np.cumsum(
-                    _cents(g["value"].to_numpy())
+                "event_id": eid,
+                "event_seq": (
+                    np.arange(len(uid), dtype=np.int64) - starts[seg] + 1
                 ),
+                "running_value_cents": csum
+                - (csum[starts] - cents[starts])[seg],
             }
         )
 
     return (
         _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_ub")
+        .map_groups(running_bucket, batch_format="pandas")
     )
 
 

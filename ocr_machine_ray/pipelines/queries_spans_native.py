@@ -787,12 +787,31 @@ def q_decontaminate_spans(sf_dir: str):
         return pd.DataFrame({"gram": sorted(grams)})
 
     # small side (1/bench_mod of the corpus): distinct grams, chunk-exact,
-    # deduped per doc then once on the driver before the broadcast
+    # deduped per doc then once on the driver before the broadcast. The
+    # per-doc combine (gpos-dict straddle rebuild) is inherently per-doc;
+    # its DISPATCH rides a doc-prefix bucket (stages/buckets pattern)
+    from ..stages.buckets import per_key_in_bucket
+
     gram_rows = (
         capped.map_batches(bench_partial, batch_format="pyarrow",
                            zero_copy_batch=True)
-        .groupby("doc_id")
-        .map_groups(bench_combine, batch_format="pandas")
+        .map_batches(
+            lambda t: t.append_column(
+                "_db",
+                pa.array(
+                    t["doc_id"].to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                    >> 8
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_db")
+        .map_groups(
+            per_key_in_bucket(bench_combine, "doc_id"),
+            batch_format="pandas",
+        )
         .take_all()
     )
     bench = pa.array(
@@ -1107,7 +1126,15 @@ def _curation_combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _sig_keeper(g: pd.DataFrame) -> pd.DataFrame:
-    return g.sort_values("doc_id").head(1)[["category", "n_words"]]
+    """First-doc-wins per signature over a HASH BUCKET of sigs (sig is a
+    sparse int64 hash — bucketed via sig % n, see the caller): one lexsort
+    (sig, doc), segment heads win."""
+    sig = g["sig"].to_numpy().astype(np.int64)
+    doc = g["doc_id"].to_numpy().astype(np.int64)
+    order = np.lexsort((doc, sig))
+    s = sig[order]
+    first = order[np.r_[True, s[1:] != s[:-1]]]
+    return g.iloc[first][["category", "n_words"]].reset_index(drop=True)
 
 
 @query("curation_pipeline_spans", _CURATION_SPANS_SQL)
@@ -1124,6 +1151,7 @@ def q_curation_pipeline_spans(sf_dir: str):
                 "total_words": pa.array([], type=pa.int64()),
             }
         )
+    n_sig_buckets = max(8, parquet_num_rows(sf_dir, "documents") // 256)
     return (
         _capped_spans(sf_dir)
         .map_batches(
@@ -1136,7 +1164,17 @@ def q_curation_pipeline_spans(sf_dir: str):
             lambda g: _curation_combine_bucket(g.drop(columns=["bucket"])),
             batch_format="pandas",
         )
-        .groupby("sig")
+        .map_batches(
+            lambda t: t.append_column(
+                "_sb",
+                pa.array(
+                    t["sig"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    % np.int64(n_sig_buckets)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_sb")
         .map_groups(_sig_keeper, batch_format="pandas")
         .groupby("category")
         .aggregate(
