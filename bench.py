@@ -159,6 +159,13 @@ BENCH_QUERIES = [
     "asof_purchase_click",
     "range_join_counts",
     "latest_event_per_user",
+    "running_totals",
+    "sliding_window",
+    "corpus_curate",
+    "doc_artifacts",
+    "block_repair_stats",
+    "funnel_counts",
+    "knn_classify",
 ]
 
 
