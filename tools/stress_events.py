@@ -72,10 +72,32 @@ def main() -> int:
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(big, f"{out_dir}/events.parquet")
 
+    # the amplified events keep only the columns the rolling query needs;
+    # the other bucketed kernels also read event_type — synthesize it
+    # deterministically from event_id so the stress dir is self-contained
+    if "event_type" not in big.column_names:
+        et = np.array(["view", "click", "purchase", "signup", "error"])
+        big = big.append_column(
+            "event_type",
+            pa.array(
+                et[
+                    big["event_id"].to_numpy(zero_copy_only=False) % len(et)
+                ],
+                type=pa.string(),
+            ),
+        )
+        pq.write_table(big, f"{out_dir}/events.parquet")
+
     from ocr_machine_ray.pipelines.queries_events import (
         _cents,
         _ROLL_W,
         q_rolling_event_sum,
+    )
+    from ocr_machine_ray.pipelines.queries_relational import (
+        q_asof,
+        q_event_gap_stats,
+        q_range_join,
+        q_sessionize,
     )
 
     # warm the worker pool: the first query of a Ray session pays 15-30 s
@@ -119,6 +141,17 @@ def main() -> int:
         per_user_sec = round(time.perf_counter() - t0, 2)
         assert n_per_user == n_bucketed, (n_per_user, n_bucketed)
 
+    extra = {}
+    for label, qfn in (
+        ("gaps_sec", q_event_gap_stats),
+        ("sessionize_sec", q_sessionize),
+        ("asof_sec", q_asof),
+        ("range_join_sec", q_range_join),
+    ):
+        t0 = time.perf_counter()
+        qfn(out_dir).materialize().count()
+        extra[label] = round(time.perf_counter() - t0, 2)
+
     print(
         json.dumps(
             {
@@ -126,6 +159,7 @@ def main() -> int:
                 "rows": len(big),
                 "bucketed_sec": round(bucketed_sec, 2),
                 "per_user_sec": per_user_sec,
+                **extra,
                 "probe_pre": round(probe_pre, 3),
                 "probe_post": round(host_probe(), 3),
             }
