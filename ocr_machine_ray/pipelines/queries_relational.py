@@ -368,46 +368,50 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Session windows over a bucket of users: one lexsort by (user, ts),
+    session breaks where a user changes or the gap exceeds the threshold,
+    then every session is a contiguous run — counts/start/end are pure
+    segment arithmetic. Property-tested against a per-user reference in
+    tests/test_bucketed_merges.py."""
+    gap = np.timedelta64(SESSION_GAP_MIN, "m")
+    uid = g["user_id"].to_numpy().astype(np.int64)
+    ts = g["ts"].to_numpy()
+    order = np.lexsort((ts.view(np.int64), uid))
+    uid, ts = uid[order], ts[order]
+    new_user = np.r_[True, uid[1:] != uid[:-1]]
+    start = new_user.copy()
+    if len(uid) > 1:
+        start[1:] |= (ts[1:] - ts[:-1]) > gap
+    s_idx = np.flatnonzero(start)
+    ends = np.r_[s_idx[1:], len(uid)] - 1
+    sess_user = uid[s_idx]
+    # session ordinal within user (1-based): session index minus the
+    # index of the user's first session
+    first_sess = np.r_[True, sess_user[1:] != sess_user[:-1]]
+    sess_ord = np.arange(len(s_idx), dtype=np.int64)
+    base = sess_ord[first_sess]
+    sid = sess_ord - base[np.cumsum(first_sess) - 1] + 1
+    return pd.DataFrame(
+        {
+            "user_id": sess_user,
+            "session_id": sid,
+            "n_events": np.diff(np.r_[s_idx, len(uid)]).astype(np.int64),
+            "session_start": ts[s_idx],
+            "session_end": ts[ends],
+        }
+    )
+
+
 @query("sessionize", _SESSIONS_SQL)
 def q_sessionize(sf_dir: str):
     """Session windows over user-BUCKETED groups (user_id >> 8, ~256 users
     per group — per-user map_groups pays ~0.6-3 ms of pandas dispatch per
-    group, BASELINE.md): one lexsort by (user, ts), session breaks where a
-    user changes or the gap exceeds the threshold, then every session is a
-    contiguous run — counts/start/end are pure segment arithmetic."""
-    gap = np.timedelta64(SESSION_GAP_MIN, "m")
+    group, BASELINE.md)."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return batch.append_column("_ub", pa.array(uid >> 8))
-
-    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        uid = g["user_id"].to_numpy().astype(np.int64)
-        ts = g["ts"].to_numpy()
-        order = np.lexsort((ts.view(np.int64), uid))
-        uid, ts = uid[order], ts[order]
-        new_user = np.r_[True, uid[1:] != uid[:-1]]
-        start = new_user.copy()
-        if len(uid) > 1:
-            start[1:] |= (ts[1:] - ts[:-1]) > gap
-        s_idx = np.flatnonzero(start)
-        ends = np.r_[s_idx[1:], len(uid)] - 1
-        sess_user = uid[s_idx]
-        # session ordinal within user (1-based): session index minus the
-        # index of the user's first session
-        first_sess = np.r_[True, sess_user[1:] != sess_user[:-1]]
-        sess_ord = np.arange(len(s_idx), dtype=np.int64)
-        base = sess_ord[first_sess]
-        sid = sess_ord - base[np.cumsum(first_sess) - 1] + 1
-        return pd.DataFrame(
-            {
-                "user_id": sess_user,
-                "session_id": sid,
-                "n_events": np.diff(np.r_[s_idx, len(uid)]).astype(np.int64),
-                "session_start": ts[s_idx],
-                "session_end": ts[ends],
-            }
-        )
 
     return (
         _read(sf_dir, "events", ["user_id", "ts"])

@@ -92,3 +92,45 @@ def test_range_bucket_matches_bruteforce(df):
         ]
         want[int(p["event_id"])] = len(c)
     assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(event_frames())
+def test_sessions_bucket_matches_per_user(df):
+    from ocr_machine_ray.pipelines.queries_relational import (
+        SESSION_GAP_MIN,
+        sessions_bucket,
+    )
+
+    got = (
+        sessions_bucket(df[["user_id", "ts"]])
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    gap = np.timedelta64(SESSION_GAP_MIN, "m")
+    rows = []
+    for u in sorted(df["user_id"].unique()):
+        ts = np.sort(df.loc[df["user_id"] == u, "ts"].to_numpy())
+        sid = 0
+        start = None
+        for i, t in enumerate(ts):
+            if start is None or t - ts[i - 1] > gap:
+                if start is not None:
+                    rows.append((u, sid, n, start, ts[i - 1]))
+                sid += 1
+                start, n = t, 0
+            n += 1
+        rows.append((u, sid, n, start, ts[-1]))
+    want = pd.DataFrame(
+        rows,
+        columns=[
+            "user_id", "session_id", "n_events",
+            "session_start", "session_end",
+        ],
+    )
+    want["user_id"] = want["user_id"].astype(np.int64)
+    want["session_id"] = want["session_id"].astype(np.int64)
+    want["n_events"] = want["n_events"].astype(np.int64)
+    want["session_start"] = want["session_start"].astype(df["ts"].dtype)
+    want["session_end"] = want["session_end"].astype(df["ts"].dtype)
+    pd.testing.assert_frame_equal(got, want)
